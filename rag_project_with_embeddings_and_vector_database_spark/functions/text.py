@@ -1,0 +1,159 @@
+"""Text scalar functions as native (JVM-side, codegen'd) Column expressions.
+
+Everything here compiles to Catalyst expressions — no Python UDFs — so it
+stays inside WholeStageCodegen and scales linearly with executors.
+
+Reference semantics reproduced:
+  - token_count:     /root/reference/src/utils.py:30-35  (words + chars//4)
+  - sentence split:  /root/reference/src/chunking.py:102-106
+  - preprocess:      /root/reference/src/embeddings.py:121-130
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Reference primitives
+# ---------------------------------------------------------------------------
+
+
+def token_count(col: Column | str) -> Column:
+    """Token-count heuristic: ``len(text.split()) + len(text)//4``.
+
+    Python's ``str.split()`` drops empty tokens; we filter explicitly so
+    the expression is portable across engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))
+    return (words + F.floor(F.length(c) / 4)).cast("bigint")
+
+
+# Portable sentence-segmentation regex: RE2-safe (no lookbehind), matches a
+# run of non-terminators followed by any run of terminators. Equivalent to
+# the reference's `re.split(r'(?<=[.!?])\s+', text)` on well-formed prose.
+SENTENCE_PATTERN = r"[^.!?]+[.!?]*"
+
+
+def sentences(col: Column | str) -> Column:
+    """Array of trimmed, non-empty sentences."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.regexp_extract_all(c, F.lit(SENTENCE_PATTERN), 0)
+    trimmed = F.transform(parts, F.trim)
+    return F.filter(trimmed, lambda x: x != F.lit(""))
+
+
+def preprocess(col: Column | str) -> Column:
+    """Strip + collapse internal whitespace (embeddings.py:121-130)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis extensions (north-star operators, BASELINE.json)
+# ---------------------------------------------------------------------------
+
+# BPE-ish word/number/symbol tokenizer — RE2-safe so the DuckDB oracle can
+# evaluate the identical pattern.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately small and deterministic — the point is the
+# operator shape (scan-side scoring, argmax across languages), not model
+# quality.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein", "mit"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo", "ta", "men"),
+}
+
+
+def regex_tokens(col: Column | str) -> Column:
+    """BPE-ish tokenization via one regex scan (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+
+
+def lang_scores(col: Column | str) -> Column:
+    """Map of language -> marker-hit count over whitespace tokens."""
+    toks = F.transform(whitespace_tokens(col), F.lower)
+    entries = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(F.filter(toks, lambda t: t.isin([F.lit(m) for m in markers])))
+            .cast("bigint")
+            .alias("score"),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    return F.array(*entries)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language by marker score; ties broken alphabetically;
+    all-zero scores -> 'und' (undetermined)."""
+    scores = lang_scores(col)
+    # sort by (-score, lang) and take the head
+    best = F.array_sort(
+        scores,
+        lambda a, b: F.when(a["score"] > b["score"], F.lit(-1))
+        .when(a["score"] < b["score"], F.lit(1))
+        .otherwise(
+            F.when(a["lang"] < b["lang"], F.lit(-1)).when(a["lang"] > b["lang"], F.lit(1)).otherwise(F.lit(0))
+        ),
+    )[0]
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "with", "for", "on", "as")
+
+
+def quality_features(col: Column | str) -> list[Column]:
+    """Aliased feature columns for document quality scoring."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = whitespace_tokens(c)
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length(c).cast("bigint")
+    punct = F.length(F.regexp_replace(c, r"[^.!?,;:]", ""))
+    stop_hits = F.size(F.filter(F.transform(toks, F.lower), lambda t: t.isin([F.lit(s) for s in STOPWORDS])))
+    return [
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 6).alias("avg_token_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+    ]
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: rewards mid-length docs with some
+    stopword mass and mild punctuation (heuristics from C4/Gopher-style
+    quality filters, expressed as one arithmetic expression)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = whitespace_tokens(c)
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(F.filter(F.transform(toks, F.lower), lambda t: t.isin([F.lit(s) for s in STOPWORDS]))).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / F.greatest(n_tok, F.lit(1.0)) * 4.0, F.lit(1.0))
+    return F.round((len_score * 0.7 + stop_score * 0.3), 6)
+
+
+def md5_long(col: Column | str, *salt: Column) -> Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5 as BIGINT.
+
+    Portable across engines (DuckDB: ``('0x'||substr(md5(x),1,15))::BIGINT``);
+    used as the base hash for MinHash/SimHash/fingerprinting so oracles can
+    reproduce signatures exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if salt:
+        c = F.concat_ws("\x1f", c, *salt)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")

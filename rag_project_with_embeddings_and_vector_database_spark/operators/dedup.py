@@ -1,0 +1,310 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star extensions (BASELINE.json / SURVEY.md §2.9) — not in the
+reference, designed for the 100 TB regime:
+
+  * exact_dedup        — sha256 content hash, groupBy keeper selection.
+  * minhash signatures — shingle -> 60-bit md5 hash -> k permutations of a
+                         universal hash family (a*x+b mod p), all as native
+                         Catalyst expressions (no Python in the hot path).
+  * minhash_lsh_pairs  — band the signature, shuffle once on (band,
+                         band-hash) buckets, self-join within buckets.
+  * simhash            — 32-bit sign-aggregated token hashes; near-dup =
+                         small Hamming distance.
+  * ngram_jaccard      — exact n-gram Jaccard on candidate pairs.
+  * embedding near-dup — cosine > threshold pairs over embeddings.
+  * connected components — iterative min-label propagation to collapse
+                         duplicate *clusters* (small-diameter graphs
+                         converge in a few joins).
+
+Scale notes: every operator shuffles on a uniformly-distributed hash key
+(band bucket, content hash), so skew is bounded; candidate generation is
+O(n * bands) not O(n^2); only within-bucket pairs are scored. The base
+hash (md5 -> 60-bit int) is engine-portable so DuckDB oracles reproduce
+signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long
+
+# Mersenne prime 2^31 - 1: modulus for the universal hash family. Small
+# enough that a*h+b stays < 2^63 (no int64 overflow, no 128-bit tricks),
+# large enough for minhash (per-perm collision odds ~5e-10).
+_P = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) parameters via an LCG recurrence —
+    reproducible in SQL (the oracle inlines the constants)."""
+    params = []
+    x = seed & 0xFFFFFFFF
+    for _ in range(num_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _P
+        params.append((a, b))
+    return params
+
+
+def content_hash(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group by content hash, keep the minimum id; returns
+    (content_sha, keeper_id, n_dups). At scale this is one hash-partition
+    shuffle on a uniform 256-bit key — no skew, no sort."""
+    return (
+        df.select(content_hash(content_col).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), built natively:
+    tokens -> sequence(0, len-n) -> concat_ws slices."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(gram)
+
+
+def minhash_signature(
+    shingle_col: Column | str, num_perm: int = 16, seed: int = 42
+) -> Column:
+    """Array of num_perm minhash values.
+
+    h_i(s) = (a_i * (H(s) mod P) + b_i) mod P, minimized over shingles,
+    where H(s) is the portable 60-bit md5 hash. a, b, H mod P are all
+    < 2^31 so a*h+b < 2^63: plain int64 arithmetic, identical in any
+    engine (the oracle inlines the (a, b) constants)."""
+    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    hashes = F.transform(c, lambda s: md5_long(s) % _P)
+
+    def _perm_fn(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % _P
+
+    sigs = [
+        F.array_min(F.transform(hashes, _perm_fn(a, b)))
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_bands(sig_col: Column | str, num_bands: int, rows_per_band: int) -> Column:
+    """Array of (band_id, band_hash) structs: the LSH bucketing key."""
+    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    bands = []
+    for band in range(num_bands):
+        vals = [c[band * rows_per_band + r] for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                md5_long(F.concat_ws("_", *[v.cast("string") for v in vals])).alias("band_hash"),
+            )
+        )
+    return F.array(*bands)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket, with
+    the estimated Jaccard (signature agreement rate).
+
+    Shuffle profile at scale: one explode to (doc, band) rows — n*bands
+    rows — one hash shuffle on (band, band_hash), within-bucket self-join
+    (buckets are small for non-pathological corpora; a salt/limit guard
+    would cap giant buckets), then distinct on (a, b)."""
+    rows_per_band = num_perm // num_bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(content_col, shingle_n), num_perm, seed).alias("sig"),
+    )
+    banded = sig.select(
+        id_col, "sig", F.explode(minhash_bands("sig", num_bands, rows_per_band)).alias("bb")
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: F.when(x == y, F.lit(1.0)).otherwise(F.lit(0.0))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(float(num_perm)),
+                6,
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: bit j of the fingerprint is the
+    sign of sum(+1/-1 over tokens' hash bit j). Native expressions only."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
+    hashes = F.transform(toks, lambda t: md5_long(t))
+
+    def _vote_fn(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_terms = []
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote_fn(j))
+        bit_terms.append(
+            F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        )
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (native)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 8,
+    block_prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup candidates by simhash: block on the top prefix bits
+    (docs differing there can't be near anyway for small distances),
+    join within blocks, filter by Hamming distance."""
+    sh = df.select(F.col(id_col), simhash(content_col, bits).alias("sh"))
+    blocked = sh.withColumn("blk", F.shiftright(F.col("sh"), bits - block_prefix_bits))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for (candidate) pairs. For full self-join use
+    only on pre-filtered candidates (LSH/simhash output) at scale."""
+    right = right if right is not None else left
+    a = left.select(F.col(id_col).alias("id_a"), shingles(content_col, n).alias("g_a"))
+    b = right.select(F.col(id_col).alias("id_b"), shingles(content_col, n).alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    probe_filter: Column | None = None,
+    normalized: bool = False,
+) -> DataFrame:
+    """Cosine-near-duplicate pairs. ``probe_filter`` restricts the left
+    side (e.g. a sample) so the pair count stays linear; the full-scale
+    path is knn_lsh in operators/retrieval.py. ``normalized=True`` skips
+    the norm division (dot == cosine on unit vectors)."""
+    from ..functions import vectors as V
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    if probe_filter is not None:
+        a = df.filter(probe_filter).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    sim = V.dot("v_a", "v_b") if normalized else V.cosine("v_a", "v_b")
+    return (
+        b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10) -> DataFrame:
+    """Min-label propagation over an undirected dup-pair graph: returns
+    (id, component) where component = min id reachable. Dup clusters have
+    tiny diameter, so this converges in 2-3 joins; each iteration is one
+    shuffle on id."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select("src").union(edges.select("dst")).distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("component")
+    )
+    for _ in range(max_iter):
+        cand = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("component"))
+            .union(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            cand.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = cand
+        if changed == 0:
+            break
+    return labels

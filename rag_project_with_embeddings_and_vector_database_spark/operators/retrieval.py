@@ -1,0 +1,186 @@
+"""Top-k vector retrieval as relational algebra (SURVEY.md §2.5 R1-R4).
+
+Reference behavior: Qdrant ``client.search(collection, vector, limit)``
+returning cosine-desc results (/root/reference/src/vector_db.py:93-119).
+
+Spark-first design:
+  * The "vector database" is a DataFrame/parquet table; a "collection" is
+    a partition (strategy, model) — partition pruning replaces collection
+    routing.
+  * Exact search = broadcast the (small) query side, score with a native
+    codegen'd dot product, take ``row_number() <= k`` per query. One
+    shuffle on the (query, config) grain, no driver loop — all 375
+    logical searches in the reference's fan-out (main.py:261-318) are a
+    single partitioned top-k job.
+  * Approximate path for the 100 TB regime: BucketedRandomProjectionLSH
+    on unit vectors (Euclidean on the unit sphere is monotone in cosine:
+    d^2 = 2 - 2*cos), seeded for determinism.
+
+Ties are broken by ascending id — a documented divergence from Qdrant's
+unspecified tie order (SURVEY.md §7 risk register).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def score_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    normalized: bool = True,
+    score_name: str = "score",
+    join_on: Column | None = None,
+) -> DataFrame:
+    """Broadcast-join queries x corpus and score with native cosine/dot.
+
+    ``join_on`` restricts pairs (e.g. same (strategy, model) config);
+    ``None`` means full cross product (queries side must be small — it is
+    broadcast).
+    """
+    q = queries.select(
+        *[F.col(c).alias(f"q_{c}") for c in queries.columns],
+    )
+    joined = corpus.join(F.broadcast(q), on=join_on if join_on is not None else F.lit(True), how="inner")
+    expr = V.dot(f"q_{query_vec}", corpus_vec) if normalized else V.cosine(f"q_{query_vec}", corpus_vec)
+    return joined.withColumn(score_name, expr)
+
+
+def topk(
+    scored: DataFrame,
+    partition_cols: list[str],
+    k: int,
+    score_col: str = "score",
+    tiebreak_col: str | None = None,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Per-group top-k with deterministic tie-break.
+
+    ``row_number() <= k`` lets Spark's rank-limit pushdown keep only k
+    rows per partition in the window sort (no full per-group sort
+    materialization).
+    """
+    order = [F.desc(score_col)]
+    if tiebreak_col:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    return scored.withColumn(rank_name, F.row_number().over(w)).filter(F.col(rank_name) <= k)
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    normalized: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: returns (query_id, id, score, rank).
+
+    Physical plan: broadcast nested-loop scored scan + windowed rank —
+    the correctness baseline for ANN (reference scale is exact anyway).
+    """
+    scored = score_pairs(
+        queries, corpus, query_vec=query_vec, corpus_vec=corpus_vec, normalized=normalized
+    )
+    out = topk(scored, [f"q_{query_id}"], k, tiebreak_col=corpus_id)
+    return out.select(
+        F.col(f"q_{query_id}").alias(query_id),
+        F.col(corpus_id),
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH (the scale path).
+
+    Unit-normalizes both sides so Euclidean NN order == cosine order,
+    bucket-joins, then exact-rescsores the candidate set. Recall < 1.0 by
+    construction — tested for recall, not equality (SURVEY.md §7).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    qn = queries.select(
+        F.col(query_id), array_to_vector(V.l2_normalize(vec_col).cast("array<double>")).alias("features")
+    )
+    cn = corpus.select(
+        F.col(corpus_id), array_to_vector(V.l2_normalize(vec_col).cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(cn)
+    # approxSimilarityJoin distance threshold 2.0 covers cos >= -1; prune at
+    # sqrt(2) ~ cos >= 0 to keep candidate sets small.
+    pairs = model.approxSimilarityJoin(qn, cn, 1.4142135, distCol="dist")
+    scored = pairs.select(
+        F.col(f"datasetA.{query_id}").alias(query_id),
+        F.col(f"datasetB.{corpus_id}").alias(corpus_id),
+        # d^2 = 2 - 2cos  =>  cos = 1 - d^2/2  (unit vectors)
+        F.round(1 - F.pow(F.col("dist"), 2) / 2, 6).alias("score"),
+    )
+    return topk(scored, [query_id], k, tiebreak_col=corpus_id).select(
+        query_id, corpus_id, "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+class VectorTable:
+    """The vector-store sink/DDL surface (SURVEY.md §2.1 S11-S12).
+
+    A Qdrant "collection" maps to a partition of one parquet table:
+    create/recreate = overwrite partition, drop = delete partition dir,
+    list = distinct partition values, info = count + schema. The payload
+    is just columns.
+    """
+
+    def __init__(self, spark, path: str, partition_cols: tuple[str, ...] = ("strategy", "model")):
+        self.spark = spark
+        self.path = path
+        self.partition_cols = partition_cols
+
+    def upsert(self, df: DataFrame, mode: str = "overwrite") -> None:
+        """Reference add_vectors (/root/reference/src/vector_db.py:60-91):
+        delete-and-recreate a collection == dynamic partition overwrite."""
+        (
+            df.write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self.partition_cols)
+            .parquet(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def collections(self) -> DataFrame:
+        """List collection names (vector_db.py:129-136)."""
+        return self.read().select(*self.partition_cols).distinct()
+
+    def info(self, **partition_values) -> dict:
+        """points_count/schema per collection (vector_db.py:138-150)."""
+        df = self.read()
+        for k, v in partition_values.items():
+            df = df.filter(F.col(k) == v)
+        return {"points_count": df.count(), "schema": df.schema.jsonValue()}

@@ -40,7 +40,9 @@ def sentences(col: Column | str) -> Column:
     """Array of trimmed, non-empty sentences."""
     c = F.col(col) if isinstance(col, str) else col
     parts = F.regexp_extract_all(c, F.lit(SENTENCE_PATTERN), 0)
-    trimmed = F.transform(parts, F.trim)
+    # NB: explicit one-arg lambda — passing F.trim directly would make
+    # transform() feed the array index into trim's optional second arg.
+    trimmed = F.transform(parts, lambda x: F.trim(x))
     return F.filter(trimmed, lambda x: x != F.lit(""))
 
 

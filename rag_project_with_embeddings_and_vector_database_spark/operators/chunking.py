@@ -295,6 +295,9 @@ def chunk_rows(text: str, source_file: str, strategy: str, cfg: EngineConfig) ->
 
 def chunker_udf(strategy: str, cfg: EngineConfig | None = None):
     """Arrow-batched pandas UDF: (text, source) -> array<chunk struct>."""
+    from .._shipping import ensure_package_shipped
+
+    ensure_package_shipped()
     cfg = cfg or EngineConfig()
 
     @F.pandas_udf(T.ArrayType(CHUNK_STRUCT))

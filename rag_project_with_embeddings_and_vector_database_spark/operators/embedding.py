@@ -93,6 +93,9 @@ def embed(
     ``mapInPandas`` iterator form: per-partition setup happens once, then
     every Arrow batch is encoded vectorized — the scalable replacement
     for the reference's batch loop (embeddings.py:132-147)."""
+    from .._shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     dim = EMBEDDING_MODELS.get(model, 384)
     schema = T.StructType(list(df.schema) + [T.StructField(out_col, T.ArrayType(T.FloatType()))])
     cols = df.columns

@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import pytest
+
+from rag_project_with_embeddings_and_vector_database_spark import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

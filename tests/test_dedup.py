@@ -1,0 +1,82 @@
+"""Dedup operator tests: exact, minhash, simhash, jaccard, components."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rag_project_with_embeddings_and_vector_database_spark.operators import dedup as DD
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (3, "completely different content about spark query engines at scale"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark):
+    out = DD.exact_dedup(_docs(spark)).collect()
+    by_keeper = {r.keeper_id: r.n_dups for r in out}
+    assert by_keeper[0] == 2  # docs 0,1 collapse
+    assert by_keeper[2] == 1 and by_keeper[3] == 1
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    sigs = {
+        r.doc_id: tuple(r.sig)
+        for r in _docs(spark)
+        .select("doc_id", DD.minhash_signature(DD.shingles("text"), 16, 42).alias("sig"))
+        .collect()
+    }
+    assert sigs[0] == sigs[1]
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 16
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[3])) / 16
+    assert agree_near > agree_far
+    assert all(0 <= v < (1 << 31) for v in sigs[0])
+
+
+def test_minhash_lsh_finds_dup_pair(spark):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in DD.minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_hamming(spark):
+    sh = {
+        r.doc_id: r.sh
+        for r in _docs(spark).select("doc_id", DD.simhash("text", 32).alias("sh")).collect()
+    }
+    assert sh[0] == sh[1]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
+    assert all(0 <= v < (1 << 32) for v in sh.values())
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard for r in DD.ngram_jaccard_pairs(_docs(spark), n=3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.0 < pairs[(0, 2)] < 1.0
+    assert pairs[(0, 3)] == 0.0
+
+
+def test_connected_components_collapses_cluster(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in DD.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_embedding_neardup_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.04]), (3, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    pairs = DD.embedding_neardup_pairs(df, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}

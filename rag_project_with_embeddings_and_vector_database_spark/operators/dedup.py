@@ -104,6 +104,31 @@ def minhash_signature(
     return F.array(*sigs)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """DataFrame-level minhash: explode shingles -> hash each gram ONCE ->
+    one groupBy(id) computing all permutation minima as aggregate
+    functions. Same values as ``minhash_signature`` (the column form),
+    but the physical plan is a single uniform-key shuffle with map-side
+    partial min aggregation — the shape that scales; the column form
+    re-evaluates the hash array per permutation (no common-subexpression
+    elimination across array transforms)."""
+    grams = df.select(F.col(id_col), F.explode(shingles(content_col, shingle_n)).alias("gram"))
+    hashed = grams.select(id_col, (md5_long("gram") % _P).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm, seed))
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"mh_{i}" for i in range(num_perm)]).alias("sig"))
+
+
 def minhash_bands(sig_col: Column | str, num_bands: int, rows_per_band: int) -> Column:
     """Array of (band_id, band_hash) structs: the LSH bucketing key."""
     c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
@@ -136,10 +161,7 @@ def minhash_lsh_pairs(
     (buckets are small for non-pathological corpora; a salt/limit guard
     would cap giant buckets), then distinct on (a, b)."""
     rows_per_band = num_perm // num_bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(shingles(content_col, shingle_n), num_perm, seed).alias("sig"),
-    )
+    sig = minhash_signatures(df, content_col, id_col, shingle_n, num_perm, seed)
     banded = sig.select(
         id_col, "sig", F.explode(minhash_bands("sig", num_bands, rows_per_band)).alias("bb")
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
@@ -192,6 +214,37 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
     for t in bit_terms[1:]:
         out = out + t
     return out
+
+
+def simhash_fingerprints(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """DataFrame-level simhash: explode tokens, hash each ONCE, one
+    groupBy(id) with per-bit conditional sums — same values as the
+    ``simhash`` column form, scalable plan (single shuffle, map-side
+    partial sums)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(content_col)), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("tok"),
+    )
+    hashed = toks.select(id_col, md5_long("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        out = out + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return agg.select(id_col, out.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

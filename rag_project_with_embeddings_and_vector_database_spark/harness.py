@@ -521,6 +521,272 @@ def report_best(spark, sf_dir):
     )
 
 
+@register(
+    "metric_topk",
+    f"WITH {_HITS_SQL.format(nq=15)}, {_METRICS_SQL} SELECT qid, top_1, top_3 FROM pq",
+)
+def metric_topk(spark, sf_dir):
+    """A1: top-k accuracy alone (evaluation.py:48-60)."""
+    return _per_query_metrics(spark, sf_dir, 15).select("qid", "top_1", "top_3")
+
+
+@register(
+    "metric_mrr",
+    f"WITH {_HITS_SQL.format(nq=15)}, {_METRICS_SQL} SELECT qid, mrr FROM pq",
+)
+def metric_mrr(spark, sf_dir):
+    """A2: reciprocal rank alone (evaluation.py:62-73)."""
+    return _per_query_metrics(spark, sf_dir, 15).select("qid", "mrr")
+
+
+@register(
+    "metric_avgsim",
+    f"WITH {_HITS_SQL.format(nq=15)}, {_METRICS_SQL} "
+    "SELECT qid, round(avg_similarity, 6) AS avg_similarity FROM pq",
+)
+def metric_avgsim(spark, sf_dir):
+    """A3: average similarity of relevant top-5 (evaluation.py:75-89)."""
+    return _per_query_metrics(spark, sf_dir, 15).select(
+        "qid", F.round("avg_similarity", 6).alias("avg_similarity")
+    )
+
+
+@register(
+    "chunk_sections",
+    r"""
+    WITH l AS (
+      SELECT doc_id, unnest(range(0, len(ls)))::INT AS line_no, unnest(ls) AS line
+      FROM (SELECT doc_id, string_split('# H1 ' || source || chr(10) || text || chr(10) || '## H2 tail' || chr(10) || 'after', chr(10)) AS ls
+            FROM documents)
+    ),
+    h AS (
+      SELECT doc_id, line_no, line,
+             CASE WHEN regexp_matches(line, '^(#{1,3})\s+(.+)$')
+                  THEN length(regexp_extract(line, '^(#{1,3})\s+.+$', 1)) ELSE NULL END AS lvl,
+             CASE WHEN regexp_matches(line, '^(#{1,3})\s+(.+)$')
+                  THEN regexp_extract(line, '^#{1,3}\s+(.+)$', 1) ELSE NULL END AS head
+      FROM l
+    ),
+    s AS (
+      SELECT doc_id, line_no, line, lvl, head,
+             count(CASE WHEN lvl IS NOT NULL THEN 1 END)
+               OVER (PARTITION BY doc_id ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS section_id
+      FROM h
+    )
+    SELECT doc_id, section_id::INT AS section_id,
+           any_value(CASE WHEN lvl IS NOT NULL THEN head END) AS heading,
+           coalesce(any_value(CASE WHEN lvl IS NOT NULL THEN lvl END), 0)::INT AS level,
+           string_agg(CASE WHEN lvl IS NULL THEN line END, chr(10) ORDER BY line_no) AS content
+    FROM s GROUP BY doc_id, section_id
+    """,
+)
+def chunk_sections(spark, sf_dir):
+    """C4 core — markdown section extraction (chunking.py:317-344) as
+    sessionization: heading lines open sections (running count), body
+    lines aggregate under the latest heading. A synthetic heading wrapper
+    gives every doc multiple sections to segment."""
+    d = _t(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.concat(
+                    F.lit("# H1 "), F.col("source"), F.lit("\n"), F.col("text"),
+                    F.lit("\n## H2 tail\nafter"),
+                ),
+                r"\n",
+            )
+        ).alias("line_no", "line"),
+    )
+    pat = r"^(#{1,3})\s+(.+)$"
+    h = lines.select(
+        "doc_id",
+        "line_no",
+        "line",
+        F.when(F.col("line").rlike(pat), F.length(F.regexp_extract("line", pat, 1))).alias("lvl"),
+        F.when(F.col("line").rlike(pat), F.regexp_extract("line", pat, 2)).alias("head"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
+    s = h.withColumn("section_id", F.count(F.col("lvl")).over(w))
+    agg = s.groupBy("doc_id", "section_id").agg(
+        F.any_value(F.col("head"), True).alias("heading"),
+        F.coalesce(F.any_value(F.col("lvl"), True), F.lit(0)).cast("int").alias("level"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("lvl").isNull(), F.struct("line_no", "line")))
+        ).alias("_body"),
+    )
+    # NULL (not '') when a section has no body lines — matches string_agg
+    content = F.when(
+        F.size("_body") > 0, F.array_join(F.transform("_body", lambda x: x["line"]), "\n")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("section_id").cast("int").alias("section_id"),
+        "heading",
+        "level",
+        content.alias("content"),
+    )
+
+
+@register(
+    "semi_anti_join",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) AS has_big_order
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_anti_join(spark, sf_dir):
+    """Left-semi + existence join (absent in the reference, §2.8 gap):
+    Catalyst plans both EXISTS as semi/existence joins, no row blowup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey").distinct()
+    with_orders = c.join(o.select("o_custkey").distinct(), c.c_custkey == F.col("o_custkey"), "leftsemi")
+    return (
+        with_orders.join(
+            big.withColumnRenamed("o_custkey", "_big_key"),
+            F.col("c_custkey") == F.col("_big_key"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("_big_key").isNotNull().alias("has_big_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sinks + DDL (S9-S12) and scans (S1-S8) — rows-only, driven through
+# temp storage
+# ---------------------------------------------------------------------------
+
+_FIXTURE_DOCS = (
+    ("projects/annual_report.md", "# Annual Report\n\nRevenue grew 20%. Margins improved.\n\n## Outlook\n\nGrowth continues."),
+    ("projects/quarterly/q3.md", "# Q3\n\nEarnings beat expectations. Costs fell."),
+    ("projects/hr_policy.md", "# HR\n\nEmployees receive 25 vacation days."),
+)
+
+
+def _fixture_corpus_dir(spark) -> str:
+    import os
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "spark_rag_fixture_corpus")
+    if not os.path.exists(os.path.join(root, "projects")):
+        for rel, content in _FIXTURE_DOCS:
+            path = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                f.write(content)
+        with open(os.path.join(root, "queries.json"), "w") as f:
+            f.write(
+                '[{"query_id": "q1", "query": "revenue growth", '
+                '"expected_keywords": ["revenue"], "expected_source_patterns": ["annual"]}]'
+            )
+    return root
+
+
+@register("scan_docs")
+def scan_docs(spark, sf_dir):
+    """S1-S6/S8: recursive binaryFile scan + extension router + parse
+    over a deterministic on-disk markdown corpus (sources/documents.py)."""
+    from .sources.documents import load_documents
+
+    root = _fixture_corpus_dir(spark)
+    return load_documents(spark, root).select("ext", "size_bytes", "content", "error").orderBy("size_bytes")
+
+
+@register("scan_queries")
+def scan_queries(spark, sf_dir):
+    """S7: JSON query-set source (main.py:163-172)."""
+    from .sources.documents import load_query_set
+
+    root = _fixture_corpus_dir(spark)
+    return load_query_set(spark, f"{root}/queries.json")
+
+
+def _tmp_sink_dir(name: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"spark_rag_sink_{name}_{os.getpid()}")
+
+
+@register("sink_csv")
+def sink_csv(spark, sf_dir):
+    """S9: CSV report sink (main.py:352-355) — write then read back."""
+    out = _tmp_sink_dir("csv")
+    report_rank(spark, sf_dir).coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.option("header", "true").csv(out)
+    return back.select(
+        F.col("config").cast("int").alias("config"), F.col("combined_score").cast("double").alias("combined_score")
+    )
+
+
+@register("sink_json")
+def sink_json(spark, sf_dir):
+    """S10: JSON report sink (main.py:357-363) — write then read back."""
+    out = _tmp_sink_dir("json")
+    report_rank(spark, sf_dir).coalesce(1).write.mode("overwrite").json(out)
+    return spark.read.json(out).select("config", "combined_score", "rank")
+
+
+@register("sink_vectors")
+def sink_vectors(spark, sf_dir):
+    """S11: vector-store upsert (vector_db.py:60-91) — the collection is
+    a partition of one parquet table."""
+    out = _tmp_sink_dir("vectors")
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    df = e.select(
+        F.lit("fixed_size").alias("strategy"),
+        F.when(F.col("vec_id") % 2 == 0, "modelA").otherwise("modelB").alias("model"),
+        F.col("vec_id"),
+        F.col("embedding"),
+    )
+    vt = R.VectorTable(spark, out)
+    vt.upsert(df)
+    return vt.read().groupBy("strategy", "model").agg(F.count(F.lit(1)).alias("points"))
+
+
+@register("ddl_collections")
+def ddl_collections(spark, sf_dir):
+    """S12: collection DDL surface (create/list/info/drop,
+    vector_db.py:37-150) over the partitioned table."""
+    out = _tmp_sink_dir("ddl")
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    df = e.select(
+        F.lit("recursive").alias("strategy"), F.lit("modelA").alias("model"), "vec_id", "embedding"
+    )
+    vt = R.VectorTable(spark, out)
+    vt.upsert(df)
+    info = vt.info(strategy="recursive", model="modelA")
+    cols = vt.collections().collect()
+    return spark.createDataFrame(
+        [(f"{r.strategy}_{r.model}", info["points_count"]) for r in cols],
+        "collection string, points_count long",
+    )
+
+
+@register("embed_fanout")
+def embed_fanout(spark, sf_dir):
+    """E4/R3: multi-model fan-out — one embed pass per model over the
+    same chunk set, union tagged by model (main.py:198-221)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    out = None
+    for m in ["all-MiniLM-L6-v2", "e5-base-v2"]:
+        v = embed(d, m, backend="hash").withColumn("model", F.lit(m))
+        out = v if out is None else out.unionByName(v)
+    return out.groupBy("model").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(V.norm("embedding")), 4).alias("mean_norm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (north-star): exact kNN + LSH scale path
 # ---------------------------------------------------------------------------

@@ -1549,9 +1549,16 @@ def embed_batch(spark, sf_dir):
 def connected_components(spark, sf_dir):
     """Duplicate-cluster collapse: min-label propagation over near-dup
     pairs (iterative joins; converges in a few rounds on short-diameter
-    dup graphs)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    pairs = DD.ngram_jaccard_pairs(d, n=3, threshold=0.12)
+    dup graphs). The corpus is documents doc_id < 30 plus planted
+    near-duplicates (one leading token prepended, id + 1000), so every
+    cluster {i, i+1000} must collapse to component i at every scale."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select("doc_id", "text")
+    planted = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("copy "), F.col("text")).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    pairs = DD.ngram_jaccard_pairs(corpus, n=3, threshold=0.6)
     return DD.connected_components(pairs)
 
 

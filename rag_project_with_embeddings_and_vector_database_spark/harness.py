@@ -1453,6 +1453,77 @@ def asof_join(spark, sf_dir):
     )
 
 
+@register(
+    "events_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def events_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    quantile_cont, verified bit-exact); the approx_percentile sketch is
+    the scale path when exact order statistics are too expensive."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+@register(
+    "pivot_events",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_events(spark, sf_dir):
+    """Pivot (long->wide) via conditional aggregation — one exchange,
+    engine-portable column naming (Spark's .pivot() derives names from
+    values; FILTER aggs keep them explicit)."""
+    e = _events(spark, sf_dir)
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+@register(
+    "cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)::INT AS g_flag, grouping(l_linestatus)::INT AS g_status,
+           count(*) AS n, round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem(spark, sf_dir):
+    """Full CUBE grouping sets (beyond rollup_lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "avg_disc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + typed metadata)
 # ---------------------------------------------------------------------------

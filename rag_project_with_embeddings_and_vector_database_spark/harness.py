@@ -814,6 +814,16 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
+@register("ann_ivf")  # rows-only: seeded KMeans bucketing not SQL-expressible
+def ann_ivf(spark, sf_dir):
+    """IVF-style ANN: seeded KMeans centroid buckets, nprobe probing,
+    exact rescore inside probed buckets (operators/retrieval.py knn_ivf)
+    — cuts search cost ~num_centroids/nprobe vs brute force."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return R.knn_ivf(q, e, 10, num_centroids=8, nprobe=4, corpus_id="vec_id")
+
+
 @register("ann_lsh")  # rows-only: MLlib LSH is seeded but not SQL-expressible
 def ann_lsh(spark, sf_dir):
     """Approximate kNN via BucketedRandomProjectionLSH — the 100 TB scale

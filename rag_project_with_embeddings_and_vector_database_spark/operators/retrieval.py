@@ -147,6 +147,57 @@ def knn_lsh(
     )
 
 
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate kNN: seeded KMeans partitions the corpus
+    into centroid buckets; each query probes only its ``nprobe`` nearest
+    buckets and exact-rescsores inside them.
+
+    Scale shape: centroids are tiny and broadcast twice (assignment +
+    probe selection); the search join is an equi-join on bucket id —
+    corpus stays hash-partitioned by bucket, nothing resembling a cross
+    product. Search cost drops by ~num_centroids/nprobe vs brute force;
+    recall depends on cluster geometry (tested for recall, not
+    equality)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cn = corpus.select(
+        F.col(corpus_id), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=num_centroids, seed=seed, featuresCol="features", predictionCol="bucket")
+    model = km.fit(cn)
+    assigned = model.transform(cn).select(corpus_id, vec_col, "bucket")
+
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cdf = queries.sparkSession.createDataFrame(centroids, ["bucket", "centroid"])
+
+    # each query picks its nprobe closest centroids (broadcast join)
+    qc = queries.join(F.broadcast(cdf), F.lit(True)).withColumn(
+        "c_sim", V.dot(vec_col, "centroid")  # nearest centroid == max dot (unit vectors)
+    )
+    probes = topk(qc, [query_id], nprobe, score_col="c_sim", tiebreak_col="bucket", rank_name="_pr")
+    probe_set = probes.select(F.col(query_id).alias(f"q_{query_id}"), F.col(vec_col).alias("qv"), "bucket")
+
+    scored = assigned.join(probe_set, "bucket").withColumn("score", V.dot("qv", vec_col))
+    out = topk(scored, [f"q_{query_id}"], k, tiebreak_col=corpus_id)
+    return out.select(
+        F.col(f"q_{query_id}").alias(query_id),
+        F.col(corpus_id),
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 class VectorTable:
     """The vector-store sink/DDL surface (SURVEY.md §2.1 S11-S12).
 

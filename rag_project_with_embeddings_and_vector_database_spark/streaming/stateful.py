@@ -1,0 +1,100 @@
+"""Custom stateful streaming operator: per-key session aggregation via
+``applyInPandasWithState`` (the batch twin is the oracle-checked
+``sessionize`` harness query).
+
+State model: one open session per user (start, last_ts, n_events). An
+incoming batch extends the open session or closes it when the
+inactivity gap exceeds the timeout; closed sessions are emitted
+downstream. Processing-time timeouts flush idle sessions. State size is
+O(active users) — bounded, checkpointed by the engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _session_fn(gap_us: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int, int]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                closed.append((user_id, start, last, n))
+                state.remove()
+            yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
+            return
+
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(v) for v in pdf["ts_us"])
+        ts_list.sort()
+
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for t in ts_list:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            state.update((start, last, n))
+            state.setTimeoutDuration(60_000)  # flush idle sessions after 60s
+        yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+    return fn
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """events(user_id, ts_us) stream -> closed sessions stream.
+
+    Works on a streaming DataFrame (real state store + timeouts); the
+    same grouping also runs on a batch frame for testing via
+    ``applyInPandasWithState`` semantics."""
+    from .._shipping import ensure_package_shipped
+
+    ensure_package_shipped(events.sparkSession)
+    return (
+        events.selectExpr(f"{user_col} as user_id", f"{ts_us_col} as ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_minutes * 60 * 1_000_000),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -25,13 +25,17 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "rollup_lineitem",
+    "cube_lineitem",
     "top_orders_per_customer",
+    "semi_anti_join",
     # events / windows / time
     "events_hourly",
     "window_running_sum",
     "sessionize",
     "asof_join",
     "events_json",
+    "events_percentiles",
+    "pivot_events",
     # vector retrieval + metrics (the reference's core pipeline)
     "topk_retrieval",
     "knn_bruteforce",
@@ -48,6 +52,7 @@ HEADLINE = [
     "lang_id",
     "text_quality",
     "token_stats",
+    "chunk_sections",
     # UDF-path ops
     "chunk_fanout",
     "embed_batch",

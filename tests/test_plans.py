@@ -1,0 +1,47 @@
+"""Physical-plan quality guards: these fail if a future change regresses
+pushdown, broadcast choice, or introduces a cartesian product in the
+flagship paths (the properties SCALING.md claims)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rag_project_with_embeddings_and_vector_database_spark import harness
+
+
+def _plan(spark, name, sf_dir):
+    df = harness.SPARK_QUERIES[name](spark, sf_dir)
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q5"])
+def test_joins_broadcast_not_shuffle(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_filter_pushed_and_pruned(spark, sf_dir):
+    plan = _plan(spark, "tpch_q1", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    # column pruning: orderkey/suppkey/etc not read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_retrieval_broadcasts_queries_never_shuffles_corpus(spark, sf_dir):
+    plan = _plan(spark, "topk_retrieval", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the query-side filter is pushed into its scan
+    assert "LessThan(vec_id,15)" in plan
+
+
+def test_minhash_is_partial_final_agg(spark, sf_dir):
+    plan = _plan(spark, "dedup_minhash", sf_dir)
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan  # the explode

@@ -1626,7 +1626,76 @@ def embed_batch(spark, sf_dir):
     )
 
 
-@register("connected_components")
+@register(
+    "embed_values",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+      FROM documents WHERE doc_id < 200
+    ),
+    t AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 384 AS idx,
+             CASE WHEN ('0x' || substr(md5(tok), 9, 2))::BIGINT & 1 = 1 THEN 1 ELSE -1 END AS sign
+      FROM t
+    ),
+    b AS (SELECT doc_id, idx, sum(sign)::DOUBLE AS v FROM h GROUP BY doc_id, idx),
+    grid AS (
+      SELECT d.doc_id, r.range AS i, coalesce(b.v, 0.0::DOUBLE) AS v
+      FROM (SELECT DISTINCT doc_id FROM b) d
+      CROSS JOIN range(0, 384) r
+      LEFT JOIN b ON b.doc_id = d.doc_id AND b.idx = r.range
+    ),
+    n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM grid GROUP BY doc_id)
+    SELECT grid.doc_id,
+           list_transform(list(grid.v ORDER BY grid.i),
+                          x -> (CASE WHEN n.nrm > 0 THEN x / n.nrm ELSE x END)::FLOAT) AS embedding
+    FROM grid JOIN n ON grid.doc_id = n.doc_id
+    GROUP BY grid.doc_id, n.nrm
+    """,
+)
+def embed_values(spark, sf_dir):
+    """E2 with a FULL value oracle: the deterministic hash embedder is
+    reproducible in SQL (md5 bucket + sign, integer-sum accumulation is
+    order-independent, float64 normalize, float32 cast) — so even the
+    'inference' path is hash-checked bit-for-bit, not rows-only."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return embed(d, "all-MiniLM-L6-v2", backend="hash").select("doc_id", "embedding")
+
+
+_CC_SQL = """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 1000, 'copy ' || text FROM documents WHERE doc_id < 30
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                           i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS gs
+      FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+            FROM corpus)
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.gs, b.gs)) / greatest(len(list_distinct(a.gs || b.gs)), 1), 6) >= 0.6
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+@register("connected_components", _CC_SQL)
 def connected_components(spark, sf_dir):
     """Duplicate-cluster collapse: min-label propagation over near-dup
     pairs (iterative joins; converges in a few rounds on short-diameter

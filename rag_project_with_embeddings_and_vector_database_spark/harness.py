@@ -1464,6 +1464,63 @@ def asof_join(spark, sf_dir):
 
 
 @register(
+    "string_funcs",
+    """
+    SELECT doc_id,
+           upper(source) AS src_upper,
+           substr(text, 1, 12) AS head12,
+           lpad(doc_id::VARCHAR, 6, '0') AS padded_id,
+           levenshtein(source, 'src1') AS edit_dist,
+           strpos(text, 'spark')::BIGINT AS spark_pos,
+           reverse(source) AS src_rev,
+           length(replace(text, ' ', '')) AS n_nonspace
+    FROM documents
+    """,
+)
+def string_funcs(spark, sf_dir):
+    """Scalar string-function library (upper/substr/lpad/levenshtein/
+    instr/reverse/replace) — the §2.8 gap: the reference's only string
+    ops are lower+contains."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("src_upper"),
+        F.substring("text", 1, 12).alias("head12"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.levenshtein("source", F.lit("src1")).alias("edit_dist"),
+        F.instr(F.col("text"), "spark").cast("bigint").alias("spark_pos"),
+        F.reverse("source").alias("src_rev"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+    )
+
+
+@register(
+    "date_parts",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m, day(o_orderdate)::INT AS d,
+           quarter(o_orderdate)::INT AS q,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+           (o_orderdate + INTERVAL 90 DAY) AS due_date
+    FROM orders
+    """,
+)
+def date_parts(spark, sf_dir):
+    """Date/time scalar functions over order dates (year/month/day/
+    quarter, truncation, interval arithmetic)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+    )
+
+
+@register(
     "events_percentiles",
     """
     SELECT event_type,

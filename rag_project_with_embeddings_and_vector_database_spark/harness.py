@@ -1521,6 +1521,72 @@ def date_parts(spark, sf_dir):
 
 
 @register(
+    "grouped_mad",
+    """
+    WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id)
+    SELECT e.user_id, round(any_value(m.med), 6) AS med,
+           round(median(abs(e.value - m.med)), 6) AS mad,
+           count(*) AS n
+    FROM events e JOIN m ON e.user_id = m.user_id
+    GROUP BY e.user_id
+    """,
+)
+def grouped_mad(spark, sf_dir):
+    """Custom grouped-map aggregation via ``applyInPandas``: per-user
+    median absolute deviation. Chosen because medians are order
+    statistics — exact and accumulation-order-independent — so the
+    pandas-side computation hash-matches the SQL oracle. The operator
+    shape (arbitrary per-group Python over Arrow batches) is the
+    applyInPandas contract the engine exposes for user-defined
+    aggregations."""
+    import pandas as pd
+
+    e = _events(spark, sf_dir).select("user_id", "value")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["value"].median()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "med": [round(med, 6)],
+                "mad": [round((pdf["value"] - med).abs().median(), 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        mad, schema="user_id long, med double, mad double, n long"
+    )
+
+
+@register(
+    "orders_lineitem_smj",
+    """
+    SELECT o.o_orderpriority, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def orders_lineitem_smj(spark, sf_dir):
+    """Fact-fact join forced onto the sort-merge path (merge hint):
+    at 100 TB neither side of orders x lineitem broadcasts, so SMJ with
+    co-partitioned exchanges is the real plan — this query pins that
+    path (the broadcast variants elsewhere cover the dim-join case)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "events_percentiles",
     """
     SELECT event_type,

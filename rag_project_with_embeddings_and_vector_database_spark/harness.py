@@ -1521,6 +1521,40 @@ def date_parts(spark, sf_dir):
 
 
 @register(
+    "distinct_counts",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_counts(spark, sf_dir):
+    """Exact distinct aggregation (expand + two-phase count-distinct
+    plan). The sketch path for 100 TB is approx_distinct below."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("approx_distinct")  # rows-only: HLL sketches differ across engines
+def approx_distinct(spark, sf_dir):
+    """HyperLogLog approximate distinct — the constant-memory scale path
+    for cardinality over 100 TB (mergeable sketch, one pass). Engines'
+    sketches differ, so this is rows-checked; the exact twin
+    (distinct_counts) is hash-checked."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "grouped_mad",
     """
     WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id)

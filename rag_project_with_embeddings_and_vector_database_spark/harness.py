@@ -1852,6 +1852,54 @@ _CC_SQL = """
 """
 
 
+@register("pipeline_e2e")
+def pipeline_e2e(spark, sf_dir):
+    """The reference's ENTIRE main() (main.py:415-461) as one query:
+    documents -> 5-strategy chunking -> 2-model embedding -> single
+    broadcast top-k retrieval -> metric aggregation -> ranked report.
+    Returns the per-config report (10 rows)."""
+    from .config import EngineConfig
+    from .plans.pipeline import run_experiment
+
+    docs = _synthetic_docs(spark, sf_dir).filter(F.col("path").isin(
+        *[f"doc_{i}" for i in range(200)]
+    ))
+    queries_df = spark.createDataFrame(
+        [
+            ("q1", "report metrics value", ["metrics"], ["doc_1"]),
+            ("q2", "short note", ["note"], ["doc_2"]),
+            ("q3", "spark join stream", ["spark"], ["doc_3"]),
+        ],
+        "query_id string, query string, expected_keywords array<string>, expected_source_patterns array<string>",
+    )
+    cfg = EngineConfig(models={"all-MiniLM-L6-v2": 384, "e5-base-v2": 768})
+    res = run_experiment(spark, docs.select("path", "content"), queries_df, cfg=cfg)
+    return res.report.select(
+        "strategy", "model", "top_1_accuracy", "top_3_accuracy", "mrr", "combined_score", "rank"
+    )
+
+
+@register(
+    "salted_join",
+    """
+    SELECT e.user_id, o.o_orderkey, e.event_id
+    FROM events e JOIN orders o ON o.o_custkey = e.user_id
+    WHERE e.event_type = 'purchase' AND o.o_totalprice > 250000
+    """,
+)
+def salted_join(spark, sf_dir):
+    """Skew-mitigated equi-join (operators/joins.salted_join): hot keys
+    spread over N salted reducers; result set identical to the plain
+    join the oracle runs."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey"
+    )
+    return J.salted_join(e, o, on="user_id", salt=8).select("user_id", "o_orderkey", "event_id")
+
+
 @register("connected_components", _CC_SQL)
 def connected_components(spark, sf_dir):
     """Duplicate-cluster collapse: min-label propagation over near-dup

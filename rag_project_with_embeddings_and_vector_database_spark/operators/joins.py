@@ -84,6 +84,32 @@ def asof_join(
     return carried.select(*out_cols)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the (large, skewed) left side into
+    ``salt`` sub-keys and replicate the right side across all salts, so
+    one hot key spreads over ``salt`` reducers instead of one straggler.
+
+    AQE's skew-join split handles moderate skew automatically; explicit
+    salting is the deterministic fallback for pathological keys (one key
+    = 30% of rows) or for engines/stages where AQE can't split (e.g.
+    aggregations keyed on the hot column). Results are identical to a
+    plain join — only the exchange layout changes."""
+    l_salted = left.withColumn("_salt", (F.xxhash64(F.monotonically_increasing_id()) % salt).cast("int"))
+    l_salted = l_salted.withColumn("_salt", F.abs(F.col("_salt")))
+    r_salted = right.join(
+        F.broadcast(right.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))),
+        how="cross",
+    )
+    out = l_salted.join(r_salted, [on, "_salt"], how=how)
+    return out.drop("_salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -67,6 +67,20 @@ def incremental_ingest(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key arriving
+    within the watermark horizon (``dropDuplicatesWithinWatermark``) —
+    state is bounded by the watermark instead of growing forever, which
+    is the only viable exact-dedup contract on an unbounded stream. The
+    batch twin is operators/dedup.exact_dedup."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -52,8 +52,17 @@ def token_count(text: str) -> int:
 
 
 def split_sentences(text: str) -> list[str]:
-    """Sentence segmentation (reference chunking.py:102-106)."""
+    """Sentence segmentation, stripped + de-blanked (reference
+    chunking.py:102-106 — used by fixed_size and recursive)."""
     return [s.strip() for s in _SENT_RE.split(text) if s.strip()]
+
+
+def split_sentences_raw(text: str) -> list[str]:
+    """Raw sentence segmentation (reference chunking.py:249,423 — the
+    structure_aware and table_aware oversize branches split WITHOUT
+    stripping, so leading newlines stay attached to sentences and empty
+    tails survive; chunk text is stripped only at emission)."""
+    return _SENT_RE.split(text)
 
 
 @dataclass
@@ -175,7 +184,7 @@ def chunk_structure_aware(text: str, cfg: EngineConfig) -> list[_Chunk]:
 
         if content_tokens > cfg.chunk_size:
             seed = [heading_str] if heading else []
-            for group in _pack_sentences(split_sentences(content), cfg.chunk_size, joiner="\n", seed=seed):
+            for group in _pack_sentences(split_sentences_raw(content), cfg.chunk_size, joiner="\n", seed=seed):
                 chunk_text = "\n".join(group).strip()
                 out.append(
                     _Chunk(
@@ -235,7 +244,7 @@ def chunk_table_aware(text: str, cfg: EngineConfig) -> list[_Chunk]:
                 )
             )
         else:
-            for group in _pack_sentences(split_sentences(content), cfg.chunk_size):
+            for group in _pack_sentences(split_sentences_raw(content), cfg.chunk_size):
                 chunk_text = " ".join(group)
                 out.append(
                     _Chunk(

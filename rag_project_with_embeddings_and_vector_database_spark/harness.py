@@ -1132,9 +1132,9 @@ def doc_fingerprint(spark, sf_dir):
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
+           round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
+           round(round(sum(l_discount), 2) / count(*), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-11-01'
@@ -1152,9 +1152,9 @@ def tpch_q1(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1314,20 +1314,26 @@ def top_orders_per_customer(spark, sf_dir):
     "events_hourly",
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
-           count(*) AS n, round(sum(value), 4) AS sum_value, round(avg(value), 6) AS avg_value
+           count(*) AS n, round(sum(value), 4) AS sum_value,
+           round(round(sum(value), 4) / count(*), 6) AS avg_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )
 def events_hourly(spark, sf_dir):
     """Tumbling-window aggregate (batch form of the streaming windowed
-    agg; same logical plan Structured Streaming incrementalizes)."""
+    agg; same logical plan Structured Streaming incrementalizes).
+
+    avg is derived from the ROUNDED sum: cent-valued data averaged over
+    power-of-two counts lands exactly on .5 rounding boundaries, where
+    engine-dependent summation order flips the rounded digit; dividing
+    the grid-snapped sum is bit-identical everywhere."""
     e = _events(spark, sf_dir)
     return e.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.round(F.sum("value"), 4) / F.count(F.lit(1)), 6).alias("avg_value"),
     )
 
 

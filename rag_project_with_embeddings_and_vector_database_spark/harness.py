@@ -1561,6 +1561,73 @@ def approx_distinct(spark, sf_dir):
 
 
 @register(
+    "big_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, round(t.total_qty, 2) AS total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t
+      ON t.l_orderkey = o.o_orderkey
+    """,
+)
+def big_orders(spark, sf_dir):
+    """TPC-H q18 pattern: HAVING-filtered aggregate subquery semi-joined
+    back to the fact — the aggregate prunes before the join, so the
+    orders side only sees qualifying keys."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    t = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .filter(F.col("_tq") > 150)
+    )
+    return o.join(t, o.o_orderkey == t.l_orderkey).select(
+        "o_orderkey", "o_orderdate", F.round("_tq", 2).alias("total_qty")
+    )
+
+
+@register(
+    "array_ops",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(tk)) AS vocab,
+           len(list_distinct(tk))::INT AS n_distinct,
+           tk[1:5] AS first5,
+           list_sort(list_distinct(tk))[1] AS first_alpha,
+           list_contains(tk, 'spark') AS has_spark
+    FROM t
+    """,
+)
+def array_ops(spark, sf_dir):
+    """Array scalar-function library: distinct/sort/slice/index/contains
+    over token arrays — all codegen'd, no UDFs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    vocab = F.array_sort(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        vocab.alias("vocab"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        F.slice(toks, 1, 5).alias("first5"),
+        vocab[0].alias("first_alpha"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@register("sink_orc")
+def sink_orc(spark, sf_dir):
+    """ORC sink/source round-trip (columnar format beyond parquet)."""
+    out = _tmp_sink_dir("orc")
+    _t(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "grouped_mad",
     """
     WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id)

@@ -1423,6 +1423,104 @@ def sessionize(spark, sf_dir):
 
 
 @register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE window frame: per-user event count over a trailing 1-hour
+    value window (frame bounds in microseconds) — the frame type ROWS
+    can't express."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return e.select("event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour"))
+
+
+@register(
+    "window_value_functions",
+    """
+    SELECT event_id, user_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id) OVER w AS latest_event,
+           nth_value(event_id, 2) OVER w AS second_event,
+           (row_number() OVER w)::INT AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_value_functions(spark, sf_dir):
+    """first/last/nth_value over a growing frame (§2.8: the reference
+    has no window functions beyond rank)."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("latest_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+        F.row_number().over(w).cast("int").alias("seq"),
+    )
+
+
+@register(
+    "global_topn",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    QUALIFY row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 20
+    """,
+)
+def global_topn(spark, sf_dir):
+    """Global ORDER BY + LIMIT: Spark plans TakeOrderedAndProject (heap
+    top-k per partition + merge), never a full sort — with an explicit
+    total order for engine-stable membership."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """
+    SELECT ps.l_partkey AS partkey, s.s_suppkey, s.s_acctbal
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    QUALIFY row_number() OVER (PARTITION BY ps.l_partkey ORDER BY s.s_acctbal, s.s_suppkey) = 1
+    """,
+)
+def cheapest_supplier_per_part(spark, sf_dir):
+    """TPC-H q2 pattern: correlated min-per-group lookup decorrelated to
+    distinct-pairs + broadcast dim join + windowed argmin."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    j = ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("l_partkey").alias("partkey"), "s_suppkey", "s_acctbal")
+    )
+
+
+@register(
     "events_json",
     """
     SELECT event_id, json_extract_string(props, '$.k')::INT AS k_val FROM events

@@ -1792,6 +1792,29 @@ def orders_lineitem_smj(spark, sf_dir):
 
 
 @register(
+    "sql_api",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sql_api(spark, sf_dir):
+    """The engine's SQL surface: the same logical plans are reachable
+    through spark.sql over registered views — Catalyst treats the SQL
+    text and the DataFrame chain identically."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sql_api_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("sql_api_customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+        FROM sql_api_orders o JOIN sql_api_customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@register(
     "events_percentiles",
     """
     SELECT event_type,

@@ -285,10 +285,16 @@ def _meta_str(v) -> str:
     return "" if v is None else str(v)
 
 
-def chunk_rows(text: str, source_file: str, strategy: str, cfg: EngineConfig) -> list[dict]:
+def chunk_rows(
+    text: str,
+    source_file: str,
+    strategy: str,
+    cfg: EngineConfig,
+    fn: Callable[[str, EngineConfig], list[_Chunk]] | None = None,
+) -> list[dict]:
     """Finished chunk rows with reference-format ids
     ``{source}_{strategy}_{index}`` (chunking.py:55)."""
-    fn = STRATEGY_FUNCS[strategy]
+    fn = fn or STRATEGY_FUNCS[strategy]
     return [
         {
             "chunk_id": f"{source_file}_{strategy}_{i}",
@@ -303,17 +309,22 @@ def chunk_rows(text: str, source_file: str, strategy: str, cfg: EngineConfig) ->
 
 
 def chunker_udf(strategy: str, cfg: EngineConfig | None = None):
-    """Arrow-batched pandas UDF: (text, source) -> array<chunk struct>."""
+    """Arrow-batched pandas UDF: (text, source) -> array<chunk struct>.
+
+    The strategy FUNCTION is captured by value at build time, so
+    runtime-registered strategies (STRATEGY_FUNCS mutations) work even
+    though executor workers import the shipped module fresh."""
     from .._shipping import ensure_package_shipped
 
     ensure_package_shipped()
     cfg = cfg or EngineConfig()
+    fn = STRATEGY_FUNCS[strategy]
 
     @F.pandas_udf(T.ArrayType(CHUNK_STRUCT))
     def _udf(text: pd.Series, source: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                chunk_rows(t if t is not None else "", s, strategy, cfg)
+                chunk_rows(t if t is not None else "", s, strategy, cfg, fn=fn)
                 for t, s in zip(text, source)
             ]
         )

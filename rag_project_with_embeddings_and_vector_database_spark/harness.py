@@ -1246,6 +1246,30 @@ def tpch_q5(spark, sf_dir):
 
 
 @register(
+    "brand_revenue",
+    """
+    SELECT p.p_brand, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items, round(min(p.p_retailprice), 2) AS min_retail
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def brand_revenue(spark, sf_dir):
+    """Fact x part-dim broadcast join + brand aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.min("p_retailprice"), 2).alias("min_retail"),
+        )
+    )
+
+
+@register(
     "rollup_lineitem",
     """
     SELECT l_returnflag, l_linestatus, grouping(l_returnflag)::INT AS g_flag,

@@ -134,6 +134,35 @@ def run_experiment(
     return ExperimentResult(chunks, vectors, hits, query_metrics, config_metrics, report, summary)
 
 
+def run_full_experiment(
+    spark: SparkSession,
+    documents_folder: str,
+    queries_json: str,
+    out_dir: str | None = None,
+    cfg: EngineConfig | None = None,
+    backend: str = "hash",
+    vector_table_path: str | None = None,
+) -> ExperimentResult:
+    """The one-call equivalent of the reference's ``main()``
+    (main.py:415-461): folder of documents + queries.json in, ranked
+    report (and optional CSV/JSON sinks) out. A user of the reference
+    switches by pointing this at the same inputs."""
+    from ..sources.documents import load_documents, load_query_set
+
+    docs = (
+        load_documents(spark, documents_folder)
+        .filter(F.col("error").isNull())
+        .select("path", "content")
+    )
+    queries = load_query_set(spark, queries_json)
+    result = run_experiment(
+        spark, docs, queries, cfg=cfg, backend=backend, vector_table_path=vector_table_path
+    )
+    if out_dir:
+        write_report(result.report, out_dir)
+    return result
+
+
 def write_report(report: DataFrame, out_dir: str) -> None:
     """S9/S10 sinks: CSV + JSON (reference main.py:352-363). coalesce(1)
     is fine for a 25-row report; large outputs keep their partitioning."""

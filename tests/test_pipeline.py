@@ -107,3 +107,42 @@ def test_vector_table_persistence_and_sinks(spark, tmp_path):
     write_report(res.report, str(tmp_path / "out"))
     csv = spark.read.option("header", "true").csv(str(tmp_path / "out" / "results_csv"))
     assert csv.count() == res.report.count()
+
+
+def test_run_full_experiment_from_folder(spark, tmp_path):
+    from rag_project_with_embeddings_and_vector_database_spark.plans.pipeline import (
+        run_full_experiment,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for path, content in DOCS:
+        f = d / path.split("/")[-1]
+        f.write_text(content)
+    import json
+
+    (tmp_path / "queries.json").write_text(
+        json.dumps(
+            [
+                {
+                    "query_id": q,
+                    "query": text,
+                    "expected_keywords": kws,
+                    "expected_source_patterns": pats,
+                }
+                for q, text, kws, pats in QUERIES
+            ]
+        )
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.config import EngineConfig
+
+    res = run_full_experiment(
+        spark,
+        str(d),
+        str(tmp_path / "queries.json"),
+        out_dir=str(tmp_path / "out"),
+        cfg=EngineConfig(models={"all-MiniLM-L6-v2": 384}),
+    )
+    report = res.report.collect()
+    assert len(report) == 5  # 5 strategies x 1 model
+    assert (tmp_path / "out" / "results_csv").exists()

@@ -1,1 +1,1 @@
-from .pipeline import run_experiment  # noqa: F401
+from .pipeline import run_experiment, run_full_experiment, write_report  # noqa: F401

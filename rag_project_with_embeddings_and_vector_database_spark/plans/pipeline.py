@@ -140,23 +140,36 @@ def run_full_experiment(
     queries_json: str,
     out_dir: str | None = None,
     cfg: EngineConfig | None = None,
+    strategies: tuple[str, ...] | None = None,
+    models: list[str] | None = None,
     backend: str = "hash",
     vector_table_path: str | None = None,
 ) -> ExperimentResult:
     """The one-call equivalent of the reference's ``main()``
     (main.py:415-461): folder of documents + queries.json in, ranked
     report (and optional CSV/JSON sinks) out. A user of the reference
-    switches by pointing this at the same inputs."""
+    switches by pointing this at the same inputs.
+
+    Documents whose format parser is unavailable are SKIPPED (matching
+    the reference's per-file error tolerance, document_loader.py:63-64)
+    rather than evaluated as stub text."""
     from ..sources.documents import load_documents, load_query_set
 
     docs = (
-        load_documents(spark, documents_folder)
+        load_documents(spark, documents_folder, stub_missing_parsers=False)
         .filter(F.col("error").isNull())
         .select("path", "content")
     )
     queries = load_query_set(spark, queries_json)
     result = run_experiment(
-        spark, docs, queries, cfg=cfg, backend=backend, vector_table_path=vector_table_path
+        spark,
+        docs,
+        queries,
+        cfg=cfg,
+        strategies=strategies,
+        models=models,
+        backend=backend,
+        vector_table_path=vector_table_path,
     )
     if out_dir:
         write_report(result.report, out_dir)

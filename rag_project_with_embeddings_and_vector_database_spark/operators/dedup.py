@@ -222,7 +222,8 @@ def simhash_fingerprints(
     """DataFrame-level simhash: explode tokens, hash each ONCE, one
     groupBy(id) with per-bit conditional sums — same values as the
     ``simhash`` column form, scalable plan (single shuffle, map-side
-    partial sums)."""
+    partial sums). Token-less docs (which the explode would drop) are
+    joined back with fingerprint 0, matching the column form."""
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -244,7 +245,12 @@ def simhash_fingerprints(
         out = out + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return agg.select(id_col, out.alias("simhash"))
+    sig = agg.select(id_col, out.alias("simhash"))
+    return (
+        df.select(id_col)
+        .join(sig, id_col, "left")
+        .select(id_col, F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"))
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -80,3 +80,16 @@ def test_embedding_neardup_threshold(spark):
     )
     pairs = DD.embedding_neardup_pairs(df, threshold=0.95).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_fingerprints_keeps_tokenless_docs(spark):
+    df = spark.createDataFrame([(1, "real words here"), (2, "   ")], ["doc_id", "text"])
+    out = {r.doc_id: r.simhash for r in DD.simhash_fingerprints(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[2] == 0
+    # column form agrees
+    col = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", DD.simhash("text", 32).alias("sh")).collect()
+    }
+    assert col == out

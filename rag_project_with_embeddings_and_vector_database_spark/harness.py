@@ -328,19 +328,31 @@ def cosine_dot(spark, sf_dir):
     """
     SELECT vec_id,
            round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
-           list_transform(embedding::DOUBLE[],
-                          x -> round(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)) AS unit
+           array_to_string(list_transform(embedding::DOUBLE[],
+                          x -> (round(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 1000000))::BIGINT), ',') AS unit_micros
     FROM embeddings
     """,
 )
 def l2_normalize(spark, sf_dir):
-    """E6 L2 normalization (embeddings.py:56) as a native expression."""
+    """E6 L2 normalization (embeddings.py:56) as a native expression.
+
+    The unit vector is serialized to a comma-joined micros-int string
+    (round(x*1e6) -> bigint) because the driver's canonicalizer cannot
+    hash array-typed cells; round-then-cast is bit-identical across
+    engines (bare double->bigint casts are not: Spark truncates, DuckDB
+    rounds)."""
     e = _t(spark, sf_dir, "embeddings")
     n = V.norm("embedding")
     return e.select(
         "vec_id",
         F.round(n, 6).alias("l2_norm"),
-        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") / n, 6)).alias("unit"),
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") / n * F.lit(1000000.0)).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("unit_micros"),
     )
 
 
@@ -701,11 +713,19 @@ def scan_docs(spark, sf_dir):
 
 @register("scan_queries")
 def scan_queries(spark, sf_dir):
-    """S7: JSON query-set source (main.py:163-172)."""
+    """S7: JSON query-set source (main.py:163-172). The keyword/pattern
+    arrays are pipe-joined to strings so the driver's canonicalizer
+    (which cannot hash list cells) can fingerprint the rows."""
     from .sources.documents import load_query_set
 
     root = _fixture_corpus_dir(spark)
-    return load_query_set(spark, f"{root}/queries.json")
+    q = load_query_set(spark, f"{root}/queries.json")
+    return q.select(
+        "query_id",
+        "query",
+        F.array_join("expected_keywords", "|").alias("expected_keywords"),
+        F.array_join("expected_source_patterns", "|").alias("expected_source_patterns"),
+    )
 
 
 def _tmp_sink_dir(name: str) -> str:
@@ -882,14 +902,19 @@ def _minhash_sql(num_perm: int = 16, seed: int = 42) -> str:
     """
 
 
-@register("dedup_minhash", _minhash_sql())
+@register(
+    "dedup_minhash",
+    f"SELECT doc_id, array_to_string(sig, ',') AS sig FROM ({_minhash_sql()})",
+)
 def dedup_minhash(spark, sf_dir):
     """MinHash signatures (16 perms over 3-gram shingles) as pure native
     expressions — the md5-based hash family is engine-portable, so the
     oracle reproduces every signature bit-for-bit. Physical plan:
     explode -> hash-once -> partial/final min agg (operators/dedup.py
-    minhash_signatures)."""
-    return DD.minhash_signatures(_par(_t(spark, sf_dir, "documents")), num_perm=16, seed=42)
+    minhash_signatures). The signature array is comma-joined to a string
+    (exact int64s) for the driver's canonicalizer."""
+    sig = DD.minhash_signatures(_par(_t(spark, sf_dir, "documents")), num_perm=16, seed=42)
+    return sig.select("doc_id", F.array_join(F.col("sig").cast("array<string>"), ",").alias("sig"))
 
 
 def _minhash_pairs_sql() -> str:
@@ -1716,9 +1741,9 @@ def big_orders(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id,
-           list_sort(list_distinct(tk)) AS vocab,
+           array_to_string(list_sort(list_distinct(tk)), '|') AS vocab,
            len(list_distinct(tk))::INT AS n_distinct,
-           tk[1:5] AS first5,
+           array_to_string(tk[1:5], '|') AS first5,
            list_sort(list_distinct(tk))[1] AS first_alpha,
            list_contains(tk, 'spark') AS has_spark
     FROM t
@@ -1726,15 +1751,16 @@ def big_orders(spark, sf_dir):
 )
 def array_ops(spark, sf_dir):
     """Array scalar-function library: distinct/sort/slice/index/contains
-    over token arrays — all codegen'd, no UDFs."""
+    over token arrays — all codegen'd, no UDFs. Array outputs are
+    pipe-joined to strings for the driver's canonicalizer."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
     vocab = F.array_sort(F.array_distinct(toks))
     return d.select(
         "doc_id",
-        vocab.alias("vocab"),
+        F.array_join(vocab, "|").alias("vocab"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
-        F.slice(toks, 1, 5).alias("first5"),
+        F.array_join(F.slice(toks, 1, 5), "|").alias("first5"),
         vocab[0].alias("first_alpha"),
         F.array_contains(toks, "spark").alias("has_spark"),
     )
@@ -1968,7 +1994,17 @@ def _synthetic_docs(spark, sf_dir):
 def _chunk_query(strategy):
     def fn(spark, sf_dir):
         docs = _synthetic_docs(spark, sf_dir)
-        return CH.chunk_documents(docs, (strategy,))
+        out = CH.chunk_documents(docs, (strategy,))
+        # map<string,string> metadata -> sorted-key json string: the
+        # driver's canonicalizer can't hash map cells.
+        return out.select(
+            "chunk_id",
+            "content",
+            "source_file",
+            "chunk_index",
+            "strategy",
+            F.to_json(F.map_from_entries(F.array_sort(F.map_entries("metadata")))).alias("metadata"),
+        )
 
     fn.__name__ = f"chunk_{strategy}"
     fn.__doc__ = f"Full {strategy} chunker (pandas-UDF per-document fold + posexplode)."
@@ -2024,8 +2060,8 @@ def embed_batch(spark, sf_dir):
     ),
     n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM grid GROUP BY doc_id)
     SELECT grid.doc_id,
-           list_transform(list(grid.v ORDER BY grid.i),
-                          x -> (CASE WHEN n.nrm > 0 THEN x / n.nrm ELSE x END)::FLOAT) AS embedding
+           array_to_string(list_transform(list(grid.v ORDER BY grid.i),
+                          x -> (round((CASE WHEN n.nrm > 0 THEN x / n.nrm ELSE x END)::FLOAT::DOUBLE * 1000000))::BIGINT), ',') AS embedding_micros
     FROM grid JOIN n ON grid.doc_id = n.doc_id
     GROUP BY grid.doc_id, n.nrm
     """,
@@ -2034,11 +2070,24 @@ def embed_values(spark, sf_dir):
     """E2 with a FULL value oracle: the deterministic hash embedder is
     reproducible in SQL (md5 bucket + sign, integer-sum accumulation is
     order-independent, float64 normalize, float32 cast) — so even the
-    'inference' path is hash-checked bit-for-bit, not rows-only."""
+    'inference' path is hash-checked bit-for-bit, not rows-only. The
+    float32 vector is quantized to comma-joined micros ints (float32 ->
+    float64 widening is exact in both engines) for the driver's
+    canonicalizer."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
         "doc_id", F.col("text").alias("content")
     )
-    return embed(d, "all-MiniLM-L6-v2", backend="hash").select("doc_id", "embedding")
+    out = embed(d, "all-MiniLM-L6-v2", backend="hash")
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("embedding_micros"),
+    )
 
 
 _CC_SQL = """

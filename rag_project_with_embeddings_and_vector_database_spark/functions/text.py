@@ -24,6 +24,14 @@ def token_count(col: Column | str) -> Column:
 
     Python's ``str.split()`` drops empty tokens; we filter explicitly so
     the expression is portable across engines.
+
+    Known divergence (documented, like the sentence-regex caveat): the
+    Java/RE2 ``\\s`` class here is ASCII-only, while the pandas-UDF
+    chunkers use Python ``str.split()`` which also splits on Unicode
+    whitespace (\\u00a0, \\u2028, ...). On documents containing
+    non-ASCII whitespace the SQL-side token count can differ from the
+    chunker fold's count; both sides of the oracle compare (Spark and
+    DuckDB) use the ASCII class, so correctness checks are unaffected.
     """
     c = F.col(col) if isinstance(col, str) else col
     words = F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))

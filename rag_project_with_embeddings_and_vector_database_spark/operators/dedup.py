@@ -144,6 +144,37 @@ def minhash_bands(sig_col: Column | str, num_bands: int, rows_per_band: int) -> 
     return F.array(*bands)
 
 
+def bucket_stats(df: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Per-bucket cardinality with a ``dropped`` flag: the observability
+    companion to the oversized-bucket guard — run it to see exactly
+    which LSH/blocking buckets the pair generators skipped."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumn("dropped", F.col("n_members") > max_bucket_size)
+    )
+
+
+def _drop_oversized_buckets(
+    df: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Remove rows in buckets larger than ``max_bucket_size`` before a
+    within-bucket self-join. A degenerate bucket (thousands of identical
+    or boilerplate docs — ubiquitous in web corpora) makes the self-join
+    quadratic; such docs are better collapsed by exact_dedup first. The
+    count and anti-join shuffle on the same key as the self-join, so AQE
+    co-plans them cheaply."""
+    if max_bucket_size is None:
+        return df
+    oversized = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(*keys)
+    )
+    return df.join(oversized, keys, "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -152,19 +183,24 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     num_bands: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket, with
     the estimated Jaccard (signature agreement rate).
 
     Shuffle profile at scale: one explode to (doc, band) rows — n*bands
-    rows — one hash shuffle on (band, band_hash), within-bucket self-join
-    (buckets are small for non-pathological corpora; a salt/limit guard
-    would cap giant buckets), then distinct on (a, b)."""
+    rows — one hash shuffle on (band, band_hash), within-bucket self-join,
+    then distinct on (a, b). Buckets larger than ``max_bucket_size`` are
+    dropped before the self-join (the quadratic-blowup guard; inspect
+    them with ``bucket_stats``) — at default settings a single degenerate
+    bucket of 100k identical boilerplate docs would otherwise emit 5e9
+    pairs. Exact duplicates belong to exact_dedup, which is linear."""
     rows_per_band = num_perm // num_bands
     sig = minhash_signatures(df, content_col, id_col, shingle_n, num_perm, seed)
     banded = sig.select(
         id_col, "sig", F.explode(minhash_bands("sig", num_bands, rows_per_band)).alias("bb")
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    banded = _drop_oversized_buckets(banded, ["band", "band_hash"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -263,23 +299,54 @@ def simhash_pairs(
     content_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
-    max_hamming: int = 8,
-    block_prefix_bits: int = 8,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Near-dup candidates by simhash: block on the top prefix bits
-    (docs differing there can't be near anyway for small distances),
-    join within blocks, filter by Hamming distance."""
-    sh = df.select(F.col(id_col), simhash(content_col, bits).alias("sh"))
-    blocked = sh.withColumn("blk", F.shiftright(F.col("sh"), bits - block_prefix_bits))
+    """Near-dup candidate pairs by SimHash with pigeonhole blocking
+    (Manku et al., WWW'07): split the fingerprint into ``num_blocks``
+    contiguous bit blocks; any pair within Hamming distance
+    ``num_blocks - 1`` must agree exactly on >= 1 block, so an equi-join
+    on (block_id, block_key) finds ALL such pairs — no all-pairs product,
+    and recall is exact for max_hamming <= num_blocks - 1 (the default).
+
+    Fingerprints come from the scalable DF form (explode -> hash-once ->
+    per-bit partial sums). Buckets larger than ``max_bucket_size`` are
+    dropped before the self-join (degenerate boilerplate guard — inspect
+    with ``bucket_stats``); identical docs belong to exact_dedup."""
+    if bits % num_blocks != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by num_blocks ({num_blocks})")
+    width = bits // num_blocks
+    mask = (1 << width) - 1
+    sh = simhash_fingerprints(df, content_col, id_col, bits).withColumnRenamed("simhash", "sh")
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit(mask)).alias("block_key"),
+            )
+            for b in range(num_blocks)
+        ]
+    )
+    blocked = sh.select(F.col(id_col), "sh", F.explode(blocks).alias("bb")).select(
+        id_col, "sh", F.col("bb.block_id").alias("block_id"), F.col("bb.block_key").alias("block_key")
+    )
+    blocked = _drop_oversized_buckets(blocked, ["block_id", "block_key"], max_bucket_size)
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             hamming64(F.col("a.sh"), F.col("b.sh")).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -290,21 +357,42 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+    max_docs: int = 2000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for (candidate) pairs. For full self-join use
-    only on pre-filtered candidates (LSH/simhash output) at scale."""
+    """Exact n-gram Jaccard scoring.
+
+    The scalable form passes ``candidates`` — an (id_a, id_b) DataFrame
+    from a bounded generator (minhash_lsh_pairs / simhash_pairs); each
+    candidate pair is scored via two equi-joins on id, linear in the
+    candidate count. Without ``candidates`` the theta self-join is
+    O(n^2) BY CONSTRUCTION, so it is gated: the side sizes are counted
+    and the call raises above ``max_docs`` rows rather than silently
+    launching a quadratic job on a 100 TB corpus."""
     right = right if right is not None else left
     a = left.select(F.col(id_col).alias("id_a"), shingles(content_col, n).alias("g_a"))
     b = right.select(F.col(id_col).alias("id_b"), shingles(content_col, n).alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size(F.array_union("g_a", "g_b"))
+    score = F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard")
+    if candidates is not None:
+        return (
+            candidates.select("id_a", "id_b")
+            .join(a, "id_a")
+            .join(b, "id_b")
+            .select("id_a", "id_b", score)
+            .filter(F.col("jaccard") >= threshold)
+        )
+    n_left, n_right = left.count(), right.count()
+    if max(n_left, n_right) > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs without `candidates` is an O(n^2) self-join; "
+            f"got {max(n_left, n_right)} docs > max_docs={max_docs}. Pass candidate "
+            f"pairs from minhash_lsh_pairs/simhash_pairs (or raise max_docs explicitly)."
+        )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
-        )
+        .select("id_a", "id_b", score)
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -339,15 +427,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     """Min-label propagation over an undirected dup-pair graph: returns
     (id, component) where component = min id reachable. Dup clusters have
     tiny diameter, so this converges in 2-3 joins; each iteration is one
-    shuffle on id."""
+    shuffle on id.
+
+    Each iteration's labels are localCheckpoint()ed (eager): lineage
+    stays O(1) across iterations instead of growing a join chain, and
+    the convergence check + next join reuse the materialized result
+    rather than recomputing the whole history. Edges are cached once —
+    they're re-joined every round."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("src").union(edges.select("dst")).distinct().select(
         F.col("src").alias("id"), F.col("src").alias("component")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         cand = (
             edges.join(labels, edges.dst == labels.id)
@@ -355,6 +450,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             .union(labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             cand.alias("n")

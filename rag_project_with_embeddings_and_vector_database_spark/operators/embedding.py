@@ -52,8 +52,41 @@ def _hash_embed_one(text: str, dim: int) -> np.ndarray:
     return v.astype(np.float32)
 
 
+_TOKEN_MEMO: dict[str, tuple[int, float]] = {}
+
+
 def hash_embed_batch(texts: list[str], dim: int) -> np.ndarray:
-    return np.vstack([_hash_embed_one(t or "", dim) for t in texts]) if texts else np.zeros((0, dim), np.float32)
+    """Vectorized batch form of ``_hash_embed_one`` — bit-identical
+    values (the accumulated addends are exact +/-1 floats and the
+    squared norms are exact integers, so accumulation order cannot
+    change a single bit), but one ``np.add.at`` scatter per batch
+    instead of a per-token Python loop, plus a per-worker token-digest
+    memo (corpora repeat tokens heavily)."""
+    n = len(texts)
+    if not n:
+        return np.zeros((0, dim), np.float32)
+    if len(_TOKEN_MEMO) > 2_000_000:  # bound worker memory on huge vocabularies
+        _TOKEN_MEMO.clear()
+    rows: list[int] = []
+    idxs: list[int] = []
+    signs: list[float] = []
+    for i, t in enumerate(texts):
+        for tok in (t or "").lower().split():
+            r = _TOKEN_MEMO.get(tok)
+            if r is None:
+                d = hashlib.md5(tok.encode("utf-8")).digest()
+                r = (int.from_bytes(d[:4], "big"), 1.0 if d[4] & 1 else -1.0)
+                _TOKEN_MEMO[tok] = r
+            rows.append(i)
+            idxs.append(r[0] % dim)
+            signs.append(r[1])
+    m = np.zeros((n, dim), np.float64)
+    if rows:
+        np.add.at(m, (np.asarray(rows), np.asarray(idxs)), np.asarray(signs))
+    norms = np.sqrt((m * m).sum(axis=1))
+    nz = norms > 0
+    m[nz] /= norms[nz][:, None]
+    return m.astype(np.float32)
 
 
 def _load_st_model(model_name: str):

@@ -98,8 +98,17 @@ def salted_join(
     AQE's skew-join split handles moderate skew automatically; explicit
     salting is the deterministic fallback for pathological keys (one key
     = 30% of rows) or for engines/stages where AQE can't split (e.g.
-    aggregations keyed on the hot column). Results are identical to a
-    plain join — only the exchange layout changes."""
+    aggregations keyed on the hot column). For inner/left joins results
+    are identical to a plain join — only the exchange layout changes.
+    right/full outer joins are rejected: the right side is replicated
+    across all salts, so every unmatched right row would be emitted
+    ``salt`` times as duplicate null-extended rows."""
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): the "
+            f"salt-replicated right side duplicates unmatched right rows under "
+            f"right/full outer semantics."
+        )
     l_salted = left.withColumn("_salt", (F.xxhash64(F.monotonically_increasing_id()) % salt).cast("int"))
     l_salted = l_salted.withColumn("_salt", F.abs(F.col("_salt")))
     r_salted = right.join(

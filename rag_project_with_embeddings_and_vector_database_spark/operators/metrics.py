@@ -72,9 +72,16 @@ def per_query_metrics(
     score_col: str = "score",
     ks: tuple[int, ...] = (1, 3),
     avg_sim_k: int = 5,
+    grid: DataFrame | None = None,
 ) -> DataFrame:
     """A1-A4: one groupBy emitting top-1/top-3 accuracy, MRR and
-    avg-similarity@k — all four metrics in a single exchange."""
+    avg-similarity@k — all four metrics in a single exchange.
+
+    ``grid`` (the full expected group_cols combinations, e.g. queries x
+    configs) left-joins the aggregates so a group with ZERO retrieved
+    hits still emits a 0.0-metric row — the reference scores every
+    query per config (evaluation.py:160-186), so downstream means and
+    num_queries must include empty groups."""
     rel = F.col(relevant_col)
     rank = F.col(rank_col)
     aggs = []
@@ -93,7 +100,12 @@ def per_query_metrics(
             "avg_similarity"
         )
     )
-    return hits.groupBy(*group_cols).agg(*aggs)
+    out = hits.groupBy(*group_cols).agg(*aggs)
+    if grid is not None:
+        out = grid.join(out, group_cols, "left")
+        for c in [f"top_{k}" for k in ks] + ["mrr", "avg_similarity"]:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    return out
 
 
 def per_config_metrics(

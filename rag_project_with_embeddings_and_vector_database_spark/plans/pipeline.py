@@ -54,8 +54,16 @@ def run_experiment(
     strategies = strategies or tuple(CH.STRATEGY_FUNCS)
     models = models or list(cfg.models)
 
-    # Stage 3: chunk fan-out (C2-C7) — narrow, no shuffle.
+    # Stage 3: chunk fan-out (C2-C7) — narrow, no shuffle. The 5-way
+    # strategy union multiplies the partition count (5 x input splits);
+    # coalesce (shuffle-free branch merge) back to cluster parallelism
+    # so the Arrow embed stage runs a few well-filled batches per core
+    # instead of hundreds of near-empty pandas-UDF tasks.
     chunks = CH.chunk_documents(documents, strategies, text_col="content", source_col="path", cfg=cfg)
+    # cache: the chunk set is traversed once per model plus once for
+    # expected-source resolution — without it the pandas-UDF chunker
+    # fold re-runs N_models + 1 times.
+    chunks = chunks.coalesce(spark.sparkContext.defaultParallelism).cache()
 
     # Stage 4: embed fan-out (E2-E4) — one pass per model, union tagged
     # by (strategy, model): the 25 reference "collections" become
@@ -121,9 +129,22 @@ def run_experiment(
     )
 
     # Stage 7: metric layer — one exchange on (query, strategy, model),
-    # reused by the config aggregation (A1-A5).
+    # reused by the config aggregation (A1-A5). The query x config grid
+    # guarantees a 0.0-metric row even for configs where retrieval
+    # returned nothing (reference scores every query per config).
+    grid = q_base.select("query_id").crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(s, m) for s in strategies for m in models], "strategy string, model string"
+            )
+        )
+    )
     query_metrics = M.per_query_metrics(
-        hits, ["query_id", "strategy", "model"], ks=cfg.top_k_accuracy_ks, avg_sim_k=cfg.avg_similarity_k
+        hits,
+        ["query_id", "strategy", "model"],
+        ks=cfg.top_k_accuracy_ks,
+        avg_sim_k=cfg.avg_similarity_k,
+        grid=grid,
     )
     config_metrics = M.per_config_metrics(query_metrics, ["strategy", "model"], ks=cfg.top_k_accuracy_ks)
 

@@ -36,7 +36,7 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _session_fn(gap_us: int):
+def _session_fn(gap_us: int, timeout_ms: int):
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -67,7 +67,7 @@ def _session_fn(gap_us: int):
                 last, n = t, n + 1
         if start is not None:
             state.update((start, last, n))
-            state.setTimeoutDuration(60_000)  # flush idle sessions after 60s
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
 
     return fn
@@ -78,20 +78,32 @@ def stateful_sessionize(
     gap_minutes: int = 30,
     user_col: str = "user_id",
     ts_us_col: str = "ts_us",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """events(user_id, ts_us) stream -> closed sessions stream.
 
     Works on a streaming DataFrame (real state store + timeouts); the
     same grouping also runs on a batch frame for testing via
-    ``applyInPandasWithState`` semantics."""
+    ``applyInPandasWithState`` semantics.
+
+    ``idle_timeout_ms`` is the PROCESSING-time idleness after which an
+    open session is flushed; it defaults to the event-time gap
+    (gap_minutes in ms) so a session is never force-closed before the
+    inactivity gap could possibly have elapsed — matching the batch
+    ``sessionize`` twin whenever processing time tracks event time.
+    (Under replay/backfill, where processing time runs faster than
+    event time, a flush can still close a session the batch twin would
+    have merged; pass a larger timeout to trade latency for parity.)"""
     from .._shipping import ensure_package_shipped
 
     ensure_package_shipped(events.sparkSession)
+    if idle_timeout_ms is None:
+        idle_timeout_ms = gap_minutes * 60 * 1000
     return (
         events.selectExpr(f"{user_col} as user_id", f"{ts_us_col} as ts_us")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn(gap_minutes * 60 * 1_000_000),
+            _session_fn(gap_minutes * 60 * 1_000_000, idle_timeout_ms),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

@@ -82,6 +82,69 @@ def test_embedding_neardup_threshold(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
 
+def test_simhash_pairs_pigeonhole_blocking(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming for r in DD.simhash_pairs(_docs(spark)).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical docs: distance 0, found via every block
+    assert all(h <= 3 for h in pairs.values())
+    assert all(a < b for a, b in pairs)
+
+
+def test_lsh_giant_bucket_guard_degenerate_corpus(spark):
+    """Thousands of identical docs -> one degenerate bucket. The guard
+    must drop it (no quadratic pair blowup) while distinct documents
+    still pair up; bucket_stats flags what was dropped."""
+    boiler = [(i, "identical boilerplate text repeated across the whole corpus") for i in range(3000)]
+    distinct = [
+        (100000, "the quick brown fox jumps over the lazy dog again and again"),
+        (100001, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(boiler + distinct, ["doc_id", "text"])
+
+    pairs = DD.minhash_lsh_pairs(df, max_bucket_size=1000).collect()
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert not (ids & set(range(3000)))  # boilerplate bucket dropped, not exploded
+    assert {(r.id_a, r.id_b) for r in pairs} == {(100000, 100001)}
+
+    sh_pairs = DD.simhash_pairs(df, max_bucket_size=1000).collect()
+    assert {(r.id_a, r.id_b) for r in sh_pairs} == {(100000, 100001)}
+
+    # observability: the dropped buckets are visible with their sizes
+    from rag_project_with_embeddings_and_vector_database_spark.operators.dedup import (
+        _P,
+        bucket_stats,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(df, num_perm=16, seed=42)
+    banded = sig.select(
+        "doc_id", F.explode(minhash_bands("sig", 4, 4)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    stats = bucket_stats(banded, ["band", "band_hash"], 1000)
+    dropped = stats.filter("dropped").collect()
+    assert dropped and all(r.n_members == 3000 for r in dropped)
+
+
+def test_ngram_jaccard_pairs_requires_candidates_at_scale(spark):
+    import pytest
+
+    big = spark.range(3000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc text "), F.col("id")).alias("text")
+    )
+    with pytest.raises(ValueError, match="candidates"):
+        DD.ngram_jaccard_pairs(big)
+
+    # candidate-pairs path: linear scoring joins, no theta join
+    cand = spark.createDataFrame([(0, 1), (0, 3)], ["id_a", "id_b"])
+    scored = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(_docs(spark), candidates=cand).collect()
+    }
+    assert scored[(0, 1)] == 1.0 and scored[(0, 3)] == 0.0
+
+
 def test_simhash_fingerprints_keeps_tokenless_docs(spark):
     df = spark.createDataFrame([(1, "real words here"), (2, "   ")], ["doc_id", "text"])
     out = {r.doc_id: r.simhash for r in DD.simhash_fingerprints(df).collect()}

@@ -56,6 +56,26 @@ def test_metrics_no_relevant_hits_zero(spark):
     assert (row.top_1, row.top_3, row.mrr, row.avg_similarity) == (0.0, 0.0, 0.0, 0.0)
 
 
+def test_metrics_grid_emits_zero_rows_for_hitless_groups(spark):
+    """A (query, config) group with zero retrieved hits must still show
+    up as a 0.0-metric row when the full grid is passed (reference
+    scores every query per config, evaluation.py:160-186)."""
+    hits = spark.createDataFrame(
+        [("q1", "cfgA", 1, 0.9, True)], ["qid", "config", "rank", "score", "relevant"]
+    )
+    grid = spark.createDataFrame(
+        [("q1", "cfgA"), ("q1", "cfgB"), ("q2", "cfgA")], ["qid", "config"]
+    )
+    rows = {
+        (r.qid, r.config): (r.top_1, r.top_3, r.mrr, r.avg_similarity)
+        for r in M.per_query_metrics(hits, ["qid", "config"], grid=grid).collect()
+    }
+    assert set(rows) == {("q1", "cfgA"), ("q1", "cfgB"), ("q2", "cfgA")}
+    assert rows[("q1", "cfgA")] == (1.0, 1.0, 1.0, 0.9)
+    assert rows[("q1", "cfgB")] == (0.0, 0.0, 0.0, 0.0)
+    assert rows[("q2", "cfgA")] == (0.0, 0.0, 0.0, 0.0)
+
+
 def test_config_agg_and_rank(spark):
     pq = spark.createDataFrame(
         [("a", 1.0, 1.0, 1.0, 0.9), ("a", 0.0, 1.0, 0.5, 0.8), ("b", 0.0, 0.0, 0.0, 0.0)],

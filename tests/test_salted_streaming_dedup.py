@@ -31,6 +31,16 @@ def test_salted_join_left_outer(spark):
     assert rows == {(1, "a", "x"), (9, "b", None)}
 
 
+def test_salted_join_rejects_outer_right(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], ["k", "lv"])
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "rv"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            J.salted_join(left, right, "k", salt=3, how=how)
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     src = tmp_path / "dd_src"
     src.mkdir()

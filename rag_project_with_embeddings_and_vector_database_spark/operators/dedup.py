@@ -71,13 +71,21 @@ def exact_dedup(
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), built natively:
-    tokens -> sequence(0, len-n) -> concat_ws slices."""
+    tokens -> sequence(0, len-n) -> concat_ws slices.
+
+    Documents shorter than n tokens emit ONE truncated gram (their whole
+    token sequence): try_element_at yields NULL past the end and
+    concat_ws skips NULLs — the same semantics DuckDB's out-of-range
+    list indexing gives the oracle. Plain element_at would throw
+    INVALID_ARRAY_INDEX under ANSI mode on any short doc."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     gram = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
     )
     return F.array_distinct(gram)
 
@@ -366,10 +374,14 @@ def ngram_jaccard_pairs(
     from a bounded generator (minhash_lsh_pairs / simhash_pairs); each
     candidate pair is scored via two equi-joins on id, linear in the
     candidate count. Without ``candidates`` the theta self-join is
-    O(n^2) BY CONSTRUCTION, so it is gated: the side sizes are counted
-    and the call raises above ``max_docs`` rows rather than silently
-    launching a quadratic job on a 100 TB corpus."""
-    right = right if right is not None else left
+    O(n^2) BY CONSTRUCTION, so it is gated — and the gate is an EAGER
+    Spark action at call time: a ``limit(max_docs + 1).count()`` probe
+    per distinct side (an early-exit scan that never reads more than
+    max_docs + 1 rows, counted once when right defaults to left). The
+    call raises above ``max_docs`` rather than silently launching a
+    quadratic job on a 100 TB corpus."""
+    same_side = right is None or right is left
+    right = left if same_side else right
     a = left.select(F.col(id_col).alias("id_a"), shingles(content_col, n).alias("g_a"))
     b = right.select(F.col(id_col).alias("id_b"), shingles(content_col, n).alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
@@ -383,11 +395,13 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", score)
             .filter(F.col("jaccard") >= threshold)
         )
-    n_left, n_right = left.count(), right.count()
-    if max(n_left, n_right) > max_docs:
+    n_bound = left.limit(max_docs + 1).count()
+    if not same_side:
+        n_bound = max(n_bound, right.limit(max_docs + 1).count())
+    if n_bound > max_docs:
         raise ValueError(
             f"ngram_jaccard_pairs without `candidates` is an O(n^2) self-join; "
-            f"got {max(n_left, n_right)} docs > max_docs={max_docs}. Pass candidate "
+            f"side exceeds max_docs={max_docs}. Pass candidate "
             f"pairs from minhash_lsh_pairs/simhash_pairs (or raise max_docs explicitly)."
         )
     return (
@@ -404,16 +418,33 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     probe_filter: Column | None = None,
     normalized: bool = False,
+    max_probe_docs: int = 10_000,
 ) -> DataFrame:
-    """Cosine-near-duplicate pairs. ``probe_filter`` restricts the left
-    side (e.g. a sample) so the pair count stays linear; the full-scale
-    path is knn_lsh in operators/retrieval.py. ``normalized=True`` skips
-    the norm division (dot == cosine on unit vectors)."""
+    """Cosine-near-duplicate pairs. ``probe_filter`` restricts the
+    broadcast probe side (e.g. a sample) so the pair count stays linear;
+    the full-scale path is knn_lsh in operators/retrieval.py.
+    ``normalized=True`` skips the norm division (dot == cosine on unit
+    vectors).
+
+    The probe side is BROADCAST into a theta join, so an unbounded probe
+    is a broadcast nested-loop O(n^2) that OOMs executors at scale. The
+    probe side is therefore gated — an EAGER ``limit(max_probe_docs +
+    1).count()`` probe at call time (early-exit scan) — and the call
+    raises when it exceeds ``max_probe_docs``, whether or not a
+    ``probe_filter`` was given. For all-pairs near-dup over a large
+    corpus use knn_lsh / minhash_lsh_pairs instead."""
     from ..functions import vectors as V
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     if probe_filter is not None:
         a = df.filter(probe_filter).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    if a.limit(max_probe_docs + 1).count() > max_probe_docs:
+        raise ValueError(
+            f"embedding_neardup_pairs probe side exceeds max_probe_docs="
+            f"{max_probe_docs}; it is broadcast into a theta join, so an "
+            f"unbounded probe is O(n^2). Pass a tighter probe_filter, raise "
+            f"max_probe_docs explicitly, or use knn_lsh for the full corpus."
+        )
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     sim = V.dot("v_a", "v_b") if normalized else V.cosine("v_a", "v_b")
     return (

@@ -78,10 +78,13 @@ def per_query_metrics(
     avg-similarity@k — all four metrics in a single exchange.
 
     ``grid`` (the full expected group_cols combinations, e.g. queries x
-    configs) left-joins the aggregates so a group with ZERO retrieved
-    hits still emits a 0.0-metric row — the reference scores every
-    query per config (evaluation.py:160-186), so downstream means and
-    num_queries must include empty groups."""
+    configs) full-outer-joins the aggregates so a group with ZERO
+    retrieved hits still emits a 0.0-metric row — the reference scores
+    every query per config (evaluation.py:160-186), so downstream means
+    and num_queries must include empty groups. The join is FULL outer
+    (name-list form, so the key columns coalesce): a group observed in
+    ``hits`` but missing from an incomplete grid is kept, never silently
+    dropped."""
     rel = F.col(relevant_col)
     rank = F.col(rank_col)
     aggs = []
@@ -102,7 +105,7 @@ def per_query_metrics(
     )
     out = hits.groupBy(*group_cols).agg(*aggs)
     if grid is not None:
-        out = grid.join(out, group_cols, "left")
+        out = grid.join(out, group_cols, "full")
         for c in [f"top_{k}" for k in ks] + ["mrr", "avg_similarity"]:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
     return out

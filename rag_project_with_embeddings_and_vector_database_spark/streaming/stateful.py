@@ -67,7 +67,8 @@ def _session_fn(gap_us: int, timeout_ms: int):
                 last, n = t, n + 1
         if start is not None:
             state.update((start, last, n))
-            state.setTimeoutDuration(timeout_ms)
+            if timeout_ms > 0:
+                state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
 
     return fn
@@ -93,12 +94,25 @@ def stateful_sessionize(
     ``sessionize`` twin whenever processing time tracks event time.
     (Under replay/backfill, where processing time runs faster than
     event time, a flush can still close a session the batch twin would
-    have merged; pass a larger timeout to trade latency for parity.)"""
+    have merged; pass a larger timeout to trade latency for parity.)
+
+    ``idle_timeout_ms=0`` disables the processing-time timeout entirely
+    (GroupStateTimeout.NoTimeout): only gap-closed sessions are ever
+    emitted and open sessions stay in state. This is the right mode for
+    drain-and-stop runs (``trigger(availableNow=True)``) — with a
+    registered timeout the engine keeps scheduling empty micro-batches
+    until the timeout fires, so a finite run would otherwise spin for
+    the full idle window after the data is exhausted."""
     from .._shipping import ensure_package_shipped
 
     ensure_package_shipped(events.sparkSession)
     if idle_timeout_ms is None:
         idle_timeout_ms = gap_minutes * 60 * 1000
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.selectExpr(f"{user_col} as user_id", f"{ts_us_col} as ts_us")
         .groupBy("user_id")
@@ -107,6 +121,6 @@ def stateful_sessionize(
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )

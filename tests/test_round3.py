@@ -1,0 +1,87 @@
+"""Round-3 additions: quadratic-path gates, metrics grid outer join,
+the reference-corpus end-to-end run, and the drain-and-stop streaming
+sessionize mode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_project_with_embeddings_and_vector_database_spark.operators import dedup as DD
+from rag_project_with_embeddings_and_vector_database_spark.operators import metrics as M
+
+
+def test_embedding_neardup_requires_bounded_probe(spark):
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_probe_docs"):
+        DD.embedding_neardup_pairs(df, max_probe_docs=10).collect()
+    # bounded probe passes the gate
+    out = DD.embedding_neardup_pairs(
+        df, probe_filter=F.col("vec_id") < 5, max_probe_docs=10, normalized=True, threshold=0.5
+    )
+    assert out.count() > 0
+
+
+def test_ngram_jaccard_gate_single_count_and_raise(spark):
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("text "), F.col("id")).alias("text")
+    )
+    with pytest.raises(ValueError, match="max_docs"):
+        DD.ngram_jaccard_pairs(docs, max_docs=10)
+    # under the gate it runs
+    assert DD.ngram_jaccard_pairs(docs.filter("doc_id < 5"), max_docs=10).count() == 10
+
+
+def test_metrics_grid_full_outer_keeps_ungridded_groups(spark):
+    hits = spark.createDataFrame(
+        [("q1", 1, True, 0.9), ("q2", 1, False, 0.5)],
+        "query_id string, rank int, relevant boolean, score double",
+    )
+    # grid misses q2 entirely and adds an empty q3
+    grid = spark.createDataFrame([("q1",), ("q3",)], "query_id string")
+    out = M.per_query_metrics(hits, ["query_id"], grid=grid).collect()
+    got = {r.query_id: r for r in out}
+    assert set(got) == {"q1", "q2", "q3"}  # q2 kept, q3 zero-filled
+    assert got["q3"].mrr == 0.0 and got["q3"].top_1 == 0.0
+    assert got["q1"].top_1 == 1.0
+    assert got["q2"].mrr == 0.0  # present, no relevant hit
+
+
+def test_stateful_sessionize_no_timeout_batchless_flag():
+    # idle_timeout_ms=0 must select NoTimeout (drain-and-stop mode); the
+    # session fn must then never register a processing-time timeout.
+    from rag_project_with_embeddings_and_vector_database_spark.streaming.stateful import (
+        _session_fn,
+    )
+
+    fn = _session_fn(gap_us=60_000_000, timeout_ms=0)
+
+    class _State:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.v = v
+
+        def setTimeoutDuration(self, ms):  # pragma: no cover
+            raise AssertionError("timeout registered in NoTimeout mode")
+
+    import pandas as pd
+
+    out = list(fn((7,), [pd.DataFrame({"ts_us": [0, 10, 200_000_000]})], _State()))
+    # one closed session (0..10), one left open in state
+    assert len(out) == 1 and out[0].values.tolist() == [[7, 0, 10, 2]]
+
+
+def test_pipeline_reference_corpus_deterministic(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    fn = H.SPARK_QUERIES["pipeline_reference_corpus"]
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b
+    assert len(a) == 10  # 5 strategies x 2 models
+    assert [r[-1] for r in sorted(a, key=lambda r: r[-1])] == list(range(1, 11))

@@ -156,6 +156,47 @@ def quality_score(col: Column | str) -> Column:
     return F.round((len_score * 0.7 + stop_score * 0.3), 6)
 
 
+def tfidf_top_terms(df, content_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """Per-document top-k keywords by smoothed TF-IDF (SURVEY §2.9 text
+    analysis): tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1 (the
+    sklearn smooth variant), ranked per doc with a term tie-break on the
+    ROUNDED score so the ordering is engine-portable.
+
+    Scale shape: explode -> (doc, term) partial/final count agg (one
+    shuffle), term-level document-frequency agg (second shuffle, join
+    back on term — uniform-ish key, hot-term fan-out bounded by doc
+    count), corpus size as a broadcast 1-row frame (kept lazy — no
+    driver-side count()), then a per-doc top-k window. All native
+    expressions; no Python in the plan."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(whitespace_tokens(content_col), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
 def md5_long(col: Column | str, *salt: Column) -> Column:
     """Deterministic 60-bit hash: first 15 hex chars of md5 as BIGINT.
 

@@ -1221,6 +1221,38 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "tfidf_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''),
+                    t -> lower(t))) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)) + 1), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)::INT AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_terms(spark, sf_dir):
+    """SURVEY §2.9 text analysis: per-document top-3 keywords by
+    smoothed TF-IDF (functions/text.py tfidf_top_terms) — explode ->
+    two partial/final count aggs -> broadcast corpus size -> per-doc
+    top-k window, ranked on the rounded score with a term tie-break so
+    Spark and the oracle agree exactly."""
+    return TX.tfidf_top_terms(_par(_t(spark, sf_dir, "documents")), k=3)
+
+
+@register(
     "doc_fingerprint",
     """
     WITH toks AS (
@@ -2371,13 +2403,13 @@ def pipeline_reference_corpus(spark, sf_dir):
     import-gated and the PDF libraries are absent in this container, see
     README 'Environment constraints') with the reference's real 15-query
     evaluation set (/root/reference/data/queries.json:1-93), mirroring
-    reference main.py:415-461. Returns the ranked per-config report
-    (5 strategies x 2 hash-backend models = 10 rows), deterministic
-    run-to-run; falls back to the fixture corpus if the reference
-    checkout is absent."""
+    reference main.py:415-461. Runs the reference's FULL config grid —
+    5 chunking strategies x the 5-model registry (config.py:35-41,
+    hash backend) = the same 25 ranked configurations main() reports —
+    deterministic run-to-run; falls back to the fixture corpus if the
+    reference checkout is absent."""
     import os
 
-    from .config import EngineConfig
     from .plans.pipeline import run_full_experiment
 
     if os.path.isdir("/root/reference/projects"):
@@ -2386,8 +2418,7 @@ def pipeline_reference_corpus(spark, sf_dir):
     else:
         root = _fixture_corpus_dir()
         docs_dir, queries_json = f"{root}/projects", f"{root}/queries.json"
-    cfg = EngineConfig(models={"all-MiniLM-L6-v2": 384, "e5-base-v2": 768})
-    res = run_full_experiment(spark, docs_dir, queries_json, cfg=cfg)
+    res = run_full_experiment(spark, docs_dir, queries_json)
     return res.report.select(
         "strategy", "model", "top_1_accuracy", "top_3_accuracy", "mrr",
         "avg_similarity", "combined_score", "rank",
@@ -2460,9 +2491,9 @@ _PRIORITY = [
     # or code-touched in r3 (bucket-guard oracle parity, neardup gates,
     # metrics grid full-outer join)
     "scan_queries", "bucket_stats", "sessionize_stateful",
-    "pipeline_reference_corpus",
+    "pipeline_reference_corpus", "tfidf_terms",
     "ngram_jaccard", "dedup_embedding", "dedup_minhash_pairs",
-    "simhash_pairs", "connected_components", "metric_all", "sessionize",
+    "simhash_pairs", "connected_components", "metric_all",
 ]
 
 

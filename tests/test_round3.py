@@ -83,5 +83,5 @@ def test_pipeline_reference_corpus_deterministic(spark, sf_dir):
     a = sorted(map(tuple, fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert a == b
-    assert len(a) == 10  # 5 strategies x 2 models
-    assert [r[-1] for r in sorted(a, key=lambda r: r[-1])] == list(range(1, 11))
+    assert len(a) == 25  # the reference's full grid: 5 strategies x 5 models
+    assert [r[-1] for r in sorted(a, key=lambda r: r[-1])] == list(range(1, 26))

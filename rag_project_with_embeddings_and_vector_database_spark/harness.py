@@ -701,10 +701,26 @@ def _fixture_corpus_dir(spark=None) -> str:
     return root
 
 
-@register("scan_docs")
+def _scan_docs_sql() -> str:
+    # read_text over the same deterministic fixture corpus the Spark
+    # binaryFile scan reads: S1/S6/S8 get a real value oracle (ext
+    # routing, byte size, raw markdown content, null error column).
+    root = _fixture_corpus_dir()
+    return f"""
+    SELECT lower(regexp_extract(filename, '\\.([^.]+)$', 1)) AS ext,
+           strlen(content)::BIGINT AS size_bytes,
+           content,
+           NULL AS error
+    FROM read_text('{root}/**/*.md')
+    """
+
+
+@register("scan_docs", _scan_docs_sql())
 def scan_docs(spark, sf_dir):
     """S1-S6/S8: recursive binaryFile scan + extension router + parse
-    over a deterministic on-disk markdown corpus (sources/documents.py)."""
+    over a deterministic on-disk markdown corpus (sources/documents.py).
+    The DuckDB twin read_texts the identical files, so the scan, glob
+    routing and markdown decode are value-checked, not just row-counted."""
     from .sources.documents import load_documents
 
     root = _fixture_corpus_dir(spark)
@@ -1671,6 +1687,61 @@ def sessionize_stateful(spark, sf_dir):
     return spark.createDataFrame(
         [(got.count(), expected.count(), matched)],
         "n_stream long, n_expected long, n_matched long",
+    )
+
+
+@register("stream_windowed_counts")  # rows-only: real streaming run, self-validating counts
+def stream_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation (streaming/ingest.py
+    windowed_event_counts) run as a REAL Structured Streaming job over
+    the events table (temp parquet -> readStream -> 1-hour windows per
+    event_type -> memory sink, availableNow trigger, complete output so
+    every window is emitted for comparison; the watermark still bounds
+    state in the plan). Compared against the identical batch aggregation.
+    Emits one counts row; correct iff n_stream == n_batch == n_matched
+    and every matched window's avg agrees to 1e-6."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import windowed_event_counts
+
+    e = _events(spark, sf_dir).select("ts", "event_type", "value")
+    run_id = uuid.uuid4().hex[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_evt_stream_{run_id}")
+    e.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(
+        f"{tmp}/src"
+    )
+    qname = f"evt_stream_{run_id}"
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(qname)
+    batch = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            F.col("avg_value").alias("avg_batch"),
+        )
+    )
+    joined = got.join(batch, ["window_start", "window_end", "event_type", "n"], "inner")
+    n_matched = joined.count()
+    n_avg_close = joined.filter(F.abs(F.col("avg_value") - F.col("avg_batch")) < 1e-6).count()
+    return spark.createDataFrame(
+        [(got.count(), batch.count(), n_matched, n_avg_close)],
+        "n_stream long, n_batch long, n_matched long, n_avg_close long",
     )
 
 

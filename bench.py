@@ -46,12 +46,14 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_minhash_pairs",
     "dedup_simhash",
+    "simhash_pairs",
     "dedup_embedding",
     "ngram_jaccard",
     "doc_fingerprint",
     "lang_id",
     "text_quality",
     "token_stats",
+    "tfidf_terms",
     "chunk_sections",
     # UDF-path ops
     "chunk_fanout",

@@ -202,13 +202,22 @@ def minhash_lsh_pairs(
     dropped before the self-join (the quadratic-blowup guard; inspect
     them with ``bucket_stats``) — at default settings a single degenerate
     bucket of 100k identical boilerplate docs would otherwise emit 5e9
-    pairs. Exact duplicates belong to exact_dedup, which is linear."""
+    pairs. Exact duplicates belong to exact_dedup, which is linear.
+
+    The guarded banded frame is persist()ed (memory-and-disk): it is
+    read by BOTH sides of the self-join, and without the cache Spark
+    recomputes the whole shingle->hash->min-agg signature pipeline per
+    side (no exchange reuse across the differing join-side projections —
+    measured ~2x the signature cost). At 100 TB the same role is played
+    by writing the candidate table out (signatures are reused across
+    rounds anyway); in-session, the cache self-evicts under pressure."""
     rows_per_band = num_perm // num_bands
     sig = minhash_signatures(df, content_col, id_col, shingle_n, num_perm, seed)
     banded = sig.select(
         id_col, "sig", F.explode(minhash_bands("sig", num_bands, rows_per_band)).alias("bb")
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     banded = _drop_oversized_buckets(banded, ["band", "band_hash"], max_bucket_size)
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -321,7 +330,10 @@ def simhash_pairs(
     Fingerprints come from the scalable DF form (explode -> hash-once ->
     per-bit partial sums). Buckets larger than ``max_bucket_size`` are
     dropped before the self-join (degenerate boilerplate guard — inspect
-    with ``bucket_stats``); identical docs belong to exact_dedup."""
+    with ``bucket_stats``); identical docs belong to exact_dedup.
+
+    As in minhash_lsh_pairs, the guarded blocked frame is persist()ed so
+    the fingerprint pipeline is computed once, not once per join side."""
     if bits % num_blocks != 0:
         raise ValueError(f"bits ({bits}) must be divisible by num_blocks ({num_blocks})")
     width = bits // num_blocks
@@ -340,6 +352,7 @@ def simhash_pairs(
         id_col, "sh", F.col("bb.block_id").alias("block_id"), F.col("bb.block_key").alias("block_key")
     )
     blocked = _drop_oversized_buckets(blocked, ["block_id", "block_key"], max_bucket_size)
+    blocked = blocked.persist()
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(

@@ -766,9 +766,12 @@ def _tmp_sink_dir(name: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"spark_rag_sink_{name}_{os.getpid()}")
 
 
-@register("sink_csv")
+@register("sink_csv", None)  # oracle attached below (reuses report_rank's SQL)
 def sink_csv(spark, sf_dir):
-    """S9: CSV report sink (main.py:352-355) — write then read back."""
+    """S9: CSV report sink (main.py:352-355) — write then read back. The
+    oracle is the report_rank SQL projected to the round-tripped columns,
+    so the sink check verifies the CSV write/read preserves values
+    exactly (doubles survive via shortest-round-trip formatting)."""
     out = _tmp_sink_dir("csv")
     report_rank(spark, sf_dir).coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
     back = spark.read.option("header", "true").csv(out)
@@ -779,16 +782,39 @@ def sink_csv(spark, sf_dir):
 
 @register("sink_json")
 def sink_json(spark, sf_dir):
-    """S10: JSON report sink (main.py:357-363) — write then read back."""
+    """S10: JSON report sink (main.py:357-363) — write then read back;
+    oracle attached below (report_rank SQL projection)."""
     out = _tmp_sink_dir("json")
     report_rank(spark, sf_dir).coalesce(1).write.mode("overwrite").json(out)
     return spark.read.json(out).select("config", "combined_score", "rank")
 
 
-@register("sink_vectors")
+# The sink round-trips must reproduce report_rank's values exactly: attach
+# projections of its (already-registered) oracle SQL. Kept out of the
+# decorators so the dependency on registration order is explicit.
+ORACLE["sink_csv"] = (
+    f"SELECT config, combined_score FROM ({ORACLE['report_rank']})"
+)
+ORACLE["sink_json"] = (
+    f"SELECT config, combined_score, rank FROM ({ORACLE['report_rank']})"
+)
+
+
+@register(
+    "sink_vectors",
+    """
+    SELECT 'fixed_size' AS strategy,
+           CASE WHEN vec_id % 2 = 0 THEN 'modelA' ELSE 'modelB' END AS model,
+           count(*) AS points
+    FROM embeddings WHERE vec_id < 100
+    GROUP BY 1, 2
+    """,
+)
 def sink_vectors(spark, sf_dir):
     """S11: vector-store upsert (vector_db.py:60-91) — the collection is
-    a partition of one parquet table."""
+    a partition of one parquet table. The oracle recomputes the expected
+    per-partition point counts straight from the source table, so the
+    partitioned write + read-back is value-checked."""
     out = _tmp_sink_dir("vectors")
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     df = e.select(
@@ -802,10 +828,17 @@ def sink_vectors(spark, sf_dir):
     return vt.read().groupBy("strategy", "model").agg(F.count(F.lit(1)).alias("points"))
 
 
-@register("ddl_collections")
+@register(
+    "ddl_collections",
+    """
+    SELECT 'recursive_modelA' AS collection, count(*) AS points_count
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
 def ddl_collections(spark, sf_dir):
     """S12: collection DDL surface (create/list/info/drop,
-    vector_db.py:37-150) over the partitioned table."""
+    vector_db.py:37-150) over the partitioned table; the oracle pins the
+    listed collection name and its points_count."""
     out = _tmp_sink_dir("ddl")
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     df = e.select(
@@ -821,10 +854,23 @@ def ddl_collections(spark, sf_dir):
     )
 
 
-@register("embed_fanout")
+@register(
+    "embed_fanout",
+    """
+    SELECT m.model, count(*) AS n, 1.0::DOUBLE AS mean_norm
+    FROM documents d CROSS JOIN (
+      SELECT unnest(['all-MiniLM-L6-v2', 'e5-base-v2']) AS model
+    ) m
+    WHERE d.doc_id < 200
+    GROUP BY m.model
+    """,
+)
 def embed_fanout(spark, sf_dir):
     """E4/R3: multi-model fan-out — one embed pass per model over the
-    same chunk set, union tagged by model (main.py:198-221)."""
+    same chunk set, union tagged by model (main.py:198-221). The oracle
+    pins the per-model row count AND the unit-norm invariant (mean L2
+    norm rounds to exactly 1.0 at 4 decimals — the embed contract;
+    per-value bit-exactness is separately proven by embed_values)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
         "doc_id", F.col("text").alias("content")
     )
@@ -2086,9 +2132,14 @@ def array_ops(spark, sf_dir):
     )
 
 
-@register("sink_orc")
+@register(
+    "sink_orc",
+    "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment",
+)
 def sink_orc(spark, sf_dir):
-    """ORC sink/source round-trip (columnar format beyond parquet)."""
+    """ORC sink/source round-trip (columnar format beyond parquet); the
+    oracle aggregates the source table directly, so the round-trip is
+    value-checked."""
     out = _tmp_sink_dir("orc")
     _t(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
     back = spark.read.orc(out)

@@ -197,6 +197,77 @@ def tfidf_top_terms(df, content_col: str = "text", id_col: str = "doc_id", k: in
     )
 
 
+def repetition_stats(df, content_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition signals (Gopher/C4-style quality-filter
+    features): the fraction of line occurrences belonging to repeated
+    lines, the character-weighted version of the same, and the share of
+    word-bigram occurrences taken by the single most frequent bigram.
+
+    Definitions (division-safe, exact):
+      dup_line_frac      = sum(cnt | cnt>1) / sum(cnt) over per-(doc,
+                           trimmed non-empty line) counts cnt
+      dup_line_char_frac = same, weighted by cnt * len(line)
+      top_2gram_frac     = max bigram count / total bigram count
+
+    Scale shape: two explode -> partial/final count-agg pipelines (one
+    shuffle each on (doc, line) / (doc, gram)), per-doc rollups reusing
+    the doc partitioning, left-joined back to the id spine so line-less
+    docs emit zeros. All native expressions."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col(content_col), "\n"), lambda x: F.trim(x)),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("line"),
+    )
+    line_counts = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))
+    per_doc_lines = line_counts.groupBy(id_col).agg(
+        F.round(
+            F.sum(dup) / F.greatest(F.sum("cnt"), F.lit(1)), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(dup * F.length("line"))
+            / F.greatest(F.sum(F.col("cnt") * F.length("line")), F.lit(1)),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+    toks = whitespace_tokens(F.lower(F.col(content_col)))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.try_element_at(toks, (i + 1).cast("int")),
+                        F.try_element_at(toks, (i + 2).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    gram_counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc_grams = gram_counts.groupBy(id_col).agg(
+        F.round(F.max("cnt") / F.greatest(F.sum("cnt"), F.lit(1)), 6).alias("top_2gram_frac")
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc_lines, id_col, "left")
+        .join(per_doc_grams, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )
+
+
 def md5_long(col: Column | str, *salt: Column) -> Column:
     """Deterministic 60-bit hash: first 15 hex chars of md5 as BIGINT.
 

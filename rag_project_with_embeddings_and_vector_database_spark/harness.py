@@ -1283,6 +1283,53 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "repetition_stats",
+    """
+    WITH lines AS (
+      SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                    x -> x != '')) AS line
+      FROM documents
+    ),
+    lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line),
+    pl AS (
+      SELECT doc_id,
+             round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / greatest(sum(cnt), 1), 6) AS dup_line_frac,
+             round(sum(CASE WHEN cnt > 1 THEN cnt * strlen(line) ELSE 0 END)::DOUBLE
+                   / greatest(sum(cnt * strlen(line)), 1), 6) AS dup_line_char_frac
+      FROM lc GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+                   THEN list_transform(range(0, len(tk) - 1), i -> concat_ws(' ', tk[i+1], tk[i+2]))
+                   ELSE [] END) AS gram
+      FROM toks
+    ),
+    gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+    pg AS (
+      SELECT doc_id, round(max(cnt)::DOUBLE / greatest(sum(cnt), 1), 6) AS top_2gram_frac
+      FROM gc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(pl.dup_line_frac, 0.0::DOUBLE) AS dup_line_frac,
+           coalesce(pl.dup_line_char_frac, 0.0::DOUBLE) AS dup_line_char_frac,
+           coalesce(pg.top_2gram_frac, 0.0::DOUBLE) AS top_2gram_frac
+    FROM documents d LEFT JOIN pl ON d.doc_id = pl.doc_id LEFT JOIN pg ON d.doc_id = pg.doc_id
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher/C4-style repetition quality signals (functions/text.py
+    repetition_stats): duplicate-line occurrence fraction, its
+    character-weighted twin, and the top-bigram occurrence share — the
+    standard boilerplate/spam signals an LLM-data pipeline filters on.
+    Two explode->count-agg pipelines joined back to the doc spine."""
+    return TX.repetition_stats(_par(_t(spark, sf_dir, "documents")))
+
+
+@register(
     "tfidf_terms",
     """
     WITH toks AS (
@@ -2613,9 +2660,9 @@ _PRIORITY = [
     # or code-touched in r3 (bucket-guard oracle parity, neardup gates,
     # metrics grid full-outer join)
     "scan_queries", "bucket_stats", "sessionize_stateful",
-    "pipeline_reference_corpus", "tfidf_terms",
+    "pipeline_reference_corpus", "tfidf_terms", "repetition_stats",
     "ngram_jaccard", "dedup_embedding", "dedup_minhash_pairs",
-    "simhash_pairs", "connected_components", "metric_all",
+    "simhash_pairs", "metric_all",
 ]
 
 

@@ -76,6 +76,30 @@ def test_stateful_sessionize_no_timeout_batchless_flag():
     assert len(out) == 1 and out[0].values.tolist() == [[7, 0, 10, 2]]
 
 
+def test_repetition_stats_edges(spark):
+    from rag_project_with_embeddings_and_vector_database_spark.functions.text import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\na b"),        # all 3 lines identical, bigram 'a b' x3
+            (2, "x y\nz w"),             # no repeats
+            (3, ""),                     # empty -> zeros
+            (4, "solo"),                 # 1 line, no bigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].dup_line_frac == 1.0 and got[1].dup_line_char_frac == 1.0
+    # tokens a b a b a b -> bigrams 'a b' x3, 'b a' x2 -> top share 3/5
+    assert got[1].top_2gram_frac == 0.6
+    # tokens x y z w -> bigrams 'x y','y z','z w' all distinct -> 1/3
+    assert got[2].dup_line_frac == 0.0 and got[2].top_2gram_frac == 0.333333
+    assert got[3].dup_line_frac == 0.0 and got[3].top_2gram_frac == 0.0
+    assert got[4].top_2gram_frac == 0.0
+
+
 def test_pipeline_reference_corpus_deterministic(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 

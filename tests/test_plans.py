@@ -45,3 +45,25 @@ def test_minhash_is_partial_final_agg(spark, sf_dir):
     # two HashAggregates (partial + final) around one exchange
     assert plan.count("HashAggregate") >= 2
     assert "Generate" in plan  # the explode
+
+
+def test_lsh_pairs_selfjoin_reuses_persisted_candidates(spark, sf_dir):
+    # both self-join sides must read the cached banded frame instead of
+    # recomputing the signature pipeline (the r3 persist optimization)
+    plan = _plan(spark, "dedup_minhash_pairs", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
+
+
+def test_tfidf_no_cartesian_and_corpus_size_broadcast(spark, sf_dir):
+    plan = _plan(spark, "tfidf_terms", sf_dir)
+    # the 1-row corpus-size frame joins via broadcast, never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_shape(spark, sf_dir):
+    plan = _plan(spark, "repetition_stats", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # two partial/final count-agg pipelines

@@ -1282,6 +1282,57 @@ def text_quality(spark, sf_dir):
     return d.select("doc_id", *TX.quality_features("text"), TX.quality_score("text").alias("quality"))
 
 
+_HASH_BUCKET_SQL = (
+    "('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '42'), 1, 15))::BIGINT % 1000000"
+)
+
+
+@register(
+    "hash_split_assign",
+    f"""
+    SELECT doc_id, {_HASH_BUCKET_SQL} AS bucket,
+           CASE WHEN {_HASH_BUCKET_SQL} < 900000 THEN 'train'
+                WHEN {_HASH_BUCKET_SQL} < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def hash_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py
+    hash_split): salted portable-md5 bucket -> cumulative-weight
+    thresholds. Pure per-row expression — stable under repartitioning,
+    retries, and engine swaps (rand()-based splits are not); the oracle
+    recomputes every row's bucket and split bit-for-bit."""
+    from .operators import sampling as SA
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return SA.hash_split(d, weights={"train": 0.9, "val": 0.05, "test": 0.05}).select(
+        "doc_id", SA.hash_bucket("doc_id").alias("bucket"), "split"
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT source, doc_id, bucket FROM (
+      SELECT source, doc_id, {_HASH_BUCKET_SQL} AS bucket,
+             row_number() OVER (PARTITION BY source ORDER BY {_HASH_BUCKET_SQL}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample (operators/sampling.py): exactly
+    5 docs per source stratum by smallest hash bucket with id tie-break
+    — one exchange on the stratum key, reproducible membership."""
+    from .operators import sampling as SA
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return SA.stratified_sample(d, ["source"], 5).select(
+        "source", "doc_id", SA.hash_bucket("doc_id").alias("bucket")
+    )
+
+
 @register(
     "repetition_stats",
     """

@@ -100,6 +100,24 @@ def test_repetition_stats_edges(spark):
     assert got[4].top_2gram_frac == 0.0
 
 
+def test_hash_split_stable_and_validated(spark):
+    from rag_project_with_embeddings_and_vector_database_spark.operators import sampling as SA
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        SA.hash_split(df, weights={"train": 0.5, "test": 0.4})
+    a = dict(SA.hash_split(df).select("doc_id", "split").collect())
+    # stable under repartitioning (the property rand()-splits lack)
+    b = dict(SA.hash_split(df.repartition(7)).select("doc_id", "split").collect())
+    assert a == b
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert 820 <= counts["train"] <= 970  # ~90% of 1000
+    sampled = SA.deterministic_sample(df, fraction=0.2).count()
+    assert 140 <= sampled <= 260  # ~20% of 1000
+
+
 def test_pipeline_reference_corpus_deterministic(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 

@@ -284,20 +284,20 @@ def simhash_fingerprints(
         ).alias("tok"),
     )
     hashed = toks.select(id_col, md5_long("tok").alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
-        ).alias(f"v_{j}")
+    # branch-free per-bit tally: sum the raw bit instead of a +1/-1 CASE;
+    # vote_j = 2*ones_j - n, so vote_j > 0  <=>  2*ones_j > n — identical
+    # sign semantics, but the per-row expression is shift+and+add with no
+    # conditional, which codegen vectorizes better across 32 aggregates.
+    ones = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b_{j}")
         for j in range(bits)
     ]
-    agg = hashed.groupBy(id_col).agg(*votes)
+    agg = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *ones)
     out = F.lit(0).cast("bigint")
     for j in range(bits):
-        out = out + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        out = out + F.when(
+            F.col(f"b_{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     sig = agg.select(id_col, out.alias("simhash"))
     return (
         df.select(id_col)

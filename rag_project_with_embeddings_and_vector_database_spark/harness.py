@@ -1282,6 +1282,86 @@ def text_quality(spark, sf_dir):
     return d.select("doc_id", *TX.quality_features("text"), TX.quality_score("text").alias("quality"))
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "pii_scan",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}'))::BIGINT AS n_phones,
+           len(regexp_extract_all(text, '{_IPV4_RE}'))::BIGINT AS n_ipv4,
+           (len(regexp_extract_all(text, '{_EMAIL_RE}')) +
+            len(regexp_extract_all(text, '{_PHONE_RE}')) +
+            len(regexp_extract_all(text, '{_IPV4_RE}')) > 0) AS has_pii
+    FROM documents
+    """,
+)
+def pii_scan(spark, sf_dir):
+    """PII surface scan (training-data redaction signal): per-document
+    counts of email / phone / IPv4 patterns via RE2-safe regexes shared
+    verbatim with the oracle. Pure scan-local codegen'd expressions —
+    zero shuffle, linear with executors; the redaction itself would be
+    the same regexp_replace in the same projection."""
+    d = _t(spark, sf_dir, "documents")
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).cast("bigint")
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).cast("bigint")
+    n_ipv4 = F.size(F.regexp_extract_all("text", F.lit(_IPV4_RE), 0)).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ipv4.alias("n_ipv4"),
+        ((n_emails + n_phones + n_ipv4) > 0).alias("has_pii"),
+    )
+
+
+@register(
+    "decontaminate",
+    """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(tk) - 5, 0) + 1),
+                     i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5])))) AS gram
+      FROM tk
+    ),
+    bench_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10),
+    hits AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN bench_grams b ON g.gram = b.gram
+      WHERE g.doc_id >= 10
+    )
+    SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM tk t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    WHERE t.doc_id >= 10
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the step every LLM training pipeline
+    runs before training): flag corpus documents sharing any word 5-gram
+    with a held-out benchmark set (here docs 0-9 stand in for the
+    benchmark). Scale shape: explode distinct grams on both sides, one
+    semi-join on the gram (hashing the gram to 64-bit first at real
+    scale), left-join the flag back to the doc spine — never a document
+    cross product. Spark-side 5-grams reuse operators/dedup.shingles."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(DD.shingles("text", 5)).alias("gram")
+    )
+    bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
+    corpus = grams.filter(F.col("doc_id") >= 10)
+    hits = corpus.join(bench, "gram", "left_semi").select("doc_id").distinct()
+    spine = d.filter(F.col("doc_id") >= 10).select("doc_id")
+    return spine.join(
+        hits.withColumn("contaminated", F.lit(True)), "doc_id", "left"
+    ).select("doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+
+
 _HASH_BUCKET_SQL = (
     "('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '42'), 1, 15))::BIGINT % 1000000"
 )

@@ -118,6 +118,36 @@ def test_hash_split_stable_and_validated(spark):
     assert 140 <= sampled <= 260  # ~20% of 1000
 
 
+def test_pii_scan_positive_path(spark, sf_dir, monkeypatch):
+    # the driver corpus contains no PII (all-zero counts), so the
+    # positive path needs explicit exercise: plant each pattern kind
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or alice@test.org today"),
+            (2, "call +1 555-123-4567 about server 10.0.0.1"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(H, "_t", lambda spark, sf_dir, name: docs)
+    got = {r.doc_id: r for r in H.SPARK_QUERIES["pii_scan"](spark, sf_dir).collect()}
+    assert got[1].n_emails == 2 and got[1].has_pii
+    assert got[2].n_phones == 1 and got[2].n_ipv4 == 1 and got[2].has_pii
+    assert got[3].n_emails == got[3].n_phones == got[3].n_ipv4 == 0 and not got[3].has_pii
+
+
+def test_decontaminate_flags_overlap(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    out = H.SPARK_QUERIES["decontaminate"](spark, sf_dir)
+    counts = {r.contaminated: r.n for r in out.groupBy("contaminated").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()}
+    assert counts.get(False, 0) > 0  # most docs clean
+
+
 def test_pipeline_reference_corpus_deterministic(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 

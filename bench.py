@@ -54,6 +54,10 @@ HEADLINE = [
     "text_quality",
     "token_stats",
     "tfidf_terms",
+    "repetition_stats",
+    "pii_scan",
+    "hash_split_assign",
+    "decontaminate",
     "chunk_sections",
     # UDF-path ops
     "chunk_fanout",

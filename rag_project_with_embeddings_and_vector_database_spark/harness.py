@@ -1372,6 +1372,43 @@ _HASH_BUCKET_SQL = (
 
 
 @register(
+    "sequence_pack",
+    f"""
+    WITH RECURSIVE m AS (
+      SELECT doc_id,
+             ({_HASH_BUCKET_SQL}) % 16 AS bucket,
+             (len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+              + length(text) // 4)::BIGINT AS doc_tokens
+      FROM documents
+    ),
+    o AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM m),
+    s AS (
+      SELECT bucket, rn, doc_id, doc_tokens, 0::BIGINT AS seq_id, doc_tokens AS acc
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.doc_tokens,
+             CASE WHEN s.acc > 0 AND s.acc + o.doc_tokens > 512 THEN s.seq_id + 1 ELSE s.seq_id END,
+             CASE WHEN s.acc > 0 AND s.acc + o.doc_tokens > 512 THEN o.doc_tokens ELSE s.acc + o.doc_tokens END
+      FROM s JOIN o ON o.bucket = s.bucket AND o.rn = s.rn + 1
+    )
+    SELECT bucket, doc_id, doc_tokens, seq_id,
+           (row_number() OVER (PARTITION BY bucket, seq_id ORDER BY doc_id) - 1)::INT AS seq_pos
+    FROM s
+    """,
+)
+def sequence_pack(spark, sf_dir):
+    """Training-sequence packing (operators/packing.py): greedy-pack
+    docs into 512-token sequences within deterministic hash buckets.
+    The fold sees only (id, token-count) pairs — text never enters the
+    Python stage — and because the fold state is a single (seq, acc)
+    pair, the oracle replays the exact greedy recursion as a recursive
+    CTE: a full value check of an order-dependent fold."""
+    from .operators.packing import sequence_pack as _pack
+
+    return _pack(_t(spark, sf_dir, "documents"), budget_tokens=512, n_buckets=16)
+
+
+@register(
     "hash_split_assign",
     f"""
     SELECT doc_id, {_HASH_BUCKET_SQL} AS bucket,

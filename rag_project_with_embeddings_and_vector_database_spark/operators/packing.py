@@ -1,0 +1,78 @@
+"""Sequence packing: assemble documents into fixed-token-budget training
+sequences (the batch-construction step between dedup/filtering and
+tokenizer sharding in an LLM data pipeline).
+
+Design for 100 TB:
+  * The greedy fold never sees document TEXT — token counts are computed
+    scan-side as native expressions, so the Arrow payload entering the
+    Python fold is (id, tokens) pairs: ~16 bytes/doc, not the corpus.
+  * Packing is per-bucket, with buckets assigned by the salted portable
+    hash (operators/sampling.hash_bucket): deterministic under
+    repartitioning/retries, and each bucket packs independently — one
+    exchange on the bucket key, perfect parallelism, no global sequence
+    counter. Sequence ids are (bucket, seq_in_bucket), so ids never
+    coordinate across executors.
+  * The greedy rule is a linear recursion, so the DuckDB oracle can
+    verify every assignment exactly via a recursive CTE — unusual for an
+    order-dependent fold, possible here because the fold state is one
+    (seq, acc) pair.
+
+Greedy rule (docs in (bucket, id) order): a doc starts a new sequence
+when adding it would exceed ``budget_tokens`` — unless the sequence is
+empty, so an oversized doc occupies a sequence alone.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from .sampling import hash_bucket
+
+PACK_SCHEMA = "bucket int, doc_id long, doc_tokens bigint, seq_id bigint"
+
+
+def _pack_fn(budget: int):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, seq, acc = [], 0, 0
+        for toks in pdf["doc_tokens"]:
+            t = int(toks)
+            if acc > 0 and acc + t > budget:
+                seq, acc = seq + 1, t
+            else:
+                acc += t
+            seqs.append(seq)
+        pdf["seq_id"] = seqs
+        return pdf[["bucket", "doc_id", "doc_tokens", "seq_id"]]
+
+    return fn
+
+
+def sequence_pack(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    budget_tokens: int = 512,
+    n_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(bucket, doc_id, doc_tokens, seq_id, seq_pos) — every doc exactly
+    once; per-(bucket, seq_id) token sums never exceed ``budget_tokens``
+    except single oversized docs. ``seq_pos`` is the doc's position
+    within its sequence."""
+    from .._shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    meta = df.select(
+        F.col(id_col).alias("doc_id"),
+        (hash_bucket(id_col, seed) % n_buckets).cast("int").alias("bucket"),
+        token_count(content_col).alias("doc_tokens"),
+    )
+    packed = meta.groupBy("bucket").applyInPandas(_pack_fn(budget_tokens), PACK_SCHEMA)
+    w = Window.partitionBy("bucket", "seq_id").orderBy("doc_id")
+    return packed.withColumn("seq_pos", (F.row_number().over(w) - 1).cast("int"))

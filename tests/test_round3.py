@@ -148,6 +148,33 @@ def test_decontaminate_flags_overlap(spark, sf_dir):
     assert counts.get(False, 0) > 0  # most docs clean
 
 
+def test_sequence_pack_properties(spark):
+    from rag_project_with_embeddings_and_vector_database_spark.operators.packing import (
+        sequence_pack,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        # token counts vary 1..~60; doc 7 is oversized vs budget 40
+        F.when(F.col("id") == 7, F.lit(" ".join(["w"] * 200))).otherwise(
+            F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 40 + 1).cast("int")))
+        ).alias("text"),
+    )
+    out = sequence_pack(docs, budget_tokens=40, n_buckets=4).collect()
+    assert sorted(r.doc_id for r in out) == list(range(300))  # every doc exactly once
+    from collections import defaultdict
+
+    seq_tokens, seq_sizes = defaultdict(int), defaultdict(int)
+    for r in out:
+        seq_tokens[(r.bucket, r.seq_id)] += r.doc_tokens
+        seq_sizes[(r.bucket, r.seq_id)] += 1
+    for k, tot in seq_tokens.items():
+        assert tot <= 40 or seq_sizes[k] == 1  # budget holds except oversized singletons
+    # deterministic under repartitioning
+    again = sequence_pack(docs.repartition(13), budget_tokens=40, n_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_pipeline_reference_corpus_deterministic(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 

@@ -2822,17 +2822,25 @@ _PRIORITY = [
     "window_running_sum", "window_lag_delta", "window_range_frame",
     "window_value_functions", "events_hourly", "events_json",
     "top_orders_per_customer", "cheapest_supplier_per_part",
-    # (b) last checked in r1 (10 of these hash-PASSED there): re-confirm
-    "metric_topk", "metric_mrr", "metric_avgsim", "semi_anti_join",
+    # (b) last checked in r1 and upgraded with NEW oracles this round
+    # (scan_docs read_text; sinks/DDL/embed_fanout value checks), plus
+    # the TPC-H relational core re-confirmation
     "scan_docs", "sink_csv", "sink_json", "sink_vectors", "ddl_collections",
     "embed_fanout", "tpch_q1", "tpch_q6", "tpch_q3", "tpch_q5",
-    "brand_revenue", "rollup_lineitem",
-    # (c) new in r3 (scan_queries regained its read_json_auto oracle;
-    # bucket_stats/sessionize_stateful/pipeline_reference_corpus are new)
-    # or code-touched in r3 (bucket-guard oracle parity, neardup gates,
-    # metrics grid full-outer join)
+    # (c) new or code-touched in r3: restored/new oracles
+    # (scan_queries read_json_auto, bucket_stats), real-streaming
+    # evidence (sessionize_stateful, stream_windowed_counts), the
+    # reference-corpus end-to-end run, the new text/sampling/packing
+    # operator families, and the dedup queries whose code changed
+    # (bucket-guard parity, neardup gates, shingle try_element_at,
+    # branch-free simhash, persist) + metric_all (grid full-outer).
+    # Displaced to the tail (all r1-hash-PASSED, code unchanged):
+    # metric_topk/mrr/avgsim (subsets of metric_all), semi_anti_join,
+    # brand_revenue, rollup_lineitem.
     "scan_queries", "bucket_stats", "sessionize_stateful",
-    "pipeline_reference_corpus", "tfidf_terms", "repetition_stats",
+    "stream_windowed_counts", "pipeline_reference_corpus",
+    "tfidf_terms", "repetition_stats", "pii_scan", "decontaminate",
+    "hash_split_assign", "stratified_sample", "sequence_pack",
     "ngram_jaccard", "dedup_embedding", "dedup_minhash_pairs",
     "simhash_pairs", "metric_all",
 ]

@@ -682,30 +682,69 @@ _FIXTURE_DOCS = (
 )
 
 
+_FIXTURE_QUERIES_JSON = (
+    '[{"query_id": "q1", "query": "revenue growth", '
+    '"expected_keywords": ["revenue"], "expected_source_patterns": ["annual"]}]'
+)
+
+
 def _fixture_corpus_dir(spark=None) -> str:
+    """Write (or refresh) the deterministic on-disk fixture corpus and
+    return its root. The path is per-user (no cross-user /tmp clashes)
+    and carries a content fingerprint in a marker file, so editing
+    _FIXTURE_DOCS rewrites the corpus instead of silently reading a
+    stale one left by an earlier version or a crashed writer."""
+    import hashlib
     import os
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "spark_rag_fixture_corpus")
-    if not os.path.exists(os.path.join(root, "projects")):
-        for rel, content in _FIXTURE_DOCS:
-            path = os.path.join(root, rel)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "w") as f:
-                f.write(content)
-        with open(os.path.join(root, "queries.json"), "w") as f:
-            f.write(
-                '[{"query_id": "q1", "query": "revenue growth", '
-                '"expected_keywords": ["revenue"], "expected_source_patterns": ["annual"]}]'
-            )
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_rag_fixture_corpus_u{os.getuid()}"
+    )
+    payload = repr(_FIXTURE_DOCS) + _FIXTURE_QUERIES_JSON
+    fingerprint = hashlib.md5(payload.encode()).hexdigest()
+    marker = os.path.join(root, ".fixture_version")
+    try:
+        with open(marker) as f:
+            if f.read() == fingerprint:
+                return root
+    except OSError:
+        pass
+    for rel, content in _FIXTURE_DOCS:
+        path = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(content)
+    with open(os.path.join(root, "queries.json"), "w") as f:
+        f.write(_FIXTURE_QUERIES_JSON)
+    with open(marker, "w") as f:  # written LAST: absent/stale on partial writes
+        f.write(fingerprint)
     return root
+
+
+def _fixture_sql_root() -> str:
+    """Fixture root for import-time oracle-SQL construction: attempts
+    the write eagerly but NEVER raises — an unwritable tempdir must not
+    break importing the module (it would take all 100 queries down, not
+    just the two scan queries). The Spark query functions re-invoke
+    _fixture_corpus_dir() at call time, so a transient failure here
+    surfaces in exactly one query, loudly."""
+    try:
+        return _fixture_corpus_dir()
+    except OSError:
+        import os
+        import tempfile
+
+        return os.path.join(
+            tempfile.gettempdir(), f"spark_rag_fixture_corpus_u{os.getuid()}"
+        )
 
 
 def _scan_docs_sql() -> str:
     # read_text over the same deterministic fixture corpus the Spark
     # binaryFile scan reads: S1/S6/S8 get a real value oracle (ext
     # routing, byte size, raw markdown content, null error column).
-    root = _fixture_corpus_dir()
+    root = _fixture_sql_root()
     return f"""
     SELECT lower(regexp_extract(filename, '\\.([^.]+)$', 1)) AS ext,
            strlen(content)::BIGINT AS size_bytes,
@@ -728,11 +767,11 @@ def scan_docs(spark, sf_dir):
 
 
 def _scan_queries_sql() -> str:
-    # The fixture path is deterministic (tempdir + fixed name) and the
+    # The fixture path is deterministic (per-user tempdir) and the
     # corpus is written at call time, so the oracle can read_json_auto
     # the very same file the Spark source reads — restoring the SQL
     # oracle SURVEY §2 S7 promises (reference main.py:163-172).
-    root = _fixture_corpus_dir()
+    root = _fixture_sql_root()
     return f"""
     SELECT query_id, query,
            array_to_string(expected_keywords, '|') AS expected_keywords,
@@ -861,7 +900,7 @@ def ddl_collections(spark, sf_dir):
     FROM documents d CROSS JOIN (
       SELECT unnest(['all-MiniLM-L6-v2', 'e5-base-v2']) AS model
     ) m
-    WHERE d.doc_id < 200
+    WHERE d.doc_id < 200 AND trim(d.text) != ''
     GROUP BY m.model
     """,
 )
@@ -869,11 +908,14 @@ def embed_fanout(spark, sf_dir):
     """E4/R3: multi-model fan-out — one embed pass per model over the
     same chunk set, union tagged by model (main.py:198-221). The oracle
     pins the per-model row count AND the unit-norm invariant (mean L2
-    norm rounds to exactly 1.0 at 4 decimals — the embed contract;
-    per-value bit-exactness is separately proven by embed_values)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
-        "doc_id", F.col("text").alias("content")
-    )
+    norm rounds to exactly 1.0 at 4 decimals — the embed contract; the
+    hash embedder leaves only the zero vector of an EMPTY text
+    unnormalized, so both sides drop empty docs, mirroring the
+    pipeline's P1 filter; per-value bit-exactness is separately proven
+    by embed_values)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.trim("text") != "")
+    ).select("doc_id", F.col("text").alias("content"))
     out = None
     for m in ["all-MiniLM-L6-v2", "e5-base-v2"]:
         v = embed(d, m, backend="hash").withColumn("model", F.lit(m))
@@ -1377,8 +1419,8 @@ _HASH_BUCKET_SQL = (
     WITH RECURSIVE m AS (
       SELECT doc_id,
              ({_HASH_BUCKET_SQL}) % 16 AS bucket,
-             (len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
-              + length(text) // 4)::BIGINT AS doc_tokens
+             coalesce((len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+              + length(text) // 4)::BIGINT, 0) AS doc_tokens
       FROM documents
     ),
     o AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM m),
@@ -1466,8 +1508,8 @@ def stratified_sample(spark, sf_dir):
     pl AS (
       SELECT doc_id,
              round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / greatest(sum(cnt), 1), 6) AS dup_line_frac,
-             round(sum(CASE WHEN cnt > 1 THEN cnt * strlen(line) ELSE 0 END)::DOUBLE
-                   / greatest(sum(cnt * strlen(line)), 1), 6) AS dup_line_char_frac
+             round(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)::DOUBLE
+                   / greatest(sum(cnt * length(line)), 1), 6) AS dup_line_char_frac
       FROM lc GROUP BY doc_id
     ),
     toks AS (

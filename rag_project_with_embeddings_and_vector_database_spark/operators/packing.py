@@ -71,7 +71,10 @@ def sequence_pack(
     meta = df.select(
         F.col(id_col).alias("doc_id"),
         (hash_bucket(id_col, seed) % n_buckets).cast("int").alias("bucket"),
-        token_count(content_col).alias("doc_tokens"),
+        # NULL text -> 0 tokens: keeps the fold total (a NULL bigint
+        # reaches pandas as NaN and would crash int()) and keeps the
+        # exactly-once guarantee — every doc gets a sequence slot.
+        F.coalesce(token_count(content_col), F.lit(0)).alias("doc_tokens"),
     )
     packed = meta.groupBy("bucket").applyInPandas(_pack_fn(budget_tokens), PACK_SCHEMA)
     w = Window.partitionBy("bucket", "seq_id").orderBy("doc_id")

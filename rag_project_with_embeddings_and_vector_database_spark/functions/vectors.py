@@ -48,3 +48,25 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     /root/reference/src/embeddings.py:149-155)."""
     na, nb = norm(a), norm(b)
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric int8 quantization: q_i = floor(v_i * 127 / max|v| + 0.5)
+    (floor-based half-up — portable; engines disagree on round()'s
+    half-tie rule, floor never does). A zero vector quantizes to zeros.
+    At 100 TB this is the 4x storage/bandwidth reduction for the vector
+    table; search rescores the top candidates at full precision."""
+    v = _c(a)
+    amax = F.aggregate(
+        v, F.lit(0.0).cast("double"), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    return F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.floor(x.cast("double") * 127.0 / amax + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+
+def dequantize_int8(q: Column | str, scale: Column) -> Column:
+    """Inverse of ``quantize_int8`` given scale = max|v|: v_i ~ q_i *
+    scale / 127."""
+    return F.transform(_c(q), lambda x: x.cast("double") * scale / F.lit(127.0))

@@ -1324,6 +1324,55 @@ def text_quality(spark, sf_dir):
     return d.select("doc_id", *TX.quality_features("text"), TX.quality_score("text").alias("quality"))
 
 
+@register(
+    "embedding_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS v,
+             list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS amax
+      FROM embeddings
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(v, x -> floor(x * 127 / amax + 0.5)::INT), ',') AS q8,
+           round(list_aggregate(
+             list_transform(range(1, len(v) + 1),
+                            i -> abs(floor(v[i] * 127 / amax + 0.5) * amax / 127 - v[i])),
+             'max'), 6) AS max_err
+    FROM q
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (functions/vectors.py
+    quantize_int8) — the 4x vector-storage/bandwidth reduction for a
+    100 TB vector table, with full-precision rescoring left to the
+    search tail. Floor-based half-up rounding is engine-portable, so
+    the oracle checks every quantized component and the per-vector max
+    reconstruction error bit-for-bit."""
+    e = _par(_t(spark, sf_dir, "embeddings"))
+    amax = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    q = V.quantize_int8("embedding")
+    deq = V.dequantize_int8(q, F.col("amax"))
+    err = F.aggregate(
+        F.zip_with(deq, F.col("embedding"), lambda d, x: F.abs(d - x.cast("double"))),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return (
+        e.withColumn("amax", amax)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            F.array_join(F.col("q").cast("array<string>"), ",").alias("q8"),
+            F.round(err, 6).alias("max_err"),
+        )
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}"
 _IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

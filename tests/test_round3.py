@@ -175,6 +175,35 @@ def test_sequence_pack_properties(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from rag_project_with_embeddings_and_vector_database_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125]), (2, [0.0, 0.0, 0.0]), (3, [-1.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    amax = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    )
+    q = df.select(
+        "vec_id",
+        V.quantize_int8("embedding").alias("q"),
+        F.aggregate(
+            F.zip_with(
+                V.dequantize_int8(V.quantize_int8("embedding"), amax),
+                F.col("embedding"),
+                lambda d, x: F.abs(d - x),
+            ),
+            F.lit(0.0),
+            lambda a, x: F.greatest(a, x),
+        ).alias("max_err"),
+    ).collect()
+    got = {r.vec_id: r for r in q}
+    assert got[1].q == [127, -63, 32] and got[1].max_err <= 0.5 / 127  # bound = scale/254
+    assert got[2].q == [0, 0, 0] and got[2].max_err == 0.0  # zero vector passes through
+    assert got[3].q == [-127, 127, 0]
+
+
 def test_pipeline_reference_corpus_deterministic(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 

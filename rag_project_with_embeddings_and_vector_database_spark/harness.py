@@ -696,11 +696,11 @@ def _fixture_corpus_dir(spark=None) -> str:
     stale one left by an earlier version or a crashed writer."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_rag_fixture_corpus_u{os.getuid()}"
-    )
+    uid = getattr(os, "getuid", lambda: 0)()  # POSIX; 0 fallback elsewhere
+    root = os.path.join(tempfile.gettempdir(), f"spark_rag_fixture_corpus_u{uid}")
     payload = repr(_FIXTURE_DOCS) + _FIXTURE_QUERIES_JSON
     fingerprint = hashlib.md5(payload.encode()).hexdigest()
     marker = os.path.join(root, ".fixture_version")
@@ -710,6 +710,10 @@ def _fixture_corpus_dir(spark=None) -> str:
                 return root
     except OSError:
         pass
+    # stale or absent: rebuild from scratch so files REMOVED from
+    # _FIXTURE_DOCS don't linger (both engines glob the directory, so an
+    # orphan would corrupt the corpus invisibly — they'd still agree)
+    shutil.rmtree(root, ignore_errors=True)
     for rel, content in _FIXTURE_DOCS:
         path = os.path.join(root, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -731,13 +735,12 @@ def _fixture_sql_root() -> str:
     surfaces in exactly one query, loudly."""
     try:
         return _fixture_corpus_dir()
-    except OSError:
+    except Exception:  # noqa: BLE001 — the contract IS never-raise
         import os
         import tempfile
 
-        return os.path.join(
-            tempfile.gettempdir(), f"spark_rag_fixture_corpus_u{os.getuid()}"
-        )
+        uid = getattr(os, "getuid", lambda: 0)()
+        return os.path.join(tempfile.gettempdir(), f"spark_rag_fixture_corpus_u{uid}")
 
 
 def _scan_docs_sql() -> str:
@@ -900,7 +903,7 @@ def ddl_collections(spark, sf_dir):
     FROM documents d CROSS JOIN (
       SELECT unnest(['all-MiniLM-L6-v2', 'e5-base-v2']) AS model
     ) m
-    WHERE d.doc_id < 200 AND trim(d.text) != ''
+    WHERE d.doc_id < 200 AND regexp_matches(d.text, '\\S')
     GROUP BY m.model
     """,
 )
@@ -909,12 +912,14 @@ def embed_fanout(spark, sf_dir):
     same chunk set, union tagged by model (main.py:198-221). The oracle
     pins the per-model row count AND the unit-norm invariant (mean L2
     norm rounds to exactly 1.0 at 4 decimals — the embed contract; the
-    hash embedder leaves only the zero vector of an EMPTY text
-    unnormalized, so both sides drop empty docs, mirroring the
-    pipeline's P1 filter; per-value bit-exactness is separately proven
-    by embed_values)."""
+    hash embedder leaves only token-less texts as unnormalized zero
+    vectors, so both sides keep docs with any `\\S` character — the
+    same predicate class the P1 scan filter uses. Residual caveat, as
+    for token_count: a doc of ONLY non-ASCII whitespace would pass `\\S`
+    yet Python-split to zero tokens; the corpus is ASCII. Per-value
+    bit-exactness is separately proven by embed_values)."""
     d = _t(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 200) & (F.trim("text") != "")
+        (F.col("doc_id") < 200) & F.col("text").rlike(r"\S")
     ).select("doc_id", F.col("text").alias("content"))
     out = None
     for m in ["all-MiniLM-L6-v2", "e5-base-v2"]:
@@ -1334,11 +1339,15 @@ def text_quality(spark, sf_dir):
       FROM embeddings
     )
     SELECT vec_id,
-           array_to_string(list_transform(v, x -> floor(x * 127 / amax + 0.5)::INT), ',') AS q8,
-           round(list_aggregate(
-             list_transform(range(1, len(v) + 1),
-                            i -> abs(floor(v[i] * 127 / amax + 0.5) * amax / 127 - v[i])),
-             'max'), 6) AS max_err
+           CASE WHEN amax > 0
+                THEN array_to_string(list_transform(v, x -> floor(x * 127 / amax + 0.5)::INT), ',')
+                ELSE array_to_string(list_transform(v, x -> 0), ',') END AS q8,
+           CASE WHEN amax > 0
+                THEN round(list_aggregate(
+                       list_transform(range(1, len(v) + 1),
+                                      i -> abs(floor(v[i] * 127 / amax + 0.5) * amax / 127 - v[i])),
+                       'max'), 6)
+                ELSE 0.0::DOUBLE END AS max_err
     FROM q
     """,
 )
@@ -1348,28 +1357,31 @@ def embedding_quantize(spark, sf_dir):
     100 TB vector table, with full-precision rescoring left to the
     search tail. Floor-based half-up rounding is engine-portable, so
     the oracle checks every quantized component and the per-vector max
-    reconstruction error bit-for-bit."""
+    reconstruction error bit-for-bit, including the zero-vector
+    pass-through (both sides emit zeros / 0.0, never NULL)."""
     e = _par(_t(spark, sf_dir, "embeddings"))
     amax = F.aggregate(
         F.col("embedding"),
         F.lit(0.0).cast("double"),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
-    q = V.quantize_int8("embedding")
-    deq = V.dequantize_int8(q, F.col("amax"))
-    err = F.aggregate(
-        F.zip_with(deq, F.col("embedding"), lambda d, x: F.abs(d - x.cast("double"))),
+    # materialize amax and q once, then derive the error from the
+    # materialized columns — array-lambda subtrees get no CSE, so
+    # rebuilding the quantize expression would re-run its folds per row
+    e = e.withColumn("amax", amax).withColumn("q", V.quantize_int8("embedding"))
+    err = F.when(F.col("amax") > 0, F.aggregate(
+        F.zip_with(
+            V.dequantize_int8(F.col("q"), F.col("amax")),
+            F.col("embedding"),
+            lambda d, x: F.abs(d - x.cast("double")),
+        ),
         F.lit(0.0).cast("double"),
         lambda acc, x: F.greatest(acc, x),
-    )
-    return (
-        e.withColumn("amax", amax)
-        .withColumn("q", q)
-        .select(
-            "vec_id",
-            F.array_join(F.col("q").cast("array<string>"), ",").alias("q8"),
-            F.round(err, 6).alias("max_err"),
-        )
+    )).otherwise(F.lit(0.0))
+    return e.select(
+        "vec_id",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q8"),
+        F.round(err, 6).alias("max_err"),
     )
 
 
@@ -2917,7 +2929,7 @@ _PRIORITY = [
     # (scan_docs read_text; sinks/DDL/embed_fanout value checks), plus
     # the TPC-H relational core re-confirmation
     "scan_docs", "sink_csv", "sink_json", "sink_vectors", "ddl_collections",
-    "embed_fanout", "tpch_q1", "tpch_q6", "tpch_q3", "tpch_q5",
+    "embed_fanout", "tpch_q1", "tpch_q3", "tpch_q5", "embedding_quantize",
     # (c) new or code-touched in r3: restored/new oracles
     # (scan_queries read_json_auto, bucket_stats), real-streaming
     # evidence (sessionize_stateful, stream_windowed_counts), the
@@ -2927,7 +2939,7 @@ _PRIORITY = [
     # branch-free simhash, persist) + metric_all (grid full-outer).
     # Displaced to the tail (all r1-hash-PASSED, code unchanged):
     # metric_topk/mrr/avgsim (subsets of metric_all), semi_anti_join,
-    # brand_revenue, rollup_lineitem.
+    # brand_revenue, rollup_lineitem, tpch_q6 (also benched every round).
     "scan_queries", "bucket_stats", "sessionize_stateful",
     "stream_windowed_counts", "pipeline_reference_corpus",
     "tfidf_terms", "repetition_stats", "pii_scan", "decontaminate",

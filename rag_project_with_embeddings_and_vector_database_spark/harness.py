@@ -687,6 +687,46 @@ _FIXTURE_QUERIES_JSON = (
     '"expected_keywords": ["revenue"], "expected_source_patterns": ["annual"]}]'
 )
 
+# Vendored single-page PDF (VERDICT r3 item 7): authored as bytes by
+# code — no library is needed to WRITE a PDF — so the S2 scan -> route
+# -> parse path runs for real on a non-md format even though pypdf
+# cannot be installed here (the narrow stdlib fallback in
+# sources/documents.py handles exactly this envelope).
+_FIXTURE_PDF_NAME = "projects/cash_flow.pdf"
+_FIXTURE_PDF_LINES = ("Quarterly cash flow summary.", "Net cash increased 12 percent.")
+_FIXTURE_PDF_TEXT = "--- Page 1 ---\n" + "\n".join(_FIXTURE_PDF_LINES)
+
+
+def _fixture_pdf_bytes() -> bytes:
+    """A tiny VALID single-page PDF: uncompressed content stream with
+    literal-string Tj shows, correct /Length and xref offsets (loadable
+    by any conformant reader, not just the fallback)."""
+    shows = " 0 -14 Td ".join(f"({ln}) Tj" for ln in _FIXTURE_PDF_LINES)
+    stream = f"BT /F1 12 Tf 72 720 Td {shows} ET".encode("latin-1")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n" + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
 
 def _fixture_corpus_dir(spark=None) -> str:
     """Write (or refresh) the deterministic on-disk fixture corpus and
@@ -701,8 +741,9 @@ def _fixture_corpus_dir(spark=None) -> str:
 
     uid = getattr(os, "getuid", lambda: 0)()  # POSIX; 0 fallback elsewhere
     root = os.path.join(tempfile.gettempdir(), f"spark_rag_fixture_corpus_u{uid}")
+    pdf_bytes = _fixture_pdf_bytes()
     payload = repr(_FIXTURE_DOCS) + _FIXTURE_QUERIES_JSON
-    fingerprint = hashlib.md5(payload.encode()).hexdigest()
+    fingerprint = hashlib.md5(payload.encode() + pdf_bytes).hexdigest()
     marker = os.path.join(root, ".fixture_version")
     try:
         with open(marker) as f:
@@ -719,6 +760,10 @@ def _fixture_corpus_dir(spark=None) -> str:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
             f.write(content)
+    pdf_path = os.path.join(root, _FIXTURE_PDF_NAME)
+    os.makedirs(os.path.dirname(pdf_path), exist_ok=True)
+    with open(pdf_path, "wb") as f:
+        f.write(pdf_bytes)
     with open(os.path.join(root, "queries.json"), "w") as f:
         f.write(_FIXTURE_QUERIES_JSON)
     with open(marker, "w") as f:  # written LAST: absent/stale on partial writes
@@ -747,22 +792,32 @@ def _scan_docs_sql() -> str:
     # read_text over the same deterministic fixture corpus the Spark
     # binaryFile scan reads: S1/S6/S8 get a real value oracle (ext
     # routing, byte size, raw markdown content, null error column).
+    # The vendored PDF's expected row is a literal: its bytes and the
+    # fallback parser's output are both fixed at authoring time, so the
+    # binary S2 parse path is value-checked too (VERDICT r3 item 7).
     root = _fixture_sql_root()
+    pdf_size = len(_fixture_pdf_bytes())
+    pdf_text = _FIXTURE_PDF_TEXT.replace("'", "''")
     return f"""
     SELECT lower(regexp_extract(filename, '\\.([^.]+)$', 1)) AS ext,
            strlen(content)::BIGINT AS size_bytes,
            content,
            NULL AS error
     FROM read_text('{root}/**/*.md')
+    UNION ALL
+    SELECT 'pdf', {pdf_size}::BIGINT, '{pdf_text}', NULL
     """
 
 
 @register("scan_docs", _scan_docs_sql())
 def scan_docs(spark, sf_dir):
     """S1-S6/S8: recursive binaryFile scan + extension router + parse
-    over a deterministic on-disk markdown corpus (sources/documents.py).
-    The DuckDB twin read_texts the identical files, so the scan, glob
-    routing and markdown decode are value-checked, not just row-counted."""
+    over a deterministic on-disk corpus: three markdown files PLUS the
+    vendored single-page PDF (sources/documents.py; the stdlib fallback
+    extracts its Tj text for real — S2 is exercised end to end, not
+    stubbed). The DuckDB twin read_texts the identical md files and
+    pins the PDF row as a literal, so scan, glob routing, markdown
+    decode AND the binary parse are value-checked."""
     from .sources.documents import load_documents
 
     root = _fixture_corpus_dir(spark)
@@ -958,11 +1013,14 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
-def _ann_recall(spark, sf_dir, make_approx):
+def _ann_recall(spark, sf_dir, make_approx, recall_floor: float = 0.9):
     """Per-query recall@10 of an ANN method vs the exact brute-force
     top-10 — the measurable quality number, computed inside the query so
     the driver's rows check pins it (seeded KMeans/LSH internals are not
-    SQL-expressible, so these stay rows-only by design)."""
+    SQL-expressible, so these stay rows-only by design). Each row also
+    carries ``recall_floor_met`` (recall >= 0.9 at the tuned settings;
+    VERDICT r3 item 4): a silent recall collapse flips the row content
+    — and tests/test_round4.py asserts every flag is true."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     exact = R.knn_bruteforce(q, e, 10, corpus_id="vec_id", normalized=True).select(
@@ -972,12 +1030,14 @@ def _ann_recall(spark, sf_dir, make_approx):
     overlap = exact.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("_hits")
     )
+    recall = F.round(F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(10.0), 2)
     return (
         q.select("query_id")
         .join(overlap, "query_id", "left")
         .select(
             "query_id",
-            F.round(F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(10.0), 2).alias("recall_at_10"),
+            recall.alias("recall_at_10"),
+            (recall >= F.lit(recall_floor)).alias("recall_floor_met"),
         )
     )
 
@@ -1004,6 +1064,101 @@ def ann_lsh(spark, sf_dir):
     return _ann_recall(spark, sf_dir, lambda q, e: R.knn_lsh(q, e, 10, corpus_id="vec_id"))
 
 
+_TOPK_QUANT_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS amax
+      FROM embeddings
+    ),
+    cq AS (
+      SELECT vec_id, v, amax,
+             CASE WHEN amax > 0
+                  THEN list_transform(v, x -> floor(x * 127 / amax + 0.5) * amax / 127.0)
+                  ELSE list_transform(v, x -> 0.0::DOUBLE) END AS dq
+      FROM c
+    ),
+    s AS (
+      SELECT q.query_id, cq.vec_id,
+             list_dot_product(cq.dq, q.qv) AS score_q,
+             list_dot_product(cq.v, q.qv) AS score
+      FROM cq, q
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, vec_id) AS rank_q,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS exact_rank
+      FROM s
+    ),
+    cand AS (SELECT * FROM r WHERE rank_q <= 50)
+    SELECT query_id, vec_id, round(score, 6) AS score, rank::INT AS rank, in_exact_topk
+    FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank,
+             exact_rank <= 10 AS in_exact_topk
+      FROM cand
+    )
+    WHERE rank <= 10
+"""
+
+
+@register("topk_retrieval_quantized", _TOPK_QUANT_SQL)
+def topk_retrieval_quantized(spark, sf_dir):
+    """Int8-quantized retrieval END TO END (VERDICT r3 item 3): coarse
+    top-50 scan scoring dequantized int8 corpus vectors against the
+    full-precision query, then full-precision rescore of the candidates
+    to the final top-10 — the search path that makes the 4x storage
+    claim of ``embedding_quantize`` usable. Each hit also carries
+    ``in_exact_topk``: whether it appears in the exact brute-force
+    top-10 (computed in the same scan), so quantization quality is
+    driver-visible per row. The oracle replays quantize -> dequantize ->
+    coarse rank -> rescore bit-for-bit (floor-half-up rounding and
+    left-to-right float64 dots are engine-portable).
+
+    Scale shape: the coarse pass reads ONLY the int8 column + scale (4x
+    less scan bandwidth); the rescore touches 50 full-precision vectors
+    per query via the rank filter. Here both scores come from one
+    broadcast scored scan so the exact flag is computable in-query."""
+    e = _par(_t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    amax = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    corpus = (
+        e.select("vec_id", "embedding")
+        .withColumn("amax", amax)
+        .withColumn("q8", V.quantize_int8("embedding"))
+    )
+    scored = corpus.join(F.broadcast(q), F.lit(True)).select(
+        "query_id",
+        "vec_id",
+        V.dot(V.dequantize_int8(F.col("q8"), F.col("amax")), F.col("qv")).alias("score_q"),
+        V.dot("embedding", "qv").alias("score"),
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("vec_id"))
+    w_exact = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    ranked = scored.withColumn("rank_q", F.row_number().over(w_coarse)).withColumn(
+        "exact_rank", F.row_number().over(w_exact)
+    )
+    cand = ranked.filter(F.col("rank_q") <= 50)
+    w_res = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_res))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+            (F.col("exact_rank") <= 10).alias("in_exact_topk"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite (north-star)
 # ---------------------------------------------------------------------------
@@ -1022,7 +1177,7 @@ def dedup_exact(spark, sf_dir):
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-def _minhash_sql(num_perm: int = 16, seed: int = 42) -> str:
+def _minhash_sql(num_perm: int = 16, seed: int = 42, source: str = "documents") -> str:
     perms = DD._perm_params(num_perm, seed)
     p = DD._P
     terms = ",\n             ".join(
@@ -1031,7 +1186,7 @@ def _minhash_sql(num_perm: int = 16, seed: int = 42) -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
-      FROM documents
+      FROM {source}
     ),
     grams AS (
       SELECT doc_id,
@@ -2016,7 +2171,9 @@ def sessionize_stateful(spark, sf_dir):
     terminates as soon as the data is exhausted; sessions still open at
     end-of-stream are therefore not emitted, and the expected set is the
     batch sessions minus each user's final session. Emits one row of
-    counts; correct iff n_stream == n_expected == n_matched."""
+    counts plus an ``ok`` flag and RAISES when the counts disagree
+    (ADVICE r3: a parity regression must fail the query loudly, not be
+    recorded as a green rows-only row)."""
     import os
     import tempfile
     import uuid
@@ -2052,9 +2209,16 @@ def sessionize_stateful(spark, sf_dir):
     )
     keys = ["user_id", "session_start_us", "session_end_us", "n_events"]
     matched = got.join(expected, keys, "inner").count()
+    n_stream, n_expected = got.count(), expected.count()
+    ok = n_stream == n_expected == matched
+    if not ok:
+        raise AssertionError(
+            f"streaming/batch sessionize parity broke: n_stream={n_stream} "
+            f"n_expected={n_expected} n_matched={matched}"
+        )
     return spark.createDataFrame(
-        [(got.count(), expected.count(), matched)],
-        "n_stream long, n_expected long, n_matched long",
+        [(n_stream, n_expected, matched, ok)],
+        "n_stream long, n_expected long, n_matched long, ok boolean",
     )
 
 
@@ -2064,10 +2228,13 @@ def stream_windowed_counts(spark, sf_dir):
     windowed_event_counts) run as a REAL Structured Streaming job over
     the events table (temp parquet -> readStream -> 1-hour windows per
     event_type -> memory sink, availableNow trigger, complete output so
-    every window is emitted for comparison; the watermark still bounds
-    state in the plan). Compared against the identical batch aggregation.
-    Emits one counts row; correct iff n_stream == n_batch == n_matched
-    and every matched window's avg agrees to 1e-6."""
+    every window is emitted for comparison — note complete mode retains
+    ALL window state and the watermark evicts nothing; the
+    bounded-state production shape is append mode, where the watermark
+    drops windows it has passed; ADVICE r3). Compared against the
+    identical batch aggregation. Emits one counts row plus an ``ok``
+    flag and RAISES unless n_stream == n_batch == n_matched ==
+    n_avg_close (every matched window's avg agrees to 1e-6)."""
     import os
     import tempfile
     import uuid
@@ -2107,9 +2274,16 @@ def stream_windowed_counts(spark, sf_dir):
     joined = got.join(batch, ["window_start", "window_end", "event_type", "n"], "inner")
     n_matched = joined.count()
     n_avg_close = joined.filter(F.abs(F.col("avg_value") - F.col("avg_batch")) < 1e-6).count()
+    n_stream, n_batch = got.count(), batch.count()
+    ok = n_stream == n_batch == n_matched == n_avg_close
+    if not ok:
+        raise AssertionError(
+            f"streaming/batch windowed-agg parity broke: n_stream={n_stream} "
+            f"n_batch={n_batch} n_matched={n_matched} n_avg_close={n_avg_close}"
+        )
     return spark.createDataFrame(
-        [(got.count(), batch.count(), n_matched, n_avg_close)],
-        "n_stream long, n_batch long, n_matched long, n_avg_close long",
+        [(n_stream, n_batch, n_matched, n_avg_close, ok)],
+        "n_stream long, n_batch long, n_matched long, n_avg_close long, ok boolean",
     )
 
 
@@ -2907,45 +3081,140 @@ def connected_components(spark, sf_dir):
     return DD.connected_components(pairs)
 
 
+def _dedup_full_sql(threshold: float = 0.5, max_bucket_size: int = 1000) -> str:
+    # The COMPOSED dedup pipeline the VERDICT r3 item 2 asks for:
+    # minhash-LSH pairs -> connected components -> min-id keeper ->
+    # per-doc verdict, all in one recursive-CTE oracle over the planted
+    # corpus. Mirrors minhash_lsh_pairs' bucket guard and est_jaccard.
+    base = _minhash_sql(source="corpus")
+    band_exprs = []
+    for band in range(4):
+        cols = " || '_' || ".join(f"sig[{band * 4 + r + 1}]::VARCHAR" for r in range(4))
+        band_exprs.append(
+            f"SELECT doc_id, sig, {band} AS band, ('0x' || substr(md5({cols}), 1, 15))::BIGINT AS band_hash FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_exprs)
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 1000, 'copy ' || text FROM documents WHERE doc_id < 30
+    ),
+    sigs AS ({base}),
+    banded AS ({bands}),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, band_hash) AS _n FROM banded
+      ) WHERE _n <= {max_bucket_size}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      WHERE round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0::DOUBLE, 6) >= {threshold}
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT c.doc_id,
+           coalesce(comp.component, c.doc_id) AS component,
+           coalesce(comp.component, c.doc_id) = c.doc_id AS kept
+    FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+    """
+
+
+@register("dedup_full", _dedup_full_sql())
+def dedup_full(spark, sf_dir):
+    """The operation a 100 TB pipeline actually runs, composed end to
+    end: minhash-LSH candidate pairs (est_jaccard >= 0.5) -> connected
+    components -> min-id keeper per component -> per-doc verdict
+    (doc_id, component, kept). Until r4 the three stages were verified
+    only separately (VERDICT r3 item 2); the oracle replays the whole
+    composition — signatures, banding, bucket guard, threshold,
+    transitive closure, keeper choice — bit-for-bit via a recursive
+    CTE. Corpus: documents doc_id < 30 plus planted near-duplicates
+    (one leading token, id + 1000), so every pair the LSH surfaces
+    collapses to the base id and every planted doc is dropped.
+
+    Scale shape: one banded equi-join (bounded buckets), a few
+    label-propagation joins on short-diameter dup graphs, one left
+    join back to the corpus spine — no quadratic stage anywhere."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select("doc_id", "text")
+    planted = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("copy "), F.col("text")).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    pairs = DD.minhash_lsh_pairs(corpus, num_perm=16, num_bands=4, seed=42).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = DD.connected_components(pairs)
+    return (
+        corpus.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .withColumn("kept", F.col("component") == F.col("doc_id"))
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01 evidence). The window ROTATES each
-# round so every registered oracle eventually earns a CORRECTNESS row
-# (VERDICT r2 item 1 / ADVICE r2): r1 checked the original registration
-# order, r2 checked the §2-core + north-star set (all green), so r3
-# front-loads (a) the 23 supplementary relational queries never driver-
-# checked, (b) the 16 queries last checked in r1, then (c) queries that
-# are new or whose code changed this round. The r2-green §2 core is
-# stable and rotates to the tail.
+# round so every registered oracle eventually earns a CORRECTNESS row,
+# and — the standing POLICY, enforced by scripts/selfcheck.py
+# --check-window — any round that touches an operator's code or
+# fixtures must front-load that operator's queries so its latest
+# CORRECTNESS row postdates the change. r4 window (VERDICT r3 item 1):
+# (a) queries that are NEW or whose code/fixtures changed THIS round,
+# (b) queries whose code/fixtures changed in r3 AFTER their last
+# CORRECTNESS row (regressions were invisible for these), (c) the
+# r1-verified set displaced by the r3 rotation, (d) remaining r2-green
+# §2 core due for re-confirmation. The r3-green window (supplementary
+# relational suite, sinks, TPC-H core, text/sampling families) rotates
+# to the tail.
 _PRIORITY = [
-    # (a) never driver-checked before r3: supplementary relational suite
-    "set_ops", "string_funcs", "date_parts", "array_ops", "grouped_mad",
-    "cube_lineitem", "events_percentiles", "pivot_events", "global_topn",
-    "big_orders", "orders_lineitem_smj", "sql_api", "distinct_counts",
-    "approx_distinct", "sink_orc",
-    "window_running_sum", "window_lag_delta", "window_range_frame",
-    "window_value_functions", "events_hourly", "events_json",
-    "top_orders_per_customer", "cheapest_supplier_per_part",
-    # (b) last checked in r1 and upgraded with NEW oracles this round
-    # (scan_docs read_text; sinks/DDL/embed_fanout value checks), plus
-    # the TPC-H relational core re-confirmation
-    "scan_docs", "sink_csv", "sink_json", "sink_vectors", "ddl_collections",
-    "embed_fanout", "tpch_q1", "tpch_q3", "tpch_q5", "embedding_quantize",
-    # (c) new or code-touched in r3: restored/new oracles
-    # (scan_queries read_json_auto, bucket_stats), real-streaming
-    # evidence (sessionize_stateful, stream_windowed_counts), the
-    # reference-corpus end-to-end run, the new text/sampling/packing
-    # operator families, and the dedup queries whose code changed
-    # (bucket-guard parity, neardup gates, shingle try_element_at,
-    # branch-free simhash, persist) + metric_all (grid full-outer).
-    # Displaced to the tail (all r1-hash-PASSED, code unchanged):
-    # metric_topk/mrr/avgsim (subsets of metric_all), semi_anti_join,
-    # brand_revenue, rollup_lineitem, tpch_q6 (also benched every round).
-    "scan_queries", "bucket_stats", "sessionize_stateful",
-    "stream_windowed_counts", "pipeline_reference_corpus",
-    "tfidf_terms", "repetition_stats", "pii_scan", "decontaminate",
-    "hash_split_assign", "stratified_sample", "sequence_pack",
-    "ngram_jaccard", "dedup_embedding", "dedup_minhash_pairs",
-    "simhash_pairs", "metric_all",
+    # (a) new in r4 (composed dedup pipeline, quantized retrieval,
+    # vendored-PDF scan) or code-touched in r4 (scoped pair caches,
+    # gate escape hatch, recall-floor flags, streaming ok-assertions,
+    # typed packing schema)
+    "dedup_full", "topk_retrieval_quantized", "scan_docs",
+    "ann_lsh", "ann_ivf", "sessionize_stateful", "stream_windowed_counts",
+    "dedup_minhash_pairs", "simhash_pairs", "ngram_jaccard",
+    "dedup_embedding", "sequence_pack",
+    # flagged by `selfcheck.py --check-window`: these sit in the
+    # dependency closure of files touched in r4 (operators/dedup.py,
+    # sources/documents.py) even though their own harness code didn't
+    # change
+    "bucket_stats", "dedup_exact", "decontaminate", "scan_queries",
+    "pipeline_reference_corpus",
+    # (b) code/fixtures changed in r3 after their last CORRECTNESS row:
+    # connected_components (shingle try_element_at + eager gate),
+    # dedup_minhash/dedup_simhash (branch-free tally, persist), the
+    # five full chunker folds + chunk_fanout (fixture corpus rewritten
+    # twice in r3), embed_batch/embed_values (fixture + empty-doc
+    # filter), pipeline_e2e, metric_topk/mrr/avgsim (grid full-outer
+    # touched per_query_metrics; only metric_all was re-confirmed)
+    "connected_components", "dedup_minhash", "dedup_simhash",
+    "chunk_fixed_size", "chunk_recursive", "chunk_structure_aware",
+    "chunk_hybrid", "chunk_table_aware", "chunk_fanout",
+    "embed_batch", "embed_values", "pipeline_e2e",
+    "metric_topk", "metric_mrr", "metric_avgsim",
+    # (c) displaced to the tail by the r3 rotation, last verified r1
+    "semi_anti_join", "brand_revenue", "rollup_lineitem", "tpch_q6",
+    # (d) r2-green core due for re-confirmation (asof/sessionize/window/
+    # salted/multimodal last checked r2, then the §2 primitives)
+    "asof_join", "sessionize", "window_suite", "salted_join",
+    "multimodal_meta",
+    "token_count", "sentence_split", "preprocess_text",
+    "chunk_recursive_para", "chunk_table_islands",
+    "cosine_dot", "l2_normalize", "topk_retrieval", "knn_bruteforce",
 ]
 
 

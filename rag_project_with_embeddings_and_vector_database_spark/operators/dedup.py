@@ -36,6 +36,37 @@ from ..functions.text import md5_long
 # large enough for minhash (per-perm collision odds ~5e-10).
 _P = (1 << 31) - 1
 
+# Bounded per-operator cache registry (ADVICE r3): the pair generators
+# persist() their banded/blocked frame because BOTH sides of the
+# self-join read it (no exchange reuse across differing join-side
+# projections — measured ~1.6x without the cache). A long-lived session
+# calling a generator repeatedly with different inputs must not
+# accumulate session-lifetime cache entries, so each generator swaps
+# its previous persisted frame out: at most ONE cached frame per
+# generator at any time, and release_caches() drops them all.
+_PAIR_CACHE: dict[str, DataFrame] = {}
+
+
+def _swap_cache(key: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` under ``key``, unpersisting the generator's
+    previous cached frame. Unpersisting the old frame is safe even if a
+    previously returned pairs DataFrame is still unexecuted — it simply
+    recomputes without the cache."""
+    prev = _PAIR_CACHE.get(key)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    df = df.persist()
+    _PAIR_CACHE[key] = df
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every pair-generator cache (call when a caller that
+    owns the lifecycle has materialized its pairs)."""
+    for df in _PAIR_CACHE.values():
+        df.unpersist(blocking=False)
+    _PAIR_CACHE.clear()
+
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) parameters via an LCG recurrence —
@@ -213,17 +244,18 @@ def minhash_lsh_pairs(
     the fill, once per guard subtree) beats caching before it (guard
     anti-join recomputed per join side) and beats caching both layers
     (double cache-write overhead) — 1.7s vs 2.3s vs 1.9s at sf0.1.
-    The cache lives for the session (a few dozen bytes per (doc, band)
-    row; it self-evicts under pressure) — at 100 TB the same role is
-    played by writing the signature table out, which dedup rounds
-    reuse anyway."""
+    The cache is SCOPED (a few dozen bytes per (doc, band) row): each
+    call swaps out the previous call's frame — at most one cached frame
+    per generator, ``release_caches()`` drops it — and at 100 TB the
+    same role is played by writing the signature table out, which dedup
+    rounds reuse anyway."""
     rows_per_band = num_perm // num_bands
     sig = minhash_signatures(df, content_col, id_col, shingle_n, num_perm, seed)
     banded = sig.select(
         id_col, "sig", F.explode(minhash_bands("sig", num_bands, rows_per_band)).alias("bb")
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     banded = _drop_oversized_buckets(banded, ["band", "band_hash"], max_bucket_size)
-    banded = banded.persist()
+    banded = _swap_cache("minhash_lsh_pairs", banded)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -340,8 +372,8 @@ def simhash_pairs(
 
     As in minhash_lsh_pairs, the guarded blocked frame is persist()ed
     so the fingerprint pipeline is computed once per fill, not once per
-    join side (session-lifetime cache; placement measured — see
-    there)."""
+    join side (scoped cache: each call swaps the previous frame out;
+    placement measured — see there)."""
     if bits % num_blocks != 0:
         raise ValueError(f"bits ({bits}) must be divisible by num_blocks ({num_blocks})")
     width = bits // num_blocks
@@ -360,7 +392,7 @@ def simhash_pairs(
         id_col, "sh", F.col("bb.block_id").alias("block_id"), F.col("bb.block_key").alias("block_key")
     )
     blocked = _drop_oversized_buckets(blocked, ["block_id", "block_key"], max_bucket_size)
-    blocked = blocked.persist()
+    blocked = _swap_cache("simhash_pairs", blocked)
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
@@ -388,6 +420,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     candidates: DataFrame | None = None,
     max_docs: int = 2000,
+    gate: str = "eager",
 ) -> DataFrame:
     """Exact n-gram Jaccard scoring.
 
@@ -400,7 +433,13 @@ def ngram_jaccard_pairs(
     per distinct side (an early-exit scan that never reads more than
     max_docs + 1 rows, counted once when right defaults to left). The
     call raises above ``max_docs`` rather than silently launching a
-    quadratic job on a 100 TB corpus."""
+    quadratic job on a 100 TB corpus.
+
+    ``gate='off'`` skips the probe (no Spark action at plan-construction
+    time) for callers composing lazy plans over inputs they have already
+    bounded — the caller owns the O(n^2) risk (ADVICE r3)."""
+    if gate not in ("eager", "off"):
+        raise ValueError(f"gate must be 'eager' or 'off', got {gate!r}")
     same_side = right is None or right is left
     right = left if same_side else right
     a = left.select(F.col(id_col).alias("id_a"), shingles(content_col, n).alias("g_a"))
@@ -416,15 +455,16 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", score)
             .filter(F.col("jaccard") >= threshold)
         )
-    n_bound = left.limit(max_docs + 1).count()
-    if not same_side:
-        n_bound = max(n_bound, right.limit(max_docs + 1).count())
-    if n_bound > max_docs:
-        raise ValueError(
-            f"ngram_jaccard_pairs without `candidates` is an O(n^2) self-join; "
-            f"side exceeds max_docs={max_docs}. Pass candidate "
-            f"pairs from minhash_lsh_pairs/simhash_pairs (or raise max_docs explicitly)."
-        )
+    if gate == "eager":
+        n_bound = left.limit(max_docs + 1).count()
+        if not same_side:
+            n_bound = max(n_bound, right.limit(max_docs + 1).count())
+        if n_bound > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs without `candidates` is an O(n^2) self-join; "
+                f"side exceeds max_docs={max_docs}. Pass candidate "
+                f"pairs from minhash_lsh_pairs/simhash_pairs (or raise max_docs explicitly)."
+            )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", score)
@@ -440,6 +480,7 @@ def embedding_neardup_pairs(
     probe_filter: Column | None = None,
     normalized: bool = False,
     max_probe_docs: int = 10_000,
+    gate: str = "eager",
 ) -> DataFrame:
     """Cosine-near-duplicate pairs. ``probe_filter`` restricts the
     broadcast probe side (e.g. a sample) so the pair count stays linear;
@@ -452,14 +493,18 @@ def embedding_neardup_pairs(
     probe side is therefore gated — an EAGER ``limit(max_probe_docs +
     1).count()`` probe at call time (early-exit scan) — and the call
     raises when it exceeds ``max_probe_docs``, whether or not a
-    ``probe_filter`` was given. For all-pairs near-dup over a large
-    corpus use knn_lsh / minhash_lsh_pairs instead."""
+    ``probe_filter`` was given. ``gate='off'`` skips the probe for
+    callers composing lazy plans over already-bounded probes (ADVICE
+    r3); the caller owns the O(n^2) risk. For all-pairs near-dup over a
+    large corpus use knn_lsh / minhash_lsh_pairs instead."""
     from ..functions import vectors as V
 
+    if gate not in ("eager", "off"):
+        raise ValueError(f"gate must be 'eager' or 'off', got {gate!r}")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     if probe_filter is not None:
         a = df.filter(probe_filter).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    if a.limit(max_probe_docs + 1).count() > max_probe_docs:
+    if gate == "eager" and a.limit(max_probe_docs + 1).count() > max_probe_docs:
         raise ValueError(
             f"embedding_neardup_pairs probe side exceeds max_probe_docs="
             f"{max_probe_docs}; it is broadcast into a theta join, so an "

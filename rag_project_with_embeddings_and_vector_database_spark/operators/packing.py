@@ -33,7 +33,15 @@ from pyspark.sql import functions as F
 from ..functions.text import token_count
 from .sampling import hash_bucket
 
-PACK_SCHEMA = "bucket int, doc_id long, doc_tokens bigint, seq_id bigint"
+def _pack_schema(id_type: str) -> str:
+    """Output schema for the per-bucket fold; the doc_id column keeps
+    the INPUT id column's type (ADVICE r3: a hard-coded ``long`` would
+    miscast string or decimal ids inside applyInPandas)."""
+    return f"bucket int, doc_id {id_type}, doc_tokens bigint, seq_id bigint"
+
+
+# the common case (bigint ids), kept for callers that import the constant
+PACK_SCHEMA = _pack_schema("long")
 
 
 def _pack_fn(budget: int):
@@ -76,6 +84,7 @@ def sequence_pack(
         # exactly-once guarantee — every doc gets a sequence slot.
         F.coalesce(token_count(content_col), F.lit(0)).alias("doc_tokens"),
     )
-    packed = meta.groupBy("bucket").applyInPandas(_pack_fn(budget_tokens), PACK_SCHEMA)
+    schema = _pack_schema(df.schema[id_col].dataType.simpleString())
+    packed = meta.groupBy("bucket").applyInPandas(_pack_fn(budget_tokens), schema)
     w = Window.partitionBy("bucket", "seq_id").orderBy("doc_id")
     return packed.withColumn("seq_pos", (F.row_number().over(w) - 1).cast("int"))

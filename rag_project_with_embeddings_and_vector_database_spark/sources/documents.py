@@ -44,11 +44,59 @@ _PARSED_SCHEMA = T.StructType(
 )
 
 
+def _pdf_text_minimal(data: bytes) -> str:
+    """Stdlib-only fallback PDF text extraction, deliberately narrow:
+    SINGLE-page PDFs with literal-string text operators only. Streams
+    are inflated when FlateDecode'd (zlib IS Flate); text is the
+    ``(...) Tj`` (or single-string ``[(...)] TJ``) show operators
+    inside BT/ET blocks, in stream order, one output line per show.
+
+    Anything outside that envelope (multi-page, hex strings, CID
+    fonts, other filters) raises NotImplementedError so the caller
+    falls back to the documented stub — a partial extraction of a real
+    multi-page financial PDF would be worse than an honest stub. The
+    envelope exists so the vendored single-page fixture exercises the
+    REAL S2 scan->route->parse path end to end (VERDICT r3 item 7)
+    even though pypdf cannot be installed in this container."""
+    import re as _re
+    import zlib
+
+    if not data.startswith(b"%PDF"):
+        raise NotImplementedError("not a PDF header")
+    n_pages = len(_re.findall(rb"/Type\s*/Page\b(?!s)", data))
+    if n_pages != 1:
+        raise NotImplementedError(
+            f"minimal pdf fallback handles exactly one page, found {n_pages}"
+        )
+    texts: list[str] = []
+    for m in _re.finditer(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", data, _re.DOTALL):
+        meta, stream = m.group(1), m.group(2)
+        if b"/FlateDecode" in meta:
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error as e:
+                raise NotImplementedError(f"undecodable Flate stream: {e}")
+        elif b"/Filter" in meta:
+            raise NotImplementedError("unsupported stream filter")
+        for bt in _re.finditer(rb"BT(.*?)ET", stream, _re.DOTALL):
+            # literal strings ahead of a Tj/TJ show operator; PDF string
+            # escapes \( \) \\ unescaped, others left verbatim
+            for sm in _re.finditer(rb"\(((?:[^()\\]|\\.)*)\)\s*\]?\s*T[jJ]", bt.group(1)):
+                raw = _re.sub(rb"\\([()\\])", rb"\1", sm.group(1))
+                texts.append(raw.decode("latin-1"))
+    if not texts:
+        raise NotImplementedError("no literal-string text operators found")
+    return "--- Page 1 ---\n" + "\n".join(texts)
+
+
 def _parse_pdf(data: bytes) -> str:
     try:
         from pypdf import PdfReader  # type: ignore
     except ImportError:
-        raise NotImplementedError("pdf parser not installed (pypdf)")
+        # pypdf is not installable in this container (README
+        # "Environment constraints"); a narrow stdlib fallback keeps
+        # the real parse path testable on the vendored fixture.
+        return _pdf_text_minimal(data)
     import io
 
     reader = PdfReader(io.BytesIO(data))

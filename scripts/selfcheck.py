@@ -3,6 +3,17 @@ compare row count, column names, and order-insensitive rounded values —
 a local approximation of the driver's correctness gate.
 
 Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+       python scripts/selfcheck.py --check-window [since_ref]
+
+--check-window enforces the rotation POLICY (VERDICT r3 item 8): every
+query whose code changed since ``since_ref`` (default: the last commit
+that touched a CORRECTNESS_r*.json — i.e. the round boundary) must sit
+inside the FIRST 50 queries() entries, because the driver's correctness
+gate only checks that window. Dependencies are derived, not hand-kept:
+harness.py diff hunks map to their enclosing @register function;
+package-module diffs map to every query whose function source uses that
+module (via the harness import aliases + local imports), transitively
+through the package's internal import graph.
 """
 
 from __future__ import annotations
@@ -33,7 +44,242 @@ def norm_rows(rows):
     return sorted("|".join(norm_val(v) for v in r) for r in rows)
 
 
+PKG = "rag_project_with_embeddings_and_vector_database_spark"
+
+# fixture/SQL-builder code in harness.py that lives OUTSIDE any
+# @register span feeds these queries (kept small and explicit; the
+# module-level fallback below catches anything unmapped by warning)
+_HARNESS_MODULE_LEVEL_DEPS = {
+    "_FIXTURE": {"scan_docs", "scan_queries"},
+    "_fixture_pdf": {"scan_docs"},
+    "_fixture_corpus": {"scan_docs", "scan_queries", "pipeline_reference_corpus"},
+    "_minhash_sql": {"dedup_minhash", "dedup_minhash_pairs", "bucket_stats", "dedup_full"},
+    "_minhash_pairs_sql": {"dedup_minhash_pairs"},
+    "_simhash_sql": {"dedup_simhash", "simhash_pairs"},
+    "_dedup_full_sql": {"dedup_full"},
+    "_CC_SQL": {"connected_components"},
+    "_TOPK_QUANT_SQL": {"topk_retrieval_quantized"},
+    "_ann_recall": {"ann_lsh", "ann_ivf"},
+    "_synthetic_docs": {"chunk_fanout", "embed_batch", "embed_values", "pipeline_e2e"},
+}
+
+
+def _git(*args: str) -> str:
+    import subprocess
+
+    return subprocess.check_output(["git", *args], text=True)
+
+
+def _module_import_graph() -> dict[str, set[str]]:
+    """module file (pkg-relative) -> set of pkg-relative module files it
+    imports, resolved from ``from .``/``from ..`` statements."""
+    import os
+    import re
+
+    graph: dict[str, set[str]] = {}
+    for dirpath, _dirs, files in os.walk(PKG):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, PKG)
+            pkg_dir = os.path.dirname(rel)
+            deps: set[str] = set()
+            with open(path) as f:
+                src = f.read()
+            for m in re.finditer(r"^\s*from\s+(\.+)([\w.]*)\s+import\s+([\w, ]+)", src, re.M):
+                dots, modpath, names = m.group(1), m.group(2), m.group(3)
+                base = pkg_dir
+                for _ in range(len(dots) - 1):
+                    base = os.path.dirname(base)
+                if modpath:
+                    cand = os.path.join(base, modpath.replace(".", "/"))
+                    for c in (f"{cand}.py", f"{cand}/__init__.py"):
+                        if os.path.exists(os.path.join(PKG, c)):
+                            deps.add(c)
+                    # `from .pkg import module` form
+                    for nm in (n.strip() for n in names.split(",")):
+                        c2 = os.path.join(base, modpath.replace(".", "/"), f"{nm}.py")
+                        if os.path.exists(os.path.join(PKG, c2)):
+                            deps.add(c2)
+                else:
+                    for nm in (n.strip() for n in names.split(",")):
+                        c = os.path.join(base, f"{nm}.py")
+                        if os.path.exists(os.path.join(PKG, c)):
+                            deps.add(c)
+            graph[rel] = deps
+    return graph
+
+
+def _query_module_deps() -> dict[str, set[str]]:
+    """query name -> set of pkg-relative module files its harness
+    function depends on (direct via alias/local-import, then closed
+    over the internal import graph)."""
+    import inspect
+    import re
+
+    from rag_project_with_embeddings_and_vector_database_spark import harness
+
+    # harness import aliases -> module file
+    alias_to_mod = {}
+    hsrc = inspect.getsource(harness)
+    for m in re.finditer(r"^from \.([\w.]+) import (\w+)(?: as (\w+))?$", hsrc, re.M):
+        modpath, name, alias = m.groups()
+        cand = f"{modpath.replace('.', '/')}/{name}.py"
+        import os
+
+        if os.path.exists(os.path.join(PKG, cand)):
+            alias_to_mod[alias or name] = cand
+        else:
+            alias_to_mod[alias or name] = f"{modpath.replace('.', '/')}.py"
+
+    graph = _module_import_graph()
+
+    def closure(mods: set[str]) -> set[str]:
+        out, stack = set(), list(mods)
+        while stack:
+            m = stack.pop()
+            if m in out:
+                continue
+            out.add(m)
+            stack.extend(graph.get(m, ()))
+        return out
+
+    deps: dict[str, set[str]] = {}
+    for qname, fn in harness.SPARK_QUERIES.items():
+        src = inspect.getsource(fn)
+        direct: set[str] = set()
+        for alias, mod in alias_to_mod.items():
+            if re.search(rf"\b{alias}\.", src):
+                direct.add(mod)
+        for m in re.finditer(r"from \.([\w.]+) import ([\w, ]+)", src):
+            cand = m.group(1).replace(".", "/")
+            import os
+
+            # `from .pkg import submodule` resolves to the submodule
+            # file; only fall back to the package __init__ (whose
+            # closure is the whole subpackage) when no name is a module
+            resolved_name = False
+            for nm in (n.strip().split(" as ")[0] for n in m.group(2).split(",")):
+                c2 = f"{cand}/{nm}.py"
+                if os.path.exists(os.path.join(PKG, c2)):
+                    direct.add(c2)
+                    resolved_name = True
+            if not resolved_name:
+                for c in (f"{cand}.py", f"{cand}/__init__.py"):
+                    if os.path.exists(os.path.join(PKG, c)):
+                        direct.add(c)
+                        break
+        deps[qname] = closure(direct)
+    return deps
+
+
+def _harness_register_spans() -> list[tuple[int, int, str]]:
+    """(start_line, end_line, query_name) spans of @register blocks in
+    harness.py, 1-indexed inclusive."""
+    import re
+
+    with open(f"{PKG}/harness.py") as f:
+        lines = f.readlines()
+    starts = []  # (line_no, name)
+    for i, ln in enumerate(lines, start=1):
+        m = re.match(r"@register\(\s*$|@register\(\s*\"([\w]+)\"", ln)
+        if m:
+            name = m.group(1)
+            if name is None:  # multi-line form: name on the next line
+                m2 = re.match(r"\s*\"([\w]+)\"", lines[i])
+                name = m2.group(1) if m2 else None
+            if name:
+                starts.append((i, name))
+    spans = []
+    for idx, (start, name) in enumerate(starts):
+        end = starts[idx + 1][0] - 1 if idx + 1 < len(starts) else len(lines)
+        spans.append((start, end, name))
+    return spans
+
+
+def check_window(since_ref: str | None) -> int:
+    import re
+
+    from rag_project_with_embeddings_and_vector_database_spark import harness
+
+    if since_ref is None:
+        since_ref = _git("log", "--format=%H", "-n", "1", "--", "CORRECTNESS_r*.json").strip()
+        if not since_ref:
+            print("no round boundary found (no commit touches CORRECTNESS_r*.json); pass a ref")
+            return 2
+    touched = [
+        p for p in _git("diff", "--name-only", since_ref, "HEAD", "--", PKG).splitlines() if p
+    ]
+    # also include uncommitted work
+    touched += [p for p in _git("diff", "--name-only", "--", PKG).splitlines() if p]
+    touched = sorted({p for p in touched if p.endswith(".py")})
+    if not touched:
+        print(f"window-check: no package changes since {since_ref[:12]} — OK")
+        return 0
+
+    affected: set[str] = set()
+    deps = _query_module_deps()
+    harness_rel = f"{PKG}/harness.py"
+    for path in touched:
+        rel = path[len(PKG) + 1 :]
+        if path == harness_rel:
+            spans = _harness_register_spans()
+            hunk_lines: set[int] = set()
+            for diff_range in (since_ref, None):
+                args = ["diff", "-U0", diff_range, "HEAD"] if diff_range else ["diff", "-U0"]
+                for m in re.finditer(
+                    r"^@@ [^+]*\+(\d+)(?:,(\d+))? @@", _git(*args, "--", path), re.M
+                ):
+                    a, n = int(m.group(1)), int(m.group(2) or "1")
+                    hunk_lines.update(range(a, a + max(n, 1)))
+            in_span: set[int] = set()
+            for start, end, name in spans:
+                if any(start <= ln <= end for ln in hunk_lines):
+                    affected.add(name)
+                in_span.update(range(start, end + 1))
+            module_level = hunk_lines - in_span
+            if module_level:
+                with open(path) as f:
+                    hlines = f.readlines()
+                matched_any = False
+                for key, qnames in _HARNESS_MODULE_LEVEL_DEPS.items():
+                    for ln in module_level:
+                        ctx = "".join(hlines[max(ln - 30, 0) : ln])
+                        if key in ctx:
+                            affected.update(qnames)
+                            matched_any = True
+                            break
+                if not matched_any:
+                    print(
+                        f"window-check WARNING: module-level harness.py lines "
+                        f"{sorted(module_level)[:10]}... match no known fixture/SQL "
+                        f"builder; review manually"
+                    )
+        else:
+            hits = {q for q, mods in deps.items() if rel in mods}
+            affected.update(hits)
+            if not hits:
+                print(f"window-check WARNING: {path} maps to no query; review manually")
+
+    window = set(list(harness.queries())[:50])
+    missing = sorted(affected - window)
+    if missing:
+        print(
+            f"window-check FAIL: queries touched since {since_ref[:12]} but OUTSIDE "
+            f"the 50-slot driver window: {missing}\nFront-load them in harness._PRIORITY."
+        )
+        return 1
+    print(
+        f"window-check OK: {len(affected)} affected queries all inside the window "
+        f"({sorted(affected)})"
+    )
+    return 0
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--check-window":
+        sys.exit(check_window(sys.argv[2] if len(sys.argv) > 2 else None))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 

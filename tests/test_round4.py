@@ -1,0 +1,170 @@
+"""Round-4 additions: scoped pair-generator caches, gate escape hatch,
+typed packing schema, ANN recall floor flags, the composed dedup_full
+pipeline, quantized retrieval, and the vendored-PDF parse path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_project_with_embeddings_and_vector_database_spark.operators import dedup as DD
+
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_pair_generator_cache_is_scoped(spark):
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some text body number "), F.col("id")).alias("text"),
+    )
+    DD.release_caches()
+    base = _n_persisted(spark)
+    DD.minhash_lsh_pairs(docs).count()
+    DD.minhash_lsh_pairs(docs.filter("doc_id < 20")).count()
+    DD.minhash_lsh_pairs(docs.filter("doc_id < 10")).count()
+    # repeated calls swap, never accumulate: at most ONE cached frame
+    assert _n_persisted(spark) <= base + 1
+    DD.simhash_pairs(docs).count()
+    assert _n_persisted(spark) <= base + 2  # one per generator
+    DD.release_caches()
+    assert _n_persisted(spark) <= base
+
+
+def test_gate_off_skips_eager_probe(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("text "), F.col("id")).alias("text")
+    )
+    # eager gate raises at CONSTRUCTION time above max_docs...
+    with pytest.raises(ValueError, match="max_docs"):
+        DD.ngram_jaccard_pairs(docs, max_docs=10)
+    # ...gate='off' builds the plan without any Spark action; the caller
+    # owns the bound (here we execute it on a small side to prove the
+    # plan itself is sound)
+    out = DD.ngram_jaccard_pairs(docs.filter("doc_id < 5"), max_docs=10, gate="off")
+    assert out.count() == 10
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="max_probe_docs"):
+        DD.embedding_neardup_pairs(vecs, max_probe_docs=10)
+    out = DD.embedding_neardup_pairs(
+        vecs, max_probe_docs=10, gate="off", normalized=True, threshold=0.5
+    )
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="gate must be"):
+        DD.ngram_jaccard_pairs(docs, gate="lazy")
+
+
+def test_sequence_pack_string_ids(spark):
+    from rag_project_with_embeddings_and_vector_database_spark.operators.packing import (
+        sequence_pack,
+    )
+
+    docs = spark.range(60).select(
+        F.concat(F.lit("doc-"), F.format_string("%03d", F.col("id"))).alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 20 + 1).cast("int"))).alias(
+            "text"
+        ),
+    )
+    out = sequence_pack(docs, budget_tokens=30, n_buckets=4).collect()
+    assert len(out) == 60
+    assert all(isinstance(r.doc_id, str) for r in out)  # id type preserved, not miscast
+    from collections import defaultdict
+
+    seq_tokens, seq_sizes = defaultdict(int), defaultdict(int)
+    for r in out:
+        seq_tokens[(r.bucket, r.seq_id)] += r.doc_tokens
+        seq_sizes[(r.bucket, r.seq_id)] += 1
+    for k, tot in seq_tokens.items():
+        assert tot <= 30 or seq_sizes[k] == 1
+
+
+def test_ann_recall_floor_flags_true(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    for name in ("ann_lsh", "ann_ivf"):
+        rows = H.SPARK_QUERIES[name](spark, sf_dir).collect()
+        assert rows, name
+        assert all(r.recall_floor_met for r in rows), (name, rows)
+
+
+def test_dedup_full_collapses_planted_duplicates(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    rows = {r.doc_id: r for r in H.SPARK_QUERIES["dedup_full"](spark, sf_dir).collect()}
+    base_ids = [i for i in rows if i < 1000]
+    planted = [i for i in rows if i >= 1000]
+    assert len(base_ids) == len(planted) == 30
+    # base docs may themselves be near-dups of each other (the corpus is
+    # synthetic), so the invariant is: every planted doc lands in the
+    # SAME component as its base (never its own), hence is dropped,
+    # and every component label is a base id.
+    for pid in planted:
+        assert rows[pid].component == rows[pid - 1000].component, rows[pid]
+        assert not rows[pid].kept
+    assert all(rows[b].component < 1000 for b in base_ids)
+    kept_base = [b for b in base_ids if rows[b].kept]
+    assert kept_base and all(rows[b].component == b for b in kept_base)
+
+
+def test_quantized_retrieval_matches_exact_topk(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    rows = H.SPARK_QUERIES["topk_retrieval_quantized"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(len(v) for v in by_q.values()) == {10}
+    # int8 coarse top-50 + rescore should recover essentially the whole
+    # exact top-10 at this scale
+    frac_exact = sum(r.in_exact_topk for r in rows) / len(rows)
+    assert frac_exact >= 0.9, frac_exact
+
+
+def test_pdf_minimal_parser_envelope():
+    from rag_project_with_embeddings_and_vector_database_spark.harness import (
+        _FIXTURE_PDF_TEXT,
+        _fixture_pdf_bytes,
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.sources.documents import (
+        _pdf_text_minimal,
+    )
+
+    assert _pdf_text_minimal(_fixture_pdf_bytes()) == _FIXTURE_PDF_TEXT
+    # multi-page and non-PDF inputs refuse rather than partially extract
+    with pytest.raises(NotImplementedError, match="one page"):
+        _pdf_text_minimal(
+            b"%PDF-1.4\n1 0 obj << /Type /Page >> endobj 2 0 obj << /Type /Page >> endobj"
+        )
+    with pytest.raises(NotImplementedError, match="header"):
+        _pdf_text_minimal(b"not a pdf")
+    # FlateDecode streams inflate via stdlib zlib
+    import zlib
+
+    stream = b"BT (compressed \\(ok\\)) Tj ET"
+    comp = zlib.compress(stream)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Type /Page >> endobj\n"
+        b"2 0 obj << /Length " + str(len(comp)).encode() + b" /Filter /FlateDecode >>\n"
+        b"stream\n" + comp + b"\nendstream endobj\n"
+    )
+    assert _pdf_text_minimal(pdf) == "--- Page 1 ---\ncompressed (ok)"
+
+
+def test_scan_docs_parses_vendored_pdf(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    rows = H.SPARK_QUERIES["scan_docs"](spark, sf_dir).collect()
+    exts = sorted(r.ext for r in rows)
+    assert exts == ["md", "md", "md", "pdf"]
+    pdf_row = next(r for r in rows if r.ext == "pdf")
+    assert pdf_row.content == H._FIXTURE_PDF_TEXT and pdf_row.error is None
+
+
+def test_streaming_parity_emits_ok(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    r = H.SPARK_QUERIES["stream_windowed_counts"](spark, sf_dir).collect()[0]
+    assert r.ok and r.n_stream == r.n_batch == r.n_matched == r.n_avg_close

@@ -39,6 +39,9 @@ HEADLINE = [
     # vector retrieval + metrics (the reference's core pipeline)
     "topk_retrieval",
     "knn_bruteforce",
+    "topk_retrieval_quantized",
+    "bm25_topk",
+    "hybrid_rrf",
     "agg_config",
     "report_rank",
     # dedup / text-analysis (north-star)
@@ -48,6 +51,7 @@ HEADLINE = [
     "dedup_simhash",
     "simhash_pairs",
     "dedup_embedding",
+    "dedup_full",
     "ngram_jaccard",
     "doc_fingerprint",
     "lang_id",

@@ -27,6 +27,7 @@ from .operators import chunking as CH
 from .operators import dedup as DD
 from .operators import joins as J
 from .operators import metrics as M
+from .operators import ranking as RK
 from .operators import retrieval as R
 from .operators.embedding import embed
 
@@ -1157,6 +1158,130 @@ def topk_retrieval_quantized(spark, sf_dir):
             (F.col("exact_rank") <= 10).alias("in_exact_topk"),
         )
     )
+
+
+# fixed lexical query set for BM25/hybrid retrieval: terms drawn from
+# the synthetic corpus vocabulary; ids align with the vector queries
+# (embeddings vec_id < 5) so rank fusion has shared keys. ONE source of
+# truth for both the Spark frame and the oracle VALUES list.
+_BM25_QUERIES = (
+    (0, "spark join stream"),
+    (1, "hash table scan"),
+    (2, "window agg batch"),
+    (3, "filter value row"),
+    (4, "customer order line"),
+)
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_ctes() -> str:
+    """Shared CTE chain computing the BM25 lexical top-10 (`lexical`).
+    Constants are inlined pre-evaluated (k1+1, 1-b) with ::DOUBLE casts
+    so DuckDB never does DECIMAL arithmetic; expression association
+    mirrors the Spark column expression term for term."""
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             unnest(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''),
+                    t -> lower(t))) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
+    q(query_id, qtext) AS (VALUES {vals}),
+    qterms AS (
+      SELECT query_id,
+             unnest(list_distinct(list_transform(
+               list_filter(string_split_regex(qtext, '\\s+'), x -> x != ''), t -> lower(t)))) AS term
+      FROM q
+    ),
+    bm AS (
+      SELECT qterms.query_id, tf.doc_id,
+             round(sum(
+               ln(1.0::DOUBLE + (s.n_docs - dfreq.df + 0.5::DOUBLE) / (dfreq.df + 0.5::DOUBLE))
+               * tf.tf * {k1 + 1.0}::DOUBLE
+               / (tf.tf + {k1}::DOUBLE * ({1.0 - b}::DOUBLE + {b}::DOUBLE * dl.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
+           JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+      GROUP BY qterms.query_id, tf.doc_id
+    ),
+    lexical AS (
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank
+        FROM bm
+      ) WHERE rank <= 10
+    )
+    """
+
+
+def _bm25_qdf(spark):
+    return spark.createDataFrame(list(_BM25_QUERIES), "query_id long, query string")
+
+
+@register("bm25_topk", f"WITH {_bm25_ctes()} SELECT query_id, doc_id, score, rank FROM lexical")
+def bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical top-10 (operators/ranking.py bm25_topk) — the
+    lexical half of hybrid RAG retrieval, which the reference's
+    dense-only search (vector_db.py:93-119) lacks. Same shuffle shape
+    as the long-green TF-IDF query (two count aggs + broadcast stats +
+    top-k window); scores rounded to 6 before ranking with a doc_id
+    tie-break, so the oracle reproduces every rank exactly."""
+    docs = _par(_t(spark, sf_dir, "documents"))
+    return RK.bm25_topk(docs, _bm25_qdf(spark), k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+@register(
+    "hybrid_rrf",
+    f"""
+    WITH {_bm25_ctes()},
+    vq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+    vector AS (
+      SELECT query_id, vec_id AS doc_id, rank FROM (
+        SELECT vq.query_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY vq.query_id
+                 ORDER BY list_dot_product(c.embedding::DOUBLE[], vq.qv) DESC, c.vec_id
+               )::INT AS rank
+        FROM embeddings c, vq
+      ) WHERE rank <= 10
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             round(
+               (CASE WHEN l.rank IS NOT NULL THEN 1.0::DOUBLE / (60 + l.rank) ELSE 0.0::DOUBLE END)
+             + (CASE WHEN v.rank IS NOT NULL THEN 1.0::DOUBLE / (60 + v.rank) ELSE 0.0::DOUBLE END),
+             6) AS rrf
+      FROM lexical l FULL OUTER JOIN vector v USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rrf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id)::INT AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion (operators/ranking.py
+    rrf_fuse): BM25 lexical top-10 over documents fused with exact
+    cosine top-10 over embeddings (ids align: vec_id == doc_id), rrf =
+    sum 1/(60+rank). This is the standard production upgrade to the
+    reference's dense-only retrieval. One full-outer equi-join + a pure
+    expression + a top-k window — integer ranks make the fused score
+    bit-exact in any engine."""
+    lex = RK.bm25_topk(
+        _par(_t(spark, sf_dir, "documents")), _bm25_qdf(spark), k=10, k1=_BM25_K1, b=_BM25_B
+    ).select("query_id", "doc_id", "rank")
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    vec = R.knn_bruteforce(q, e, 10, corpus_id="vec_id", normalized=True).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return RK.rrf_fuse(lex, vec, k=10, c=60)
 
 
 # ---------------------------------------------------------------------------
@@ -3184,7 +3309,8 @@ _PRIORITY = [
     # vendored-PDF scan) or code-touched in r4 (scoped pair caches,
     # gate escape hatch, recall-floor flags, streaming ok-assertions,
     # typed packing schema)
-    "dedup_full", "topk_retrieval_quantized", "scan_docs",
+    "dedup_full", "topk_retrieval_quantized", "bm25_topk", "hybrid_rrf",
+    "scan_docs",
     "ann_lsh", "ann_ivf", "sessionize_stateful", "stream_windowed_counts",
     "dedup_minhash_pairs", "simhash_pairs", "ngram_jaccard",
     "dedup_embedding", "sequence_pack",
@@ -3212,8 +3338,7 @@ _PRIORITY = [
     # salted/multimodal last checked r2, then the §2 primitives)
     "asof_join", "sessionize", "window_suite", "salted_join",
     "multimodal_meta",
-    "token_count", "sentence_split", "preprocess_text",
-    "chunk_recursive_para", "chunk_table_islands",
+    "preprocess_text", "chunk_recursive_para", "chunk_table_islands",
     "cosine_dot", "l2_normalize", "topk_retrieval", "knn_bruteforce",
 ]
 

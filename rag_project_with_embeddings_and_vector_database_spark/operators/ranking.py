@@ -1,0 +1,126 @@
+"""Lexical ranking and rank fusion for hybrid RAG retrieval.
+
+The reference retrieves by dense-vector cosine only
+(/root/reference/src/vector_db.py:93-119). Production RAG systems pair
+that with a lexical ranker (BM25) and fuse the two rankings —
+reciprocal-rank fusion (Cormack et al., SIGIR'09) is the standard
+score-free fusion. Both are fully relational here:
+
+  * BM25 is three count aggregations (term frequency, document
+    frequency, document length) + one broadcast of corpus stats + a
+    per-query top-k window — the exact shuffle shape of TF-IDF
+    (functions/text.py tfidf_top_terms), which is known-scalable.
+  * RRF is a full-outer join of two (query, doc, rank) frames and a
+    pure per-row expression — no aggregation at all.
+
+Engine-portable determinism: scores are rounded to 6 decimals BEFORE
+ranking and every window has an id tie-break, so a DuckDB oracle
+reproduces the rankings exactly (ln() agreement verified by the
+long-green tfidf_terms oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import whitespace_tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "query",
+) -> DataFrame:
+    """Okapi BM25 top-k: returns (query_id, id, score, rank).
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5)) — the Robertson/Sparck
+    Jones form with the +1 smoothing that keeps it positive. N counts
+    docs with at least one token (dl is undefined for empty docs).
+
+    Scale shape: explode -> (doc, term) and term-level count aggs (two
+    uniform-key shuffles, identical to TF-IDF), corpus stats as a
+    broadcast 1-row frame (lazy, no driver count), the tiny query-term
+    side broadcast into the tf join, then one per-query top-k window.
+    The corpus term table never joins itself; cost is linear in corpus
+    tokens + matched postings."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.transform(whitespace_tokens(text_col), F.lower)).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    qterms = queries.select(
+        F.col(query_id),
+        F.explode(
+            F.array_distinct(F.transform(whitespace_tokens(query_text), F.lower))
+        ).alias("term"),
+    )
+    joined = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w_term = (
+        idf
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    scored = joined.groupBy(query_id, id_col).agg(F.round(F.sum(w_term), 6).alias("score"))
+    win = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "score", "rank")
+    )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (query, id, rank) frames:
+    rrf = sum over sources of 1 / (c + rank), missing source = 0
+    (c = 60 per Cormack et al.). Returns (query_id, id, rrf, rank).
+
+    One full-outer equi-join on (query, id) + a pure expression + one
+    top-k window; ranks are integers, so the fused score is bit-exact
+    in any engine."""
+    fa = a.select(query_id, id_col, F.col(rank_col).alias("_rank_a"))
+    fb = b.select(query_id, id_col, F.col(rank_col).alias("_rank_b"))
+    j = fa.join(fb, [query_id, id_col], "full_outer")
+    contrib_a = F.when(
+        F.col("_rank_a").isNotNull(), F.lit(1.0) / (F.lit(c) + F.col("_rank_a"))
+    ).otherwise(F.lit(0.0))
+    contrib_b = F.when(
+        F.col("_rank_b").isNotNull(), F.lit(1.0) / (F.lit(c) + F.col("_rank_b"))
+    ).otherwise(F.lit(0.0))
+    scored = j.select(
+        query_id, id_col, F.round(contrib_a + contrib_b, 6).alias("rrf")
+    )
+    win = Window.partitionBy(query_id).orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "rrf", "rank")
+    )

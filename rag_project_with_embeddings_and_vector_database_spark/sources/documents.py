@@ -96,7 +96,12 @@ def _parse_pdf(data: bytes) -> str:
         # pypdf is not installable in this container (README
         # "Environment constraints"); a narrow stdlib fallback keeps
         # the real parse path testable on the vendored fixture.
-        return _pdf_text_minimal(data)
+        try:
+            return _pdf_text_minimal(data)
+        except NotImplementedError as e:
+            raise NotImplementedError(
+                f"pdf parser not installed (pypdf); minimal fallback declined: {e}"
+            )
     import io
 
     reader = PdfReader(io.BytesIO(data))

@@ -208,11 +208,13 @@ def check_window(since_ref: str | None) -> int:
         if not since_ref:
             print("no round boundary found (no commit touches CORRECTNESS_r*.json); pass a ref")
             return 2
+    # diff ref -> WORKING TREE in one pass: hunk "+" line numbers are
+    # then positions in the current files, matching the register spans
+    # computed from the same files (a ref->HEAD diff would skew once
+    # uncommitted edits shift lines)
     touched = [
-        p for p in _git("diff", "--name-only", since_ref, "HEAD", "--", PKG).splitlines() if p
+        p for p in _git("diff", "--name-only", since_ref, "--", PKG).splitlines() if p
     ]
-    # also include uncommitted work
-    touched += [p for p in _git("diff", "--name-only", "--", PKG).splitlines() if p]
     touched = sorted({p for p in touched if p.endswith(".py")})
     if not touched:
         print(f"window-check: no package changes since {since_ref[:12]} — OK")
@@ -226,13 +228,13 @@ def check_window(since_ref: str | None) -> int:
         if path == harness_rel:
             spans = _harness_register_spans()
             hunk_lines: set[int] = set()
-            for diff_range in (since_ref, None):
-                args = ["diff", "-U0", diff_range, "HEAD"] if diff_range else ["diff", "-U0"]
-                for m in re.finditer(
-                    r"^@@ [^+]*\+(\d+)(?:,(\d+))? @@", _git(*args, "--", path), re.M
-                ):
-                    a, n = int(m.group(1)), int(m.group(2) or "1")
-                    hunk_lines.update(range(a, a + max(n, 1)))
+            for m in re.finditer(
+                r"^@@ [^+]*\+(\d+)(?:,(\d+))? @@",
+                _git("diff", "-U0", since_ref, "--", path),
+                re.M,
+            ):
+                a, n = int(m.group(1)), int(m.group(2) or "1")
+                hunk_lines.update(range(a, a + max(n, 1)))
             in_span: set[int] = set()
             for start, end, name in spans:
                 if any(start <= ln <= end for ln in hunk_lines):

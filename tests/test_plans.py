@@ -67,3 +67,27 @@ def test_repetition_stats_shape(spark, sf_dir):
     plan = _plan(spark, "repetition_stats", sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # two partial/final count-agg pipelines
+
+
+def test_bm25_broadcasts_query_terms_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "bm25_topk", sf_dir)
+    # the tiny query-term side and the 1-row stats frame broadcast; the
+    # corpus posting lists never self-join or cross-join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # tf, df, dl/stats partial+final
+
+
+def test_quantized_retrieval_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, "topk_retrieval_quantized", sf_dir)
+    # corpus scan stays put; the 5 queries broadcast; both rank stages
+    # are windows, not sorts of the full cross product
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_full_no_quadratic_stage(spark, sf_dir):
+    plan = _plan(spark, "dedup_full", sf_dir)
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()  # the pair generator's scoped cache

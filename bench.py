@@ -60,6 +60,7 @@ HEADLINE = [
     "tfidf_terms",
     "repetition_stats",
     "pii_scan",
+    "quality_filter",
     "hash_split_assign",
     "decontaminate",
     "chunk_sections",

@@ -1916,6 +1916,59 @@ def tfidf_terms(spark, sf_dir):
     return TX.tfidf_top_terms(_par(_t(spark, sf_dir, "documents")), k=3)
 
 
+def _quality_filter_sql() -> str:
+    """Composes the ALREADY-REGISTERED text_quality / lang_id /
+    repetition_stats / pii_scan oracles (one source of truth — edits to
+    a component oracle propagate here) into the per-doc keep/drop
+    verdict a training-data pipeline actually applies."""
+    return f"""
+    WITH q AS (SELECT * FROM ({ORACLE["text_quality"]})),
+    l AS (SELECT * FROM ({ORACLE["lang_id"]})),
+    r AS (SELECT * FROM ({ORACLE["repetition_stats"]})),
+    p AS (SELECT * FROM ({ORACLE["pii_scan"]}))
+    SELECT q.doc_id, q.quality, l.lang_pred, r.dup_line_frac, r.top_2gram_frac, p.has_pii,
+           (q.quality >= 0.5::DOUBLE AND l.lang_pred != 'und'
+            AND r.dup_line_frac <= 0.3::DOUBLE AND r.top_2gram_frac <= 0.2::DOUBLE
+            AND NOT p.has_pii) AS keep
+    FROM q JOIN l USING (doc_id) JOIN r USING (doc_id) JOIN p USING (doc_id)
+    """
+
+
+@register("quality_filter", _quality_filter_sql())
+def quality_filter(spark, sf_dir):
+    """The composed quality-filtering verdict (SURVEY §2.9 text
+    analysis, composed like dedup_full): per-document quality score,
+    language ID, PII flag — all fused into ONE codegen'd scan
+    projection — joined with the repetition signals (the only
+    component needing aggregation), then a pure boolean keep rule
+    (quality >= 0.5, identified language, bounded repetition, no PII).
+    At 100 TB this is one corpus scan + the repetition agg pipeline;
+    the verdict column drives the downstream filter without a second
+    pass. Oracle = the composition of the four component oracles."""
+    d = _t(spark, sf_dir, "documents")
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).cast("bigint")
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).cast("bigint")
+    n_ipv4 = F.size(F.regexp_extract_all("text", F.lit(_IPV4_RE), 0)).cast("bigint")
+    proj = d.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("lang_pred"),
+        ((n_emails + n_phones + n_ipv4) > 0).alias("has_pii"),
+    )
+    rep = TX.repetition_stats(_par(d)).select("doc_id", "dup_line_frac", "top_2gram_frac")
+    out = proj.join(rep, "doc_id")
+    keep = (
+        (F.col("quality") >= 0.5)
+        & (F.col("lang_pred") != "und")
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("top_2gram_frac") <= 0.2)
+        & (~F.col("has_pii"))
+    )
+    return out.select(
+        "doc_id", "quality", "lang_pred", "dup_line_frac", "top_2gram_frac", "has_pii"
+    ).withColumn("keep", keep)
+
+
 @register(
     "doc_fingerprint",
     """
@@ -3310,7 +3363,7 @@ _PRIORITY = [
     # gate escape hatch, recall-floor flags, streaming ok-assertions,
     # typed packing schema)
     "dedup_full", "topk_retrieval_quantized", "bm25_topk", "hybrid_rrf",
-    "scan_docs",
+    "quality_filter", "tfidf_terms", "scan_docs",
     "ann_lsh", "ann_ivf", "sessionize_stateful", "stream_windowed_counts",
     "dedup_minhash_pairs", "simhash_pairs", "ngram_jaccard",
     "dedup_embedding", "sequence_pack",
@@ -3338,7 +3391,7 @@ _PRIORITY = [
     # salted/multimodal last checked r2, then the §2 primitives)
     "asof_join", "sessionize", "window_suite", "salted_join",
     "multimodal_meta",
-    "preprocess_text", "chunk_recursive_para", "chunk_table_islands",
+    "chunk_table_islands",
     "cosine_dot", "l2_normalize", "topk_retrieval", "knn_bruteforce",
 ]
 

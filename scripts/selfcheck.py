@@ -59,6 +59,9 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_dedup_full_sql": {"dedup_full"},
     "_CC_SQL": {"connected_components"},
     "_TOPK_QUANT_SQL": {"topk_retrieval_quantized"},
+    "_BM25": {"bm25_topk", "hybrid_rrf"},
+    "_bm25": {"bm25_topk", "hybrid_rrf"},
+    "_quality_filter_sql": {"quality_filter"},
     "_ann_recall": {"ann_lsh", "ann_ivf"},
     "_synthetic_docs": {"chunk_fanout", "embed_batch", "embed_values", "pipeline_e2e"},
 }

@@ -163,6 +163,42 @@ def test_scan_docs_parses_vendored_pdf(spark, sf_dir):
     assert pdf_row.content == H._FIXTURE_PDF_TEXT and pdf_row.error is None
 
 
+def test_quality_filter_verdict_composition(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    rows = H.SPARK_QUERIES["quality_filter"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs  # exactly one verdict per doc
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    assert kept and dropped  # thresholds produce a real mix
+    # the verdict is exactly the conjunction of its components
+    for r in rows:
+        expect = (
+            r.quality >= 0.5
+            and r.lang_pred != "und"
+            and r.dup_line_frac <= 0.3
+            and r.top_2gram_frac <= 0.2
+            and not r.has_pii
+        )
+        assert r.keep == expect, r
+
+
+def test_bm25_ranking_sane(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    rows = H.SPARK_QUERIES["bm25_topk"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for hits in by_q.values():
+        hits.sort(key=lambda r: r.rank)
+        scores = [r.score for r in hits]
+        assert scores == sorted(scores, reverse=True)  # rank follows score
+        assert all(s > 0 for s in scores)
+
+
 def test_streaming_parity_emits_ok(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 

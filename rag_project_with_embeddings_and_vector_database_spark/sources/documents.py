@@ -13,10 +13,13 @@ glob filter — path pruning happens in the scan, not in Python — then a
 per-format parse stage. Markdown/text decode is a native expression;
 binary formats (pdf/docx/xlsx/pptx) parse inside an Arrow-batched UDF
 when their libraries exist. In this container those libraries are NOT
-installed, so each parser degrades to a clearly-marked deterministic
-stub (format + byte-size summary) rather than failing the scan — the
-Spark plumbing (schema, routing, batching) is real and tested either
-way.
+installed, so each format has a NARROW stdlib fallback (PDF:
+single-page literal-Tj streams via zlib; DOCX/XLSX/PPTX: OPC zip + XML
+via zipfile/ElementTree) that handles the vendored fixture corpus for
+real — and anything outside its envelope degrades to a clearly-marked
+deterministic stub (format + byte-size summary) rather than failing
+the scan or risking garbage partial extraction. The Spark plumbing
+(schema, routing, batching) is identical on every path.
 
 Divergence from the reference (documented, intentional): per-file parse
 errors become an ``error`` column instead of being silently swallowed
@@ -111,11 +114,135 @@ def _parse_pdf(data: bytes) -> str:
     return "\n".join(pages)
 
 
+_NS_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_NS_X = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_NS_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_NS_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+
+
+def _office_zip(data: bytes, required_part: str):
+    """Open an OPC (zip) payload and return the archive, refusing
+    non-zip payloads or archives missing the format's main part — the
+    caller then degrades to the documented stub, never a garbage
+    partial extraction."""
+    import io
+    import zipfile
+
+    try:
+        z = zipfile.ZipFile(io.BytesIO(data))
+    except zipfile.BadZipFile as e:
+        raise NotImplementedError(f"not an OPC zip: {e}")
+    if required_part not in z.namelist():
+        raise NotImplementedError(f"missing part {required_part}")
+    return z
+
+
+def _docx_text_minimal(data: bytes) -> str:
+    """Stdlib fallback DOCX extraction (OOXML is zip + XML): body
+    paragraphs in order, then tables flattened 'cell | cell' — the same
+    output shape as the python-docx path (reference
+    document_loader.py:104-127: paragraphs list, then table rows)."""
+    from xml.etree import ElementTree as ET
+
+    z = _office_zip(data, "word/document.xml")
+    body = ET.fromstring(z.read("word/document.xml")).find(f"{_NS_W}body")
+    if body is None:
+        raise NotImplementedError("document.xml has no body")
+    paras, table_rows = [], []
+    for child in body:
+        if child.tag == f"{_NS_W}p":
+            paras.append("".join(t.text or "" for t in child.iter(f"{_NS_W}t")))
+        elif child.tag == f"{_NS_W}tbl":
+            for tr in child.iter(f"{_NS_W}tr"):
+                cells = [
+                    "".join(t.text or "" for t in tc.iter(f"{_NS_W}t"))
+                    for tc in tr.findall(f"{_NS_W}tc")
+                ]
+                table_rows.append(" | ".join(cells))
+    return "\n".join(paras + table_rows)
+
+
+def _xlsx_text_minimal(data: bytes) -> str:
+    """Stdlib fallback XLSX extraction: per-sheet '--- Sheet: name ---'
+    header + rows as 'v | v' (reference document_loader.py:129-149).
+    Handles shared and inline string cells plus raw numeric <v> text;
+    sheets resolve as sheetN.xml in workbook order."""
+    from xml.etree import ElementTree as ET
+
+    z = _office_zip(data, "xl/workbook.xml")
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in z.namelist():
+        ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
+        shared = [
+            "".join(t.text or "" for t in si.iter(f"{_NS_X}t"))
+            for si in ss.findall(f"{_NS_X}si")
+        ]
+    sheets_el = ET.fromstring(z.read("xl/workbook.xml")).find(f"{_NS_X}sheets")
+    if sheets_el is None:
+        raise NotImplementedError("workbook.xml has no sheets")
+    parts = []
+    for i, sh in enumerate(sheets_el.findall(f"{_NS_X}sheet"), start=1):
+        part = f"xl/worksheets/sheet{i}.xml"
+        if part not in z.namelist():
+            raise NotImplementedError(f"missing worksheet part {part}")
+        parts.append(f"--- Sheet: {sh.get('name')} ---")
+        sx = ET.fromstring(z.read(part))
+        for row in sx.iter(f"{_NS_X}row"):
+            vals = []
+            for c in row.findall(f"{_NS_X}c"):
+                v = c.find(f"{_NS_X}v")
+                if c.get("t") == "s" and v is not None and v.text is not None:
+                    vals.append(shared[int(v.text)])
+                elif c.get("t") == "inlineStr":
+                    vals.append("".join(t.text or "" for t in c.iter(f"{_NS_X}t")))
+                else:
+                    vals.append("" if v is None or v.text is None else v.text)
+            parts.append(" | ".join(vals))
+    return "\n".join(parts)
+
+
+def _pptx_text_minimal(data: bytes) -> str:
+    """Stdlib fallback PPTX extraction: per-slide '--- Slide N ---'
+    header + one line per text-bearing shape, paragraphs inside a shape
+    joined by newline — mirroring python-pptx text_frame.text
+    (reference document_loader.py:151-167)."""
+    import re as _re
+    from xml.etree import ElementTree as ET
+
+    z = _office_zip(data, "ppt/presentation.xml")
+    slides = sorted(
+        (n for n in z.namelist() if _re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda n: int(_re.search(r"\d+", n).group()),
+    )
+    if not slides:
+        raise NotImplementedError("no slide parts")
+    parts = []
+    for i, sname in enumerate(slides, start=1):
+        parts.append(f"--- Slide {i} ---")
+        root = ET.fromstring(z.read(sname))
+        for sp in root.iter(f"{_NS_P}sp"):
+            tx = sp.find(f"{_NS_P}txBody")
+            if tx is None:
+                continue
+            parts.append(
+                "\n".join(
+                    "".join(t.text or "" for t in ap.iter(f"{_NS_A}t"))
+                    for ap in tx.findall(f"{_NS_A}p")
+                )
+            )
+    return "\n".join(parts)
+
+
 def _parse_docx(data: bytes) -> str:
     try:
         import docx  # type: ignore
     except ImportError:
-        raise NotImplementedError("docx parser not installed (python-docx)")
+        try:
+            return _docx_text_minimal(data)
+        except NotImplementedError as e:
+            raise NotImplementedError(
+                f"docx parser not installed (python-docx); minimal fallback declined: {e}"
+            )
     import io
 
     d = docx.Document(io.BytesIO(data))
@@ -130,7 +257,12 @@ def _parse_xlsx(data: bytes) -> str:
     try:
         import openpyxl  # type: ignore
     except ImportError:
-        raise NotImplementedError("xlsx parser not installed (openpyxl)")
+        try:
+            return _xlsx_text_minimal(data)
+        except NotImplementedError as e:
+            raise NotImplementedError(
+                f"xlsx parser not installed (openpyxl); minimal fallback declined: {e}"
+            )
     import io
 
     wb = openpyxl.load_workbook(io.BytesIO(data), read_only=True)
@@ -146,7 +278,12 @@ def _parse_pptx(data: bytes) -> str:
     try:
         from pptx import Presentation  # type: ignore
     except ImportError:
-        raise NotImplementedError("pptx parser not installed (python-pptx)")
+        try:
+            return _pptx_text_minimal(data)
+        except NotImplementedError as e:
+            raise NotImplementedError(
+                f"pptx parser not installed (python-pptx); minimal fallback declined: {e}"
+            )
     import io
 
     prs = Presentation(io.BytesIO(data))

@@ -153,14 +153,43 @@ def test_pdf_minimal_parser_envelope():
     assert _pdf_text_minimal(pdf) == "--- Page 1 ---\ncompressed (ok)"
 
 
-def test_scan_docs_parses_vendored_pdf(spark, sf_dir):
+def test_scan_docs_parses_all_vendored_binaries(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 
     rows = H.SPARK_QUERIES["scan_docs"](spark, sf_dir).collect()
     exts = sorted(r.ext for r in rows)
-    assert exts == ["md", "md", "md", "pdf"]
-    pdf_row = next(r for r in rows if r.ext == "pdf")
-    assert pdf_row.content == H._FIXTURE_PDF_TEXT and pdf_row.error is None
+    assert exts == ["docx", "md", "md", "md", "pdf", "pptx", "xlsx"]
+    expected = {
+        "pdf": H._FIXTURE_PDF_TEXT,
+        "docx": H._FIXTURE_DOCX_TEXT,
+        "xlsx": H._FIXTURE_XLSX_TEXT,
+        "pptx": H._FIXTURE_PPTX_TEXT,
+    }
+    for ext, text in expected.items():
+        row = next(r for r in rows if r.ext == ext)
+        assert row.content == text and row.error is None, (ext, row)
+
+
+def test_office_minimal_parsers_roundtrip_and_envelope():
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.sources.documents import (
+        _docx_text_minimal,
+        _pptx_text_minimal,
+        _xlsx_text_minimal,
+    )
+
+    assert _docx_text_minimal(H._fixture_docx_bytes()) == H._FIXTURE_DOCX_TEXT
+    assert _xlsx_text_minimal(H._fixture_xlsx_bytes()) == H._FIXTURE_XLSX_TEXT
+    assert _pptx_text_minimal(H._fixture_pptx_bytes()) == H._FIXTURE_PPTX_TEXT
+    # deterministic bytes (pinned zip timestamps) — fixture fingerprints
+    # and oracle size literals cannot drift
+    assert H._fixture_docx_bytes() == H._fixture_docx_bytes()
+    # non-zip and missing-part payloads refuse instead of garbage
+    for fn in (_docx_text_minimal, _xlsx_text_minimal, _pptx_text_minimal):
+        with pytest.raises(NotImplementedError, match="OPC zip"):
+            fn(b"junk bytes, not a zip")
+    with pytest.raises(NotImplementedError, match="missing part"):
+        _docx_text_minimal(H._fixture_xlsx_bytes())  # xlsx fed to docx parser
 
 
 def test_quality_filter_verdict_composition(spark, sf_dir):

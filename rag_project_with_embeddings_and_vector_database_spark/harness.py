@@ -3370,11 +3370,12 @@ def pipeline_e2e(spark, sf_dir):
 def pipeline_reference_corpus(spark, sf_dir):
     """End-to-end parity run on the REFERENCE'S OWN inputs (VERDICT r2
     item 3): run_full_experiment over /root/reference/projects (the 3
-    real .md files parse; the ~45 .pdf files skip — parsers are
-    import-gated and the PDF libraries are absent in this container, see
-    README 'Environment constraints') with the reference's real 15-query
-    evaluation set (/root/reference/data/queries.json:1-93), mirroring
-    reference main.py:415-461. Runs the reference's FULL config grid —
+    real .md files parse; the ~45 multi-page financial .pdf files fall
+    outside the stdlib fallback's single-page envelope and degrade to
+    the documented deterministic stub, see README 'Environment
+    constraints') with the reference's real 15-query evaluation set
+    (/root/reference/data/queries.json:1-93), mirroring reference
+    main.py:415-461. Runs the reference's FULL config grid —
     5 chunking strategies x the 5-model registry (config.py:35-41,
     hash backend) = the same 25 ranked configurations main() reports —
     deterministic run-to-run; falls back to the fixture corpus if the

@@ -39,33 +39,12 @@ _P = (1 << 31) - 1
 # Bounded per-operator cache registry (ADVICE r3): the pair generators
 # persist() their banded/blocked frame because BOTH sides of the
 # self-join read it (no exchange reuse across differing join-side
-# projections — measured ~1.6x without the cache). A long-lived session
-# calling a generator repeatedly with different inputs must not
-# accumulate session-lifetime cache entries, so each generator swaps
-# its previous persisted frame out: at most ONE cached frame per
-# generator at any time, and release_caches() drops them all.
-_PAIR_CACHE: dict[str, DataFrame] = {}
-
-
-def _swap_cache(key: str, df: DataFrame) -> DataFrame:
-    """Persist ``df`` under ``key``, unpersisting the generator's
-    previous cached frame. Unpersisting the old frame is safe even if a
-    previously returned pairs DataFrame is still unexecuted — it simply
-    recomputes without the cache."""
-    prev = _PAIR_CACHE.get(key)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    df = df.persist()
-    _PAIR_CACHE[key] = df
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every pair-generator cache (call when a caller that
-    owns the lifecycle has materialized its pairs)."""
-    for df in _PAIR_CACHE.values():
-        df.unpersist(blocking=False)
-    _PAIR_CACHE.clear()
+# projections — measured ~1.6x without the cache). Each generator
+# swaps its previous persisted frame out (at most ONE cached frame per
+# generator) and release_caches() drops them all — shared scoped
+# registry in operators/_cache.py.
+from ._cache import release_caches  # noqa: F401  (re-exported public API)
+from ._cache import swap_cache as _swap_cache
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:

@@ -2575,6 +2575,71 @@ def sessionize_stateful(spark, sf_dir):
     )
 
 
+@register("stream_dedup")  # rows-only: real streaming run, self-validating counts
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/ingest.py streaming_dedup,
+    ``dropDuplicatesWithinWatermark``) run as a REAL Structured
+    Streaming job: the events table is UNIONED WITH ITSELF (every key
+    a planted duplicate at the same timestamp — trivially inside any
+    watermark horizon) -> temp parquet -> readStream -> keyed dedup ->
+    memory sink, availableNow trigger. The expected row set is the
+    batch distinct of (event_id, ts): correct iff n_stream ==
+    n_expected == n_matched; emits the counts plus ``ok`` and RAISES
+    on disagreement, completing the real-run streaming evidence
+    triple (sessionize_stateful, stream_windowed_counts, this).
+
+    Scale note: watermark-bounded state is the only viable exact-dedup
+    contract on an unbounded stream; state is O(keys inside the
+    horizon), keyed by the same uniform ids the batch exact dedup
+    shuffles on."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import streaming_dedup
+
+    # one ts per event_id (min) so the batch distinct twin is exactly
+    # one row per key — the contract dropDuplicatesWithinWatermark
+    # gives on the doubled stream regardless of arrival order
+    e = (
+        _events(spark, sf_dir)
+        .groupBy("event_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    doubled = e.unionByName(e)
+    run_id = uuid.uuid4().hex[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_dd_stream_{run_id}")
+    doubled.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
+    stream = spark.readStream.schema("event_id long, ts timestamp").parquet(f"{tmp}/src")
+    qname = f"dd_stream_{run_id}"
+    q = (
+        streaming_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(qname).select("event_id", "ts")
+    # expected derives from the WRITTEN source file, not a recomputed
+    # plan — the stream and the twin must see identical rows
+    expected = spark.read.parquet(f"{tmp}/src").distinct()
+    matched = got.join(expected, ["event_id", "ts"], "inner").count()
+    n_stream, n_expected = got.count(), expected.count()
+    ok = n_stream == n_expected == matched
+    if not ok:
+        raise AssertionError(
+            f"streaming/batch dedup parity broke: n_stream={n_stream} "
+            f"n_expected={n_expected} n_matched={matched}"
+        )
+    return spark.createDataFrame(
+        [(n_stream, n_expected, matched, ok)],
+        "n_stream long, n_expected long, n_matched long, ok boolean",
+    )
+
+
 @register("stream_windowed_counts")  # rows-only: real streaming run, self-validating counts
 def stream_windowed_counts(spark, sf_dir):
     """Watermarked tumbling-window aggregation (streaming/ingest.py
@@ -3541,6 +3606,7 @@ _PRIORITY = [
     "dedup_full", "topk_retrieval_quantized", "bm25_topk", "hybrid_rrf",
     "quality_filter", "tfidf_terms", "scan_docs",
     "ann_lsh", "ann_ivf", "sessionize_stateful", "stream_windowed_counts",
+    "stream_dedup",
     "dedup_minhash_pairs", "simhash_pairs", "ngram_jaccard",
     "dedup_embedding", "sequence_pack",
     # flagged by `selfcheck.py --check-window`: these sit in the
@@ -3567,7 +3633,6 @@ _PRIORITY = [
     # salted/multimodal last checked r2, then the §2 primitives)
     "asof_join", "sessionize", "window_suite", "salted_join",
     "multimodal_meta",
-    "chunk_table_islands",
     "cosine_dot", "l2_normalize", "topk_retrieval", "knn_bruteforce",
 ]
 

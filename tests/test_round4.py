@@ -233,3 +233,11 @@ def test_streaming_parity_emits_ok(spark, sf_dir):
 
     r = H.SPARK_QUERIES["stream_windowed_counts"](spark, sf_dir).collect()[0]
     assert r.ok and r.n_stream == r.n_batch == r.n_matched == r.n_avg_close
+
+
+def test_stream_dedup_parity_emits_ok(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    r = H.SPARK_QUERIES["stream_dedup"](spark, sf_dir).collect()[0]
+    assert r.ok and r.n_stream == r.n_expected == r.n_matched
+    assert r.n_stream > 0

@@ -91,3 +91,10 @@ def test_dedup_full_no_quadratic_stage(spark, sf_dir):
     plan = _plan(spark, "dedup_full", sf_dir)
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()  # the pair generator's scoped cache
+
+
+def test_hybrid_rrf_fuses_without_cartesian(spark, sf_dir):
+    plan = _plan(spark, "hybrid_rrf", sf_dir)
+    assert "CartesianProduct" not in plan
+    # both legs feed one fusion join on (query_id, doc_id)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()

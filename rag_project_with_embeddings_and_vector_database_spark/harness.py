@@ -2144,6 +2144,88 @@ def quality_filter(spark, sf_dir):
     ).withColumn("keep", keep)
 
 
+def _corpus_prep_sql(threshold: float = 0.5, max_bucket_size: int = 1000) -> str:
+    """The END-TO-END data-prep verdict: quality filtering, then
+    minhash-LSH near-dup collapse among the quality survivors — the
+    two-stage composition (filter before dedup, so junk never enters
+    the pair generator) a real 100 TB prep run executes. One oracle
+    replays both stages plus the transitive closure."""
+    qf = _quality_filter_sql()
+    base = _minhash_sql(source="survivors")
+    band_exprs = []
+    for band in range(4):
+        cols = " || '_' || ".join(f"sig[{band * 4 + r + 1}]::VARCHAR" for r in range(4))
+        band_exprs.append(
+            f"SELECT doc_id, sig, {band} AS band, ('0x' || substr(md5({cols}), 1, 15))::BIGINT AS band_hash FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_exprs)
+    return f"""
+    WITH RECURSIVE qf AS (SELECT * FROM ({qf})),
+    survivors AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN qf ON qf.doc_id = d.doc_id WHERE qf.keep
+    ),
+    sigs AS ({base}),
+    banded AS ({bands}),
+    kept_b AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, band_hash) AS _n FROM banded
+      ) WHERE _n <= {max_bucket_size}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept_b a JOIN kept_b b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      WHERE round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0::DOUBLE, 6) >= {threshold}
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT qf.doc_id,
+           qf.keep AS kept_quality,
+           CASE WHEN qf.keep THEN coalesce(comp.component, qf.doc_id) END AS component,
+           (qf.keep AND coalesce(comp.component, qf.doc_id) = qf.doc_id) AS kept
+    FROM qf LEFT JOIN comp ON comp.id = qf.doc_id
+    """
+
+
+@register("corpus_prep", _corpus_prep_sql())
+def corpus_prep(spark, sf_dir):
+    """The capstone composition: the complete training-corpus
+    preparation verdict over the REAL documents table. Stage 1 is the
+    quality filter (quality/language/PII/repetition conjunction); only
+    its survivors enter stage 2's minhash-LSH pair generation +
+    connected components + min-id keeper — filtering before dedup so
+    boilerplate junk never inflates an LSH bucket. Emits one row per
+    document: (doc_id, kept_quality, component, kept). Every stage is
+    individually oracled elsewhere (quality_filter, dedup_minhash_pairs,
+    connected_components, dedup_full); this row pins their composition.
+
+    Scale shape: one scan + repetition agg for stage 1, then the
+    bounded banded equi-join and short label propagation of dedup_full
+    over the (smaller) surviving corpus — strictly cheaper than
+    deduping first."""
+    qf = quality_filter(spark, sf_dir).select("doc_id", "keep")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    survivors = docs.join(qf.filter(F.col("keep")).select("doc_id"), "doc_id")
+    pairs = DD.minhash_lsh_pairs(survivors, num_perm=16, num_bands=4, seed=42).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = DD.connected_components(pairs)
+    out = qf.join(comp, F.col("doc_id") == F.col("id"), "left")
+    resolved = F.coalesce("component", F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        F.col("keep").alias("kept_quality"),
+        F.when(F.col("keep"), resolved).alias("component"),
+        (F.col("keep") & (resolved == F.col("doc_id"))).alias("kept"),
+    )
+
+
 @register(
     "doc_fingerprint",
     """
@@ -3604,7 +3686,7 @@ _PRIORITY = [
     # gate escape hatch, recall-floor flags, streaming ok-assertions,
     # typed packing schema)
     "dedup_full", "topk_retrieval_quantized", "bm25_topk", "hybrid_rrf",
-    "quality_filter", "tfidf_terms", "scan_docs",
+    "quality_filter", "corpus_prep", "tfidf_terms", "scan_docs",
     "ann_lsh", "ann_ivf", "sessionize_stateful", "stream_windowed_counts",
     "stream_dedup",
     "dedup_minhash_pairs", "simhash_pairs", "ngram_jaccard",
@@ -3628,7 +3710,9 @@ _PRIORITY = [
     "embed_batch", "embed_values", "pipeline_e2e",
     "metric_topk", "metric_mrr", "metric_avgsim",
     # (c) displaced to the tail by the r3 rotation, last verified r1
-    "semi_anti_join", "brand_revenue", "rollup_lineitem", "tpch_q6",
+    # (brand_revenue yields its slot to corpus_prep: r1-hash-PASSED,
+    # code untouched since, rotates into r5)
+    "semi_anti_join", "rollup_lineitem", "tpch_q6",
     # (d) r2-green core due for re-confirmation (asof/sessionize/window/
     # salted/multimodal last checked r2, then the §2 primitives)
     "asof_join", "sessionize", "window_suite", "salted_join",

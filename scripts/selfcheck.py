@@ -61,7 +61,8 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_TOPK_QUANT_SQL": {"topk_retrieval_quantized"},
     "_BM25": {"bm25_topk", "hybrid_rrf"},
     "_bm25": {"bm25_topk", "hybrid_rrf"},
-    "_quality_filter_sql": {"quality_filter"},
+    "_quality_filter_sql": {"quality_filter", "corpus_prep"},
+    "_corpus_prep_sql": {"corpus_prep"},
     "_ann_recall": {"ann_lsh", "ann_ivf"},
     "_synthetic_docs": {"chunk_fanout", "embed_batch", "embed_values", "pipeline_e2e"},
 }

@@ -213,6 +213,24 @@ def test_quality_filter_verdict_composition(spark, sf_dir):
         assert r.keep == expect, r
 
 
+def test_corpus_prep_composes_quality_then_dedup(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    prep = {r.doc_id: r for r in H.SPARK_QUERIES["corpus_prep"](spark, sf_dir).collect()}
+    qf = {r.doc_id: r.keep for r in H.SPARK_QUERIES["quality_filter"](spark, sf_dir).collect()}
+    assert set(prep) == set(qf)  # one verdict per doc
+    for doc_id, r in prep.items():
+        assert r.kept_quality == qf[doc_id]
+        if not r.kept_quality:
+            # quality-dropped docs never reach dedup: no component
+            assert r.component is None and not r.kept
+        else:
+            assert r.component is not None and r.component <= doc_id
+            assert r.kept == (r.component == doc_id)
+    # dedup dropped at least nothing or more; never more kept than quality-kept
+    assert sum(r.kept for r in prep.values()) <= sum(qf.values())
+
+
 def test_bm25_ranking_sane(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 

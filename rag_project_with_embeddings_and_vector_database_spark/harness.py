@@ -1232,6 +1232,25 @@ def ann_ivf(spark, sf_dir):
     )
 
 
+@register("ann_ivf_quantized")  # rows-only: seeded KMeans bucketing not SQL-expressible
+def ann_ivf_quantized(spark, sf_dir):
+    """IVF pruning COMPOSED with int8 coarse scoring (operators/
+    retrieval.py knn_ivf coarse='int8'): probed buckets are scanned as
+    dequantized int8 (4x less bandwidth) to a top-50 candidate set,
+    then rescored at full precision — the two scale levers of the
+    similarity-search family working together. Output is per-query
+    recall@10 vs the exact baseline with the asserted
+    ``recall_floor_met`` flag, so quality loss from EITHER lever is
+    driver-visible."""
+    return _ann_recall(
+        spark, sf_dir,
+        lambda q, e: R.knn_ivf(
+            q, e, 10, num_centroids=16, nprobe=12, corpus_id="vec_id",
+            coarse="int8", coarse_k=50,
+        ),
+    )
+
+
 @register("ann_lsh")  # rows-only: MLlib LSH is seeded but not SQL-expressible
 def ann_lsh(spark, sf_dir):
     """Approximate kNN via BucketedRandomProjectionLSH — the 100 TB scale
@@ -3687,8 +3706,8 @@ _PRIORITY = [
     # typed packing schema)
     "dedup_full", "topk_retrieval_quantized", "bm25_topk", "hybrid_rrf",
     "quality_filter", "corpus_prep", "tfidf_terms", "scan_docs",
-    "ann_lsh", "ann_ivf", "sessionize_stateful", "stream_windowed_counts",
-    "stream_dedup",
+    "ann_lsh", "ann_ivf", "ann_ivf_quantized", "sessionize_stateful",
+    "stream_windowed_counts", "stream_dedup",
     "dedup_minhash_pairs", "simhash_pairs", "ngram_jaccard",
     "dedup_embedding", "sequence_pack",
     # flagged by `selfcheck.py --check-window`: these sit in the
@@ -3696,7 +3715,8 @@ _PRIORITY = [
     # sources/documents.py) even though their own harness code didn't
     # change
     "bucket_stats", "dedup_exact", "decontaminate", "scan_queries",
-    "pipeline_reference_corpus",
+    "pipeline_reference_corpus", "sink_vectors", "ddl_collections",
+    "top_orders_per_customer",
     # (b) code/fixtures changed in r3 after their last CORRECTNESS row:
     # connected_components (shingle try_element_at + eager gate),
     # dedup_minhash/dedup_simhash (branch-free tally, persist), the
@@ -3710,14 +3730,16 @@ _PRIORITY = [
     "embed_batch", "embed_values", "pipeline_e2e",
     "metric_topk", "metric_mrr", "metric_avgsim",
     # (c) displaced to the tail by the r3 rotation, last verified r1
-    # (brand_revenue yields its slot to corpus_prep: r1-hash-PASSED,
-    # code untouched since, rotates into r5)
-    "semi_anti_join", "rollup_lineitem", "tpch_q6",
+    # (brand_revenue, rollup_lineitem and tpch_q6 yield their slots to
+    # corpus_prep / ann_ivf_quantized / the retrieval.py dependency
+    # closure: r1-hash-PASSED, code untouched since, tpch_q6 benched
+    # every round; all rotate into r5)
+    "semi_anti_join",
     # (d) r2-green core due for re-confirmation (asof/sessionize/window/
     # salted/multimodal last checked r2, then the §2 primitives)
     "asof_join", "sessionize", "window_suite", "salted_join",
     "multimodal_meta",
-    "cosine_dot", "l2_normalize", "topk_retrieval", "knn_bruteforce",
+    "topk_retrieval", "knn_bruteforce",
 ]
 
 

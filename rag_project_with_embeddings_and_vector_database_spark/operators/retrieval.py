@@ -157,10 +157,19 @@ def knn_ivf(
     corpus_id: str = "id",
     vec_col: str = "embedding",
     seed: int = 42,
+    coarse: str = "float32",
+    coarse_k: int = 50,
 ) -> DataFrame:
     """IVF-style approximate kNN: seeded KMeans partitions the corpus
     into centroid buckets; each query probes only its ``nprobe`` nearest
     buckets and exact-rescsores inside them.
+
+    ``coarse='int8'`` composes the two scale levers: the in-bucket scan
+    scores int8-dequantized vectors (4x less scan bandwidth — at scale
+    the probed partitions are read as int8 + scale only) to a
+    ``coarse_k`` candidate set, then rescores those candidates at full
+    precision. ``coarse='float32'`` (default) scores full precision
+    directly.
 
     Scale shape: centroids are tiny and broadcast twice (assignment +
     probe selection); the search join is an equi-join on bucket id —
@@ -171,6 +180,8 @@ def knn_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if coarse not in ("float32", "int8"):
+        raise ValueError(f"coarse must be 'float32' or 'int8', got {coarse!r}")
     cn = corpus.select(
         F.col(corpus_id), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
@@ -188,7 +199,23 @@ def knn_ivf(
     probes = topk(qc, [query_id], nprobe, score_col="c_sim", tiebreak_col="bucket", rank_name="_pr")
     probe_set = probes.select(F.col(query_id).alias(f"q_{query_id}"), F.col(vec_col).alias("qv"), "bucket")
 
-    scored = assigned.join(probe_set, "bucket").withColumn("score", V.dot("qv", vec_col))
+    if coarse == "int8":
+        amax = F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        )
+        quant = assigned.withColumn("amax", amax).withColumn("q8", V.quantize_int8(vec_col))
+        coarse_scored = quant.join(probe_set, "bucket").withColumn(
+            "score_q", V.dot(V.dequantize_int8(F.col("q8"), F.col("amax")), F.col("qv"))
+        )
+        cand = topk(
+            coarse_scored, [f"q_{query_id}"], coarse_k,
+            score_col="score_q", tiebreak_col=corpus_id, rank_name="_cr",
+        )
+        scored = cand.withColumn("score", V.dot("qv", vec_col))
+    else:
+        scored = assigned.join(probe_set, "bucket").withColumn("score", V.dot("qv", vec_col))
     out = topk(scored, [f"q_{query_id}"], k, tiebreak_col=corpus_id)
     return out.select(
         F.col(f"q_{query_id}").alias(query_id),

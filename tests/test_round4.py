@@ -84,7 +84,7 @@ def test_sequence_pack_string_ids(spark):
 def test_ann_recall_floor_flags_true(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 
-    for name in ("ann_lsh", "ann_ivf"):
+    for name in ("ann_lsh", "ann_ivf", "ann_ivf_quantized"):
         rows = H.SPARK_QUERIES[name](spark, sf_dir).collect()
         assert rows, name
         assert all(r.recall_floor_met for r in rows), (name, rows)

@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .config import EngineConfig
 from .functions import text as TX
@@ -61,12 +62,21 @@ def _par(df: DataFrame) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table is written with TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; read nanos as long and rebuild a microsecond
-    timestamp (the data carries no sub-microsecond residue)."""
+    """The events table's ts physical type has varied across driver
+    testdata generations: TIMESTAMP(NANOS) — which Spark's reader
+    rejects, so read nanos as long and rebuild — or a native
+    timestamp[us] (read as TIMESTAMP_NTZ). Adapt to whichever this
+    checkout carries so downstream queries always see a microsecond
+    TimestampType ``ts``; the session timezone is pinned to UTC
+    (session.py), so the NTZ->TZ cast is value-preserving."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = e.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif not isinstance(dt, T.TimestampType):
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,7 @@ HEADLINE = [
     "cube_lineitem",
     "top_orders_per_customer",
     "semi_anti_join",
+    "bucketed_join",
     # events / windows / time
     "events_hourly",
     "window_running_sum",

@@ -3172,6 +3172,134 @@ def sink_orc(spark, sf_dir):
 
 
 @register(
+    "vectors_upsert",
+    """
+    WITH base AS (
+      SELECT vec_id, CASE WHEN vec_id % 2 = 0 THEN 'modelA' ELSE 'modelB' END AS model,
+             'v1' AS tag
+      FROM embeddings WHERE vec_id < 100
+    ),
+    delta AS (
+      SELECT vec_id, CASE WHEN vec_id % 2 = 0 THEN 'modelA' ELSE 'modelB' END AS model,
+             'v2' AS tag
+      FROM embeddings WHERE vec_id >= 50 AND vec_id < 150
+    ),
+    merged AS (
+      SELECT * FROM delta
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM delta d
+                        WHERE d.model = b.model AND d.vec_id = b.vec_id)
+    )
+    SELECT model, count(*) AS points, sum(vec_id)::BIGINT AS sum_ids,
+           sum(CASE WHEN tag = 'v2' THEN 1 ELSE 0 END)::BIGINT AS n_updated
+    FROM merged GROUP BY model
+    """,
+)
+def vectors_upsert(spark, sf_dir):
+    """S11 depth: POINT-level upsert within a collection — the
+    reference add_vectors contract (vector_db.py:60-91: Qdrant upsert
+    replaces points whose id exists, inserts the rest). sink_vectors
+    covers the collection-overwrite form; this verifies the keyed merge:
+    seed vec_id<100 tagged v1, then upsert vec_id in [50,150) tagged v2.
+    The oracle recomputes the merge relationally (delta UNION ALL
+    anti-joined base), pinning per-collection point count, an id
+    checksum, and exactly how many surviving points carry the updated
+    payload — so a merge that duplicated, dropped, or failed to replace
+    rows hash-mismatches."""
+    out = _tmp_sink_dir("upsert")
+    e = _t(spark, sf_dir, "embeddings")
+    model = F.when(F.col("vec_id") % 2 == 0, "modelA").otherwise("modelB")
+    base = e.filter(F.col("vec_id") < 100).select(
+        F.lit("fixed_size").alias("strategy"), model.alias("model"),
+        "vec_id", F.lit("v1").alias("tag"),
+    )
+    delta = e.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 150)).select(
+        F.lit("fixed_size").alias("strategy"), model.alias("model"),
+        "vec_id", F.lit("v2").alias("tag"),
+    )
+    vt = R.VectorTable(spark, out)
+    vt.upsert(base)
+    vt.upsert_points(delta, key_col="vec_id")
+    return vt.read().groupBy("model").agg(
+        F.count(F.lit(1)).alias("points"),
+        F.sum("vec_id").alias("sum_ids"),
+        F.sum(F.when(F.col("tag") == "v2", 1).otherwise(0)).alias("n_updated"),
+    )
+
+
+@register(
+    "bucketed_join",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join(spark, sf_dir):
+    """Bucketed co-located join: both fact tables are written
+    CLUSTERED BY their join key into the same bucket count, so the
+    sort-merge join consumes bucketed scans directly — NO exchange on
+    either side (tests/test_plans.py pins the plan shape). This is the
+    100 TB fact-fact pattern: pay the shuffle ONCE at ingest, then
+    every subsequent join/agg on the bucket key is exchange-free.
+    The merge hint only forces SMJ over a broadcast of the small demo
+    side — at production scale neither side broadcasts and SMJ is what
+    AQE picks anyway. The oracle runs the same join-agg on the raw
+    (unbucketed) tables, proving layout changes nothing about values."""
+    import os
+
+    out = _tmp_sink_dir("bucketed")
+    pid = os.getpid()
+    ot, lt = f"bkt_orders_{pid}", f"bkt_lineitem_{pid}"
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    for name, df, key in ((ot, o, "o_orderkey"), (lt, li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{out}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    j = spark.table(lt).join(
+        spark.table(ot).hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "sink_partitioned",
+    """
+    SELECT doc_id, n_chars, (doc_id % 8)::INT AS bucket
+    FROM documents WHERE doc_id % 8 = 3
+    """,
+)
+def sink_partitioned(spark, sf_dir):
+    """Hive-partitioned sink + partition-pruned readback: write the
+    documents index partitioned by a derived bucket column, read back
+    with a partition predicate. The scan must list and open ONLY the
+    matching partition directory (PartitionFilters in the plan —
+    tests/test_plans.py pins it); at 100 TB partition pruning is the
+    difference between reading 1/k of the lake and all of it. The
+    oracle recomputes the partition's rows from the unpartitioned
+    source, value-checking the layout round-trip."""
+    out = _tmp_sink_dir("hivepart")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.pmod("doc_id", F.lit(8)).cast("int").alias("bucket")
+    )
+    d.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("bucket") == 3)
+    return back.select("doc_id", "n_chars", F.col("bucket").cast("int").alias("bucket"))
+
+
+@register(
     "grouped_mad",
     """
     WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id)
@@ -3735,8 +3863,17 @@ _PRIORITY = [
     # filter), pipeline_e2e, metric_topk/mrr/avgsim (grid full-outer
     # touched per_query_metrics; only metric_all was re-confirmed)
     "connected_components", "dedup_minhash", "dedup_simhash",
-    "chunk_fanout",
-    "embed_batch", "embed_values", "pipeline_e2e",
+    "embed_values", "pipeline_e2e",
+    # new-in-r4 (late session): point-level vector upsert, bucketed
+    # co-located join, partitioned sink — each a NEW oracle that must
+    # earn its first driver row. Slots from chunk_fanout + embed_batch
+    # (both rows-only: a driver row re-proves only clean execution,
+    # which this session's local selfcheck re-established post-fixture
+    # change; their hash-oracled family members embed_values /
+    # chunk_sections / the five core chunker oracles carry the value
+    # evidence) and multimodal_meta (hash-green r2, code untouched
+    # since). All three rotate back in r5.
+    "vectors_upsert", "bucketed_join", "sink_partitioned",
     # the events-family closure of the r4 _events loader fix (ts
     # physical type changed in the regenerated testdata): every query
     # reading through _events gets a post-change CORRECTNESS row. The
@@ -3760,7 +3897,6 @@ _PRIORITY = [
     # (d) r2-green core due for re-confirmation (asof/sessionize/window/
     # salted/multimodal last checked r2, then the §2 primitives)
     "asof_join", "sessionize", "window_suite", "salted_join",
-    "multimodal_meta",
     "knn_bruteforce",
 ]
 

@@ -57,7 +57,8 @@ def bm25_topk(
     lazy 1-row frame (no driver count). One per-query top-k window
     ends the plan.
 
-    Measured at sf0.1 (5000 large docs, local[32]): ~4.4s, dominated
+    Measured at sf0.1 (5000 docs, local[32]): ~4-6 s depending on the
+    testdata generation, dominated
     by two intrinsically serial regex-tokenization jobs — the
     blocking corpus-stats broadcast, then the postings pass (also
     measured: full-postings-first formulations, explicit persist of

@@ -249,6 +249,51 @@ class VectorTable:
             .parquet(self.path)
         )
 
+    def upsert_points(self, df: DataFrame, key_col: str = "vec_id") -> None:
+        """Point-level upsert WITHIN collections — the reference's actual
+        add_vectors contract (/root/reference/src/vector_db.py:60-91):
+        Qdrant upsert replaces points whose id already exists and inserts
+        the rest; untouched collections are untouched. On plain parquet
+        this is a partition-scoped rewrite: only the partitions named by
+        the delta are read back (partition pruning via an IN filter on
+        the partition columns — a handful of literals, never a join for
+        the pruning itself), existing rows losing to a delta row on
+        (collection, key) are anti-joined away, and the union is
+        dynamically overwritten. Collections absent from the delta never
+        have a file opened or rewritten. On a transactional table format
+        (Delta/Iceberg) the same operation is a keyed MERGE INTO; at
+        100 TB that is the production path — this is the
+        filesystem-parquet equivalent with identical semantics.
+
+        The merged frame is localCheckpoint()ed before the write:
+        Spark refuses to overwrite a path that feeds the plan being
+        written, and the checkpoint cuts that read-path lineage. The
+        materialized set is only the delta's partitions, not the table.
+        """
+        import functools
+        import operator
+
+        parts = [tuple(r) for r in df.select(*self.partition_cols).distinct().collect()]
+        new_keys = df.select(*self.partition_cols, key_col)
+        existing = self.read()
+        touched = existing.filter(
+            functools.reduce(
+                operator.or_,
+                [
+                    functools.reduce(
+                        operator.and_,
+                        [F.col(c) == F.lit(v) for c, v in zip(self.partition_cols, p)],
+                    )
+                    for p in parts
+                ],
+            )
+        )
+        # no broadcast hint: a small delta batch broadcasts via AQE
+        # anyway, and a bulk re-embed delta must be free to shuffle
+        kept = touched.join(new_keys, [*self.partition_cols, key_col], "left_anti")
+        merged = kept.select(*df.columns).unionByName(df).localCheckpoint()
+        self.upsert(merged)
+
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 

@@ -98,3 +98,23 @@ def test_hybrid_rrf_fuses_without_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # both legs feed one fusion join on (query_id, doc_id)
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_bucketed_join_no_exchange_before_smj(spark, sf_dir):
+    # the 100 TB fact-fact pattern: both sides read back bucketed on the
+    # join key, so the SMJ consumes the scans directly — the ONLY
+    # exchange in the whole plan is the final aggregation's
+    plan = _plan(spark, "bucketed_join", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(o_orderpriority" in plan
+
+
+def test_sink_partitioned_prunes_partitions(spark, sf_dir):
+    plan = _plan(spark, "sink_partitioned", sf_dir)
+    # the partition predicate prunes directories at the scan; the data
+    # columns alone are read
+    assert "PartitionFilters" in plan and "(bucket" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "bucket" not in read_schema

@@ -259,3 +259,30 @@ def test_stream_dedup_parity_emits_ok(spark, sf_dir):
     r = H.SPARK_QUERIES["stream_dedup"](spark, sf_dir).collect()[0]
     assert r.ok and r.n_stream == r.n_expected == r.n_matched
     assert r.n_stream > 0
+
+
+def test_upsert_points_merges_by_key_within_collection(spark, tmp_path):
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+
+    vt = R.VectorTable(spark, str(tmp_path / "vt"))
+    base = spark.createDataFrame(
+        [("s", m, i, "v1") for m in ("mA", "mB") for i in range(10)],
+        "strategy string, model string, vec_id long, tag string",
+    )
+    vt.upsert(base)
+    # delta touches ONLY collection (s, mA): replaces ids 5..9, adds 10..12
+    delta = spark.createDataFrame(
+        [("s", "mA", i, "v2") for i in range(5, 13)],
+        "strategy string, model string, vec_id long, tag string",
+    )
+    vt.upsert_points(delta, key_col="vec_id")
+    rows = {(r.model, r.vec_id): r.tag for r in vt.read().collect()}
+    # untouched collection intact
+    assert all(rows[("mB", i)] == "v1" for i in range(10))
+    assert sum(1 for m, _ in rows if m == "mB") == 10
+    # merged collection: 0..4 keep v1, 5..12 carry v2, no duplicates
+    assert sum(1 for m, _ in rows if m == "mA") == 13
+    assert all(rows[("mA", i)] == "v1" for i in range(5))
+    assert all(rows[("mA", i)] == "v2" for i in range(5, 13))

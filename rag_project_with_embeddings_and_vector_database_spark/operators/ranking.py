@@ -115,6 +115,92 @@ def bm25_topk(
     )
 
 
+def build_text_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The INDEXING job bm25_topk's docstring points at: tokenize the
+    corpus once and return ``(postings, dfreq, stats)`` —
+
+      * postings: (term, id, tf, dl) — the inverted index,
+      * dfreq:    (term, df)         — per-term document frequency,
+      * stats:    1 row (avgdl, n_docs) over docs with >= 1 token.
+
+    At 100 TB this runs once per corpus snapshot and the three frames
+    are WRITTEN OUT (partition/bucket postings by term so the query
+    path's term equi-join is pruned + co-located); bm25_query_indexed
+    then touches only matched postings — the corpus text is never
+    re-tokenized per query batch. Definitions match bm25_topk exactly
+    (lowercased whitespace tokens, dl from the same token array, df
+    counted over all docs containing the term), so the split pipeline
+    is value-identical to the one-pass operator — pinned by
+    tests/test_round4.py against bm25_topk on the same corpus."""
+    base = docs.select(F.col(id_col), whitespace_tokens(text_col).alias("_toks"))
+    toks = base.select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("dl"),
+        F.explode(F.transform("_toks", F.lower)).alias("term"),
+    )
+    postings = toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        base.select(F.size("_toks").cast("bigint").alias("_dl"))
+        .filter(F.col("_dl") > 0)
+        .agg(F.avg("_dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    return postings, dfreq, stats
+
+
+def bm25_query_indexed(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "query",
+) -> DataFrame:
+    """The QUERY path over a stored text index: broadcast the query
+    terms, semi-join the postings (with a term-partitioned index this
+    is a pruned, co-located probe), score, top-k window. No corpus
+    tokenization — the only text processed is the query strings.
+    Output and determinism contract identical to bm25_topk."""
+    qterms = queries.select(
+        F.col(query_id),
+        F.explode(
+            F.array_distinct(F.transform(whitespace_tokens(query_text), F.lower))
+        ).alias("term"),
+    )
+    matched = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    joined = (
+        matched.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w_term = (
+        idf
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    scored = joined.groupBy(query_id, id_col).agg(F.round(F.sum(w_term), 6).alias("score"))
+    win = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "score", "rank")
+    )
+
+
 def rrf_fuse(
     a: DataFrame,
     b: DataFrame,

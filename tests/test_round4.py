@@ -286,3 +286,27 @@ def test_upsert_points_merges_by_key_within_collection(spark, tmp_path):
     assert sum(1 for m, _ in rows if m == "mA") == 13
     assert all(rows[("mA", i)] == "v1" for i in range(5))
     assert all(rows[("mA", i)] == "v2" for i in range(5, 13))
+
+
+def test_bm25_indexed_split_matches_one_pass(spark, sf_dir, tmp_path):
+    """The index-then-query split (build_text_index + bm25_query_indexed)
+    must reproduce the one-pass bm25_topk bit-for-bit, INCLUDING a
+    parquet round-trip of the index tables (the 100 TB shape: the index
+    is written once, queried many times)."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        ranking as RK,
+    )
+
+    docs = H._par(H._t(spark, sf_dir, "documents"))
+    postings, dfreq, stats = RK.build_text_index(docs)
+    for name, df in (("postings", postings), ("dfreq", dfreq), ("stats", stats)):
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    stored = {n: spark.read.parquet(str(tmp_path / n)) for n in ("postings", "dfreq", "stats")}
+    got = RK.bm25_query_indexed(
+        stored["postings"], stored["dfreq"], stored["stats"],
+        H._bm25_qdf(spark), k=10, k1=H._BM25_K1, b=H._BM25_B,
+    )
+    want = H.SPARK_QUERIES["bm25_topk"](spark, sf_dir)
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)

@@ -176,12 +176,42 @@ def knn_ivf(
     corpus stays hash-partitioned by bucket, nothing resembling a cross
     product. Search cost drops by ~num_centroids/nprobe vs brute force;
     recall depends on cluster geometry (tested for recall, not
-    equality)."""
+    equality).
+
+    Composition of the persistable halves: ``build_ivf_index`` (the
+    indexing job) + ``knn_ivf_indexed`` (the query path) — identical
+    plan, so this one-shot form and the stored-index form give the
+    same results (pinned by tests/test_round4.py through a parquet
+    round-trip of the index)."""
+    assigned, cdf = build_ivf_index(
+        corpus, num_centroids=num_centroids, corpus_id=corpus_id,
+        vec_col=vec_col, seed=seed,
+    )
+    return knn_ivf_indexed(
+        assigned, cdf, queries, k, nprobe=nprobe, query_id=query_id,
+        corpus_id=corpus_id, vec_col=vec_col, coarse=coarse, coarse_k=coarse_k,
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF INDEXING job: seeded KMeans over the corpus, returning
+    ``(assigned, centroids)`` — the bucket-tagged corpus and the tiny
+    (bucket, centroid) frame. At 100 TB both are WRITTEN OUT, the
+    assignments partitioned (or bucketed) by ``bucket`` so a query's
+    nprobe probes prune to exactly those partitions; re-clustering is
+    an offline refresh, not a per-query cost. Storing the int8-quantized
+    form alongside (functions/vectors.py quantize_int8) is the natural
+    extension — the query path below quantizes on the fly when asked,
+    which a stored index would skip."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    if coarse not in ("float32", "int8"):
-        raise ValueError(f"coarse must be 'float32' or 'int8', got {coarse!r}")
     cn = corpus.select(
         F.col(corpus_id), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
@@ -190,7 +220,30 @@ def knn_ivf(
     assigned = model.transform(cn).select(corpus_id, vec_col, "bucket")
 
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    cdf = queries.sparkSession.createDataFrame(centroids, ["bucket", "centroid"])
+    cdf = corpus.sparkSession.createDataFrame(
+        centroids, "bucket int, centroid array<double>"
+    )
+    return assigned, cdf
+
+
+def knn_ivf_indexed(
+    assigned: DataFrame,
+    cdf: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    coarse: str = "float32",
+    coarse_k: int = 50,
+) -> DataFrame:
+    """The IVF QUERY path over a stored index: broadcast the centroids,
+    pick each query's nprobe buckets, equi-join the (pruned) bucket
+    assignments, score — the corpus is touched only in the probed
+    buckets and never re-clustered."""
+    if coarse not in ("float32", "int8"):
+        raise ValueError(f"coarse must be 'float32' or 'int8', got {coarse!r}")
 
     # each query picks its nprobe closest centroids (broadcast join)
     qc = queries.join(F.broadcast(cdf), F.lit(True)).withColumn(

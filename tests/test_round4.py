@@ -310,3 +310,32 @@ def test_bm25_indexed_split_matches_one_pass(spark, sf_dir, tmp_path):
     want = H.SPARK_QUERIES["bm25_topk"](spark, sf_dir)
     key = lambda r: (r.query_id, r.rank)
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_ivf_indexed_split_matches_composition(spark, sf_dir, tmp_path):
+    """knn_ivf == build_ivf_index + knn_ivf_indexed, and the stored form
+    of the index (parquet round-trip) answers identically to the
+    in-memory form — the refresh-offline / query-online contract."""
+    from pyspark.sql import functions as F
+
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+
+    e = H._t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    assigned, cdf = R.build_ivf_index(e, num_centroids=8, corpus_id="vec_id", seed=42)
+    assigned.write.mode("overwrite").parquet(str(tmp_path / "assigned"))
+    cdf.write.mode("overwrite").parquet(str(tmp_path / "centroids"))
+    stored_assigned = spark.read.parquet(str(tmp_path / "assigned"))
+    stored_cdf = spark.read.parquet(str(tmp_path / "centroids"))
+    key = lambda r: (r.query_id, r.rank)
+    mem = sorted(
+        R.knn_ivf_indexed(assigned, cdf, q, 10, nprobe=3, corpus_id="vec_id").collect(), key=key
+    )
+    stored = sorted(
+        R.knn_ivf_indexed(stored_assigned, stored_cdf, q, 10, nprobe=3, corpus_id="vec_id").collect(),
+        key=key,
+    )
+    assert mem == stored and len(mem) == 50

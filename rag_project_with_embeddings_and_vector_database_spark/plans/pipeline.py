@@ -26,6 +26,7 @@ from ..config import EngineConfig
 from ..operators import chunking as CH
 from ..operators import metrics as M
 from ..operators import retrieval as R
+from ..operators._cache import swap_cache
 from ..operators.embedding import embed
 
 
@@ -53,6 +54,18 @@ def run_experiment(
     cfg = cfg or EngineConfig()
     strategies = strategies or tuple(CH.STRATEGY_FUNCS)
     models = models or list(cfg.models)
+
+    # Parse once: the 5-way strategy fan-out traverses the document set
+    # once per branch, and without a cache each branch re-runs the
+    # upstream SOURCE. For a binary corpus (load_documents over
+    # binaryFile) that means re-reading and re-parsing every file per
+    # branch — five concurrent tasks each holding the partition's raw
+    # file bytes in JVM Arrow batches, which OOMs a default-heap (1g)
+    # local driver on a tens-of-MB corpus. The parsed text is tiny;
+    # cache it and the binaries are read exactly once. Scoped via
+    # swap_cache so repeated experiment runs in one session swap, not
+    # accumulate (same policy as the dedup pair generators).
+    documents = swap_cache("pipeline.documents", documents)
 
     # Stage 3: chunk fan-out (C2-C7) — narrow, no shuffle. The 5-way
     # strategy union multiplies the partition count (5 x input splits);

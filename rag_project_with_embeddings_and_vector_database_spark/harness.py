@@ -3673,11 +3673,13 @@ def pipeline_e2e(spark, sf_dir):
 @register("pipeline_reference_corpus")  # rows-only: hash-embedder inference inside
 def pipeline_reference_corpus(spark, sf_dir):
     """End-to-end parity run on the REFERENCE'S OWN inputs (VERDICT r2
-    item 3): run_full_experiment over /root/reference/projects (the 3
-    real .md files parse; the ~45 multi-page financial .pdf files fall
-    outside the stdlib fallback's single-page envelope and degrade to
-    the documented deterministic stub, see README 'Environment
-    constraints') with the reference's real 15-query evaluation set
+    item 3): run_full_experiment over /root/reference/projects — the 3
+    real .md files parse natively, and (this checkout carries real
+    bytes for its 28 financial PDFs) the text-layer PDFs among them
+    parse via the stdlib paged walker (sources/documents.py
+    _pdf_text_paged); image-only scans, where even PyPDF2 would
+    extract nothing, degrade to the documented deterministic stub —
+    with the reference's real 15-query evaluation set
     (/root/reference/data/queries.json:1-93), mirroring reference
     main.py:415-461. Runs the reference's FULL config grid —
     5 chunking strategies x the 5-model registry (config.py:35-41,

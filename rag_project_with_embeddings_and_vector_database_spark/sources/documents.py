@@ -13,9 +13,12 @@ glob filter — path pruning happens in the scan, not in Python — then a
 per-format parse stage. Markdown/text decode is a native expression;
 binary formats (pdf/docx/xlsx/pptx) parse inside an Arrow-batched UDF
 when their libraries exist. In this container those libraries are NOT
-installed, so each format has a NARROW stdlib fallback (PDF:
-single-page literal-Tj streams via zlib; DOCX/XLSX/PPTX: OPC zip + XML
-via zipfile/ElementTree) that handles the vendored fixture corpus for
+installed, so each format has a NARROW stdlib fallback (PDF: a paged
+Catalog->Kids walker over Flate/raw literal-Tj content streams — it
+extracts real text from the reference checkout's own text-layer
+financial PDFs — with a single-page minimal parser behind it;
+DOCX/XLSX/PPTX: OPC zip + XML via zipfile/ElementTree) that handles
+the vendored fixture corpus for
 real — and anything outside its envelope degrades to a clearly-marked
 deterministic stub (format + byte-size summary) rather than failing
 the scan or risking garbage partial extraction. The Spark plumbing
@@ -92,18 +95,137 @@ def _pdf_text_minimal(data: bytes) -> str:
     return "--- Page 1 ---\n" + "\n".join(texts)
 
 
+def _pdf_unescape(raw: bytes) -> str:
+    """PDF literal-string escapes: \\( \\) \\\\ n r t plus octal
+    \\ddd; unknown escapes pass the escaped byte through (spec
+    behavior)."""
+    import re as _re
+
+    def sub(m: "_re.Match[bytes]") -> bytes:
+        g = m.group(1)
+        if g[:1].isdigit():
+            return bytes([int(g, 8) & 0xFF])
+        return {b"n": b"\n", b"r": b"\r", b"t": b"\t"}.get(g, g)
+
+    return _re.sub(rb"\\([0-7]{1,3}|.)", sub, raw).decode("latin-1")
+
+
+def _pdf_stream_texts(obj_body: bytes) -> list[str]:
+    """Literal-string show operators from one content-stream object:
+    ``(...) Tj`` one line each; ``[...] TJ`` arrays with their string
+    segments joined (kerning numbers dropped). Flate or raw streams
+    only — any other /Filter raises so the caller degrades honestly."""
+    import re as _re
+    import zlib
+
+    m = _re.search(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", obj_body, _re.DOTALL)
+    if m is None:
+        return []
+    meta, stream = m.group(1), m.group(2)
+    if b"/FlateDecode" in meta:
+        try:
+            stream = zlib.decompress(stream)
+        except zlib.error as e:
+            raise NotImplementedError(f"undecodable Flate content stream: {e}")
+    elif b"/Filter" in meta:
+        raise NotImplementedError("unsupported content-stream filter")
+    texts: list[str] = []
+    for bt in _re.finditer(rb"BT(.*?)ET", stream, _re.DOTALL):
+        for sm in _re.finditer(
+            rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[((?:[^\]\\]|\\.)*?)\]\s*TJ",
+            bt.group(1),
+            _re.DOTALL,
+        ):
+            if sm.group(1) is not None:
+                texts.append(_pdf_unescape(sm.group(1)))
+            else:
+                parts = _re.findall(rb"\(((?:[^()\\]|\\.)*)\)", sm.group(2))
+                texts.append("".join(_pdf_unescape(p) for p in parts))
+    return [t for t in texts if t.strip()]
+
+
+def _pdf_text_paged(data: bytes) -> str:
+    """Multi-page stdlib PDF extraction: walk Catalog -> /Pages ->
+    /Kids to the page objects IN TREE ORDER, pull each page's
+    /Contents stream(s), and emit the literal-string show text under
+    the reference's ``--- Page N ---`` markers (document_loader.py:
+    86-102 joins PyPDF2 page texts exactly so). Envelope: plain
+    (uncompressed-xref) object structure, Flate/raw content streams,
+    literal-string Tj/TJ — covers 27 of the reference checkout's 28
+    real financial PDFs; anything outside raises NotImplementedError
+    and the caller degrades to the single-page fallback, then the
+    stub. No positioning model: text order is stream order, which is
+    what substring-match relevance (evaluation.py:41-45) needs."""
+    import re as _re
+
+    if not data.startswith(b"%PDF"):
+        raise NotImplementedError("not a PDF header")
+    objs: dict[int, bytes] = {}
+    for m in _re.finditer(rb"(\d+)\s+0\s+obj\b(.*?)endobj", data, _re.DOTALL):
+        objs[int(m.group(1))] = m.group(2)  # last wins (incremental updates)
+    cat = next(
+        (b for b in objs.values() if _re.search(rb"/Type\s*/Catalog\b", b)), None
+    )
+    if cat is None:
+        raise NotImplementedError("no plain catalog object (compressed xref?)")
+    root = _re.search(rb"/Pages\s+(\d+)\s+0\s+R", cat)
+    if root is None:
+        raise NotImplementedError("catalog without /Pages reference")
+
+    page_bodies: list[bytes] = []
+
+    def walk(num: int, depth: int = 0) -> None:
+        if depth > 32:
+            raise NotImplementedError("page tree too deep")
+        body = objs.get(num)
+        if body is None:
+            raise NotImplementedError(f"unresolvable page-tree object {num}")
+        if _re.search(rb"/Type\s*/Pages\b", body):
+            kids = _re.search(rb"/Kids\s*\[(.*?)\]", body, _re.DOTALL)
+            if kids is None:
+                raise NotImplementedError("Pages node without /Kids")
+            for km in _re.finditer(rb"(\d+)\s+0\s+R", kids.group(1)):
+                walk(int(km.group(1)), depth + 1)
+        elif _re.search(rb"/Type\s*/Page\b", body):
+            page_bodies.append(body)
+        else:
+            raise NotImplementedError("non-page object in page tree")
+
+    walk(int(root.group(1)))
+    if not page_bodies:
+        raise NotImplementedError("empty page tree")
+    pages, any_text = [], False
+    for i, body in enumerate(page_bodies, start=1):
+        cm = _re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)", body)
+        texts: list[str] = []
+        if cm is not None:
+            for rm in _re.finditer(rb"(\d+)\s+0\s+R", cm.group(1)):
+                texts.extend(_pdf_stream_texts(objs.get(int(rm.group(1)), b"")))
+        any_text = any_text or bool(texts)
+        pages.append(f"--- Page {i} ---\n" + "\n".join(texts))
+    if not any_text:
+        raise NotImplementedError("no literal-string text operators in any page")
+    return "\n".join(pages)
+
+
 def _parse_pdf(data: bytes) -> str:
     try:
         from pypdf import PdfReader  # type: ignore
     except ImportError:
         # pypdf is not installable in this container (README
-        # "Environment constraints"); a narrow stdlib fallback keeps
-        # the real parse path testable on the vendored fixture.
+        # "Environment constraints"); stdlib fallbacks keep the real
+        # parse path live — the paged walker for well-formed multi-page
+        # files (the reference's own corpus), the single-page minimal
+        # parser for streams-only fixtures, then the documented stub.
+        try:
+            return _pdf_text_paged(data)
+        except NotImplementedError:
+            pass
         try:
             return _pdf_text_minimal(data)
         except NotImplementedError as e:
             raise NotImplementedError(
-                f"pdf parser not installed (pypdf); minimal fallback declined: {e}"
+                f"pdf parser not installed (pypdf); stdlib fallbacks declined: {e}"
             )
     import io
 

@@ -3,7 +3,12 @@ compare row count, column names, and order-insensitive rounded values —
 a local approximation of the driver's correctness gate.
 
 Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+       python scripts/selfcheck.py --vanilla [sf_dir] [query ...]
        python scripts/selfcheck.py --check-window [since_ref]
+
+--vanilla runs on a PLAIN SparkSession (default heap, no tuned
+configs) — the session shape the driver actually uses; run it before
+round end to catch config/memory assumptions the tuned factory hides.
 
 --check-window enforces the rotation POLICY (VERDICT r3 item 8): every
 query whose code changed since ``since_ref`` (default: the last commit
@@ -291,12 +296,35 @@ def check_window(since_ref: str | None) -> int:
 
 
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--check-window":
-        sys.exit(check_window(sys.argv[2] if len(sys.argv) > 2 else None))
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    if argv and argv[0] == "--check-window":
+        sys.exit(check_window(argv[1] if len(argv) > 1 else None))
+    vanilla = False
+    if argv and argv[0] == "--vanilla":
+        vanilla = True
+        argv = argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
-    spark = get_spark("selfcheck")
+    if vanilla:
+        # driver-faithful mode: the driver runs the contract on a PLAIN
+        # SparkSession (default 1g heap, no tuned configs) — this mode
+        # catches bugs the tuned factory hides (e.g. the r4 fan-out
+        # re-parse OOM: green under get_spark's 8g, JVM-fatal at 1g)
+        import os
+
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+            )
+            .config("spark.ui.enabled", "false")
+            .appName("selfcheck-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -339,3 +339,35 @@ def test_ivf_indexed_split_matches_composition(spark, sf_dir, tmp_path):
         key=key,
     )
     assert mem == stored and len(mem) == 50
+
+
+def test_pdf_paged_extraction_on_reference_corpus():
+    """The multi-page stdlib PDF walker extracts REAL text (page
+    markers + literal-string shows) from the reference checkout's own
+    financial PDFs, and declines (-> documented stub) on the
+    image-only scans rather than emitting garbage."""
+    import glob
+
+    import pytest as _pytest
+
+    from rag_project_with_embeddings_and_vector_database_spark.sources.documents import (
+        _pdf_text_paged,
+    )
+
+    files = sorted(glob.glob("/root/reference/projects/**/*.pdf", recursive=True))
+    if not files:
+        _pytest.skip("reference corpus not present")
+    parsed = {}
+    declined = 0
+    for f in files:
+        try:
+            parsed[f] = _pdf_text_paged(open(f, "rb").read())
+        except NotImplementedError:
+            declined += 1
+    assert len(parsed) >= 8  # the text-layer PDFs in this checkout
+    assert declined + len(parsed) == len(files)
+    sample = next(iter(parsed.values()))
+    assert sample.startswith("--- Page 1 ---")
+    # multi-page marker structure follows the reference's join format
+    multi = [t for t in parsed.values() if "--- Page 2 ---" in t]
+    assert multi, "expected at least one multi-page extraction"

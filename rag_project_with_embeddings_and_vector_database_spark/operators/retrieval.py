@@ -326,9 +326,16 @@ class VectorTable:
         import functools
         import operator
 
+        from pyspark.errors import AnalysisException
+
         parts = [tuple(r) for r in df.select(*self.partition_cols).distinct().collect()]
         new_keys = df.select(*self.partition_cols, key_col)
-        existing = self.read()
+        try:
+            existing = self.read()
+        except AnalysisException:
+            # first write: nothing to merge against
+            self.upsert(df)
+            return
         touched = existing.filter(
             functools.reduce(
                 operator.or_,

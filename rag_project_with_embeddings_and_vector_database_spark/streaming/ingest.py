@@ -32,13 +32,25 @@ def incremental_ingest(
     strategies: tuple[str, ...] = ("recursive",),
     cfg: EngineConfig | None = None,
     backend: str = "hash",
+    mode: str = "append",
 ) -> StreamingQuery:
     """Watch ``input_dir`` for new text/markdown files; chunk + embed
-    each micro-batch and append to the vector table parquet.
+    each micro-batch into the vector table parquet.
+
+    ``mode='append'`` blind-appends (fastest; duplicates on batch
+    replay). ``mode='upsert'`` merges each batch by ``chunk_id`` via
+    VectorTable.upsert_points — ``foreachBatch`` delivery is
+    AT-LEAST-ONCE, so a replayed batch (post-failure restart, or a
+    rebuilt checkpoint over the same directory) re-emits rows; the
+    keyed merge makes the sink idempotent, which is the standard
+    exactly-once-effect contract for foreachBatch sinks. At 100 TB the
+    same merge is MERGE INTO on a transactional table.
 
     The transformation graph is the SAME code the batch path uses —
     chunker UDFs and the embed stage are batch/stream agnostic, which is
     the point of keeping them as DataFrame -> DataFrame functions."""
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")
     stream = (
         spark.readStream.format("text")
         .option("wholetext", "true")
@@ -57,7 +69,14 @@ def incremental_ingest(
         vectors = embed(chunks, model, text_col="content", backend=backend).withColumn(
             "model", F.lit(model)
         )
-        vectors.write.mode("append").partitionBy("strategy", "model").parquet(vector_table_path)
+        if mode == "upsert":
+            from ..operators.retrieval import VectorTable
+
+            VectorTable(batch_df.sparkSession, vector_table_path).upsert_points(
+                vectors, key_col="chunk_id"
+            )
+        else:
+            vectors.write.mode("append").partitionBy("strategy", "model").parquet(vector_table_path)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -136,3 +136,32 @@ def test_multimodal_frame_sampling(spark):
     frames = MM.sample_frames(media, every_n=5, max_frames=4).collect()
     assert [f.frame_no for f in frames] == [0, 5, 10, 15]
     assert len({f.frame_sha for f in frames}) == 4
+
+
+def test_incremental_ingest_upsert_idempotent_under_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: a rebuilt checkpoint over the same
+    input replays every file. Append mode duplicates rows; upsert mode
+    (keyed merge on chunk_id) must leave the table bit-identical —
+    the exactly-once-effect contract for idempotent sinks."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "one.md").write_text("# One\n\nStreaming doc one. It has text.")
+    (in_dir / "two.md").write_text("Streaming doc two arrives later.")
+    vt_path = str(tmp_path / "vectors")
+    q = incremental_ingest(
+        spark, str(in_dir), vt_path, str(tmp_path / "ckpt1"), mode="upsert"
+    )
+    q.awaitTermination(120)
+    first = sorted(
+        (r.chunk_id, r.content) for r in spark.read.parquet(vt_path).collect()
+    )
+    assert first
+    # replay: FRESH checkpoint over the same directory reprocesses all
+    q2 = incremental_ingest(
+        spark, str(in_dir), vt_path, str(tmp_path / "ckpt2"), mode="upsert"
+    )
+    q2.awaitTermination(120)
+    second = sorted(
+        (r.chunk_id, r.content) for r in spark.read.parquet(vt_path).collect()
+    )
+    assert second == first

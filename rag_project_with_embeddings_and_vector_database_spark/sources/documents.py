@@ -157,12 +157,44 @@ def _pdf_text_paged(data: bytes) -> str:
     stub. No positioning model: text order is stream order, which is
     what substring-match relevance (evaluation.py:41-45) needs."""
     import re as _re
+    import zlib
 
     if not data.startswith(b"%PDF"):
         raise NotImplementedError("not a PDF header")
     objs: dict[int, bytes] = {}
     for m in _re.finditer(rb"(\d+)\s+0\s+obj\b(.*?)endobj", data, _re.DOTALL):
         objs[int(m.group(1))] = m.group(2)  # last wins (incremental updates)
+    # index objects hidden in object streams (/Type /ObjStm — PDF 1.5+
+    # packs non-stream dicts, often the page tree, into one compressed
+    # stream): decompressed layout is /First header bytes of
+    # "num offset" int pairs, then the bare dict bodies at
+    # First-relative offsets. Content streams themselves can't live in
+    # an ObjStm, so they are always found by the plain scan above.
+    for body in list(objs.values()):
+        if not _re.search(rb"/Type\s*/ObjStm\b", body):
+            continue
+        sm = _re.search(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", body, _re.DOTALL)
+        if sm is None:
+            continue
+        meta, stream = sm.group(1), sm.group(2)
+        if b"/FlateDecode" in meta:
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error:
+                continue
+        nm = _re.search(rb"/N\s+(\d+)", meta)
+        fm = _re.search(rb"/First\s+(\d+)", meta)
+        if not (nm and fm):
+            continue
+        first = int(fm.group(1))
+        try:
+            nums = [int(x) for x in stream[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(nums[0::2], nums[1::2]))
+        ends = [off for _, off in pairs[1:]] + [len(stream) - first]
+        for (num, off), end in zip(pairs, ends):
+            objs.setdefault(num, stream[first + off : first + end])
     cat = next(
         (b for b in objs.values() if _re.search(rb"/Type\s*/Catalog\b", b)), None
     )

@@ -364,7 +364,8 @@ def test_pdf_paged_extraction_on_reference_corpus():
             parsed[f] = _pdf_text_paged(open(f, "rb").read())
         except NotImplementedError:
             declined += 1
-    assert len(parsed) >= 8  # the text-layer PDFs in this checkout
+    assert len(parsed) >= 11  # every text-layer PDF in this checkout
+    # (the declined remainder are image-only scans with no text operators)
     assert declined + len(parsed) == len(files)
     sample = next(iter(parsed.values()))
     assert sample.startswith("--- Page 1 ---")

@@ -3901,6 +3901,16 @@ _PRIORITY = [
     "asof_join", "sessionize", "window_suite", "salted_join",
     "knn_bruteforce",
 ]
+# r5 rotation debt (displaced from the r4 window this round, rotate
+# back unless their code changes force earlier slots): chunk_fixed_size,
+# chunk_recursive, chunk_structure_aware, chunk_hybrid,
+# chunk_table_aware, chunk_fanout, embed_batch, metric_topk,
+# metric_mrr, metric_avgsim, topk_retrieval, multimodal_meta, plus the
+# (c) holdovers brand_revenue, rollup_lineitem, tpch_q6 (r1-green,
+# benched every round). Candidates for NEW r5 slots: a registered
+# streaming upsert-ingest query (streaming/ingest.incremental_ingest
+# mode='upsert' — pytest-verified this round), bm25/ivf stored-index
+# query twins (build_text_index / build_ivf_index — pytest-verified).
 
 
 def _ordered(names: dict) -> list[str]:

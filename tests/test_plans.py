@@ -100,6 +100,13 @@ def test_hybrid_rrf_fuses_without_cartesian(spark, sf_dir):
     assert "FullOuter" in plan or "full_outer" in plan.lower()
 
 
+@pytest.mark.parametrize("name", ["corpus_prep", "quality_filter"])
+def test_composed_pipelines_no_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
+
+
 def test_bucketed_join_no_exchange_before_smj(spark, sf_dir):
     # the 100 TB fact-fact pattern: both sides read back bucketed on the
     # join key, so the SMJ consumes the scans directly — the ONLY

@@ -372,3 +372,49 @@ def test_pdf_paged_extraction_on_reference_corpus():
     # multi-page marker structure follows the reference's join format
     multi = [t for t in parsed.values() if "--- Page 2 ---" in t]
     assert multi, "expected at least one multi-page extraction"
+
+
+def test_bm25_matches_pure_python_recompute(spark):
+    """Engine-independent BM25 check: a 4-doc corpus scored by a direct
+    Python implementation of the Robertson +1-smoothed formula must
+    match operators/ranking.bm25_topk exactly (after the same 6-decimal
+    rounding). Guards the formula itself, independent of the DuckDB
+    oracle (which shares SQL-level structure with the Spark plan)."""
+    import math
+
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        ranking as RK,
+    )
+
+    corpus = {
+        1: "spark shuffles data across the cluster",
+        2: "spark caches hot data in memory memory memory",
+        3: "duckdb runs vectorized queries on one node",
+        4: "the cluster runs spark and duckdb side by side",
+    }
+    query = "spark cluster memory"
+    k1, b = 1.2, 0.75
+    toks = {i: t.lower().split() for i, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    expected = {}
+    for i, words in toks.items():
+        s = 0.0
+        for term in set(query.split()):
+            tf = words.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for w in toks.values() if term in w)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(words) / avgdl))
+        if s:
+            expected[i] = round(s, 6)
+
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    qdf = spark.createDataFrame([(0, query)], "query_id long, query string")
+    got = {r.doc_id: r.score for r in RK.bm25_topk(docs, qdf, k=10, k1=k1, b=b).collect()}
+    assert got == expected
+    # rank order: deterministic desc-score with doc_id tie-break
+    ranks = [r.doc_id for r in sorted(
+        RK.bm25_topk(docs, qdf, k=10, k1=k1, b=b).collect(), key=lambda r: r.rank)]
+    assert ranks == [i for i, _ in sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))]

@@ -418,3 +418,41 @@ def test_bm25_matches_pure_python_recompute(spark):
     ranks = [r.doc_id for r in sorted(
         RK.bm25_topk(docs, qdf, k=10, k1=k1, b=b).collect(), key=lambda r: r.rank)]
     assert ranks == [i for i, _ in sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))]
+
+
+def test_st_backend_code_path_with_injected_library(spark):
+    """Exercise the REAL sentence-transformers backend branch of
+    embed() — per-partition model construction, vectorized batch
+    encode with normalize_embeddings, float32 conversion — by shipping
+    a deterministic mock sentence_transformers module to the executors
+    with addPyFile. Only the vendor's weights remain untested (the
+    library cannot be installed here; README 'Environment
+    constraints')."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rag_project_with_embeddings_and_vector_database_spark.operators.embedding import (
+        embed,
+    )
+
+    fake = os.path.join(
+        os.path.dirname(__file__), "fake_modules", "sentence_transformers.py"
+    )
+    spark.sparkContext.addPyFile(fake)
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body "), F.col("id")).alias("content"),
+    )
+    out = embed(docs, "all-MiniLM-L6-v2", backend="sentence-transformers").collect()
+    assert len(out) == 40
+    for r in out:
+        norm = math.sqrt(sum(x * x for x in r.embedding))
+        assert abs(norm - 1.0) < 1e-5
+        assert len(r.embedding) == 8
+    # deterministic across runs, and model identity reaches the encoder
+    again = embed(docs, "all-MiniLM-L6-v2", backend="sentence-transformers").collect()
+    assert [r.embedding for r in again] == [r.embedding for r in out]
+    other = embed(docs, "e5-base-v2", backend="sentence-transformers").collect()
+    assert [r.embedding for r in other] != [r.embedding for r in out]

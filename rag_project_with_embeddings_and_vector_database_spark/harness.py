@@ -67,8 +67,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects, so read nanos as long and rebuild — or a native
     timestamp[us] (read as TIMESTAMP_NTZ). Adapt to whichever this
     checkout carries so downstream queries always see a microsecond
-    TimestampType ``ts``; the session timezone is pinned to UTC
-    (session.py), so the NTZ->TZ cast is value-preserving."""
+    TimestampType ``ts``. The session timezone is pinned to UTC HERE,
+    at runtime — not only in the tuned factory (session.py) — because
+    the driver and the --vanilla selfcheck run a plain SparkSession; on
+    a non-UTC host an unpinned NTZ->TZ cast would shift every
+    events-family result relative to the DuckDB oracle (ADVICE r4)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     dt = e.schema["ts"].dataType

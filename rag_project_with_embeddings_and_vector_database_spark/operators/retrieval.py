@@ -287,6 +287,10 @@ class VectorTable:
     is just columns.
     """
 
+    # past this many distinct collections in one delta, skip the
+    # pruning predicate (full merge, still correct) — see upsert_points
+    _MAX_PRUNE_COLLECTIONS = 256
+
     def __init__(self, spark, path: str, partition_cols: tuple[str, ...] = ("strategy", "model")):
         self.spark = spark
         self.path = path
@@ -308,15 +312,28 @@ class VectorTable:
         Qdrant upsert replaces points whose id already exists and inserts
         the rest; untouched collections are untouched. On plain parquet
         this is a partition-scoped rewrite: only the partitions named by
-        the delta are read back (partition pruning via an IN filter on
-        the partition columns — a handful of literals, never a join for
-        the pruning itself), existing rows losing to a delta row on
-        (collection, key) are anti-joined away, and the union is
-        dynamically overwritten. Collections absent from the delta never
-        have a file opened or rewritten. On a transactional table format
+        the delta are read back (partition pruning via a struct-IN
+        filter on the partition columns — one `isin` over a bounded
+        list of collection tuples, never a join for the pruning
+        itself), existing rows losing to a delta row on (collection,
+        key) are anti-joined away, and the union is dynamically
+        overwritten. Collections absent from the delta never have a
+        file opened or rewritten. On a transactional table format
         (Delta/Iceberg) the same operation is a keyed MERGE INTO; at
         100 TB that is the production path — this is the
         filesystem-parquet equivalent with identical semantics.
+
+        Null-safety and bounds (ADVICE r4): an empty delta is a no-op
+        (returns before touching the table — a foreachBatch micro-batch
+        can legally be empty after filtering); both the pruning
+        predicate and the replace-key anti-join use null-safe equality,
+        so a collection keyed by a NULL partition value prunes and
+        replaces correctly instead of silently duplicating. The driver
+        collect() of distinct partition tuples is bounded by collection
+        count and capped: beyond _MAX_PRUNE_COLLECTIONS the pruning
+        filter is skipped (full-table merge, still correct) — with that
+        many collections the production answer is MERGE INTO on a table
+        format, not a longer literal list.
 
         The merged frame is localCheckpoint()ed before the write:
         Spark refuses to overwrite a path that feeds the plan being
@@ -329,6 +346,9 @@ class VectorTable:
         from pyspark.errors import AnalysisException
 
         parts = [tuple(r) for r in df.select(*self.partition_cols).distinct().collect()]
+        if not parts:
+            # empty delta: nothing to upsert (reduce over [] would raise)
+            return
         new_keys = df.select(*self.partition_cols, key_col)
         try:
             existing = self.read()
@@ -336,21 +356,40 @@ class VectorTable:
             # first write: nothing to merge against
             self.upsert(df)
             return
-        touched = existing.filter(
-            functools.reduce(
-                operator.or_,
-                [
-                    functools.reduce(
-                        operator.and_,
-                        [F.col(c) == F.lit(v) for c, v in zip(self.partition_cols, p)],
-                    )
-                    for p in parts
-                ],
+        touched = existing
+        if len(parts) <= self._MAX_PRUNE_COLLECTIONS:
+            # one null-safe struct equality per collection tuple; OR-ed
+            # they form the partition-pruning predicate (struct <=> is
+            # null-safe fieldwise, unlike `isin`). Literals are cast to
+            # the table's column types so a NULL (VOID literal) compares
+            part_struct = F.struct(*[F.col(c) for c in self.partition_cols])
+            types = {c: existing.schema[c].dataType for c in self.partition_cols}
+            touched = existing.filter(
+                functools.reduce(
+                    operator.or_,
+                    [
+                        part_struct.eqNullSafe(
+                            F.struct(
+                                *[
+                                    F.lit(v).cast(types[c])
+                                    for c, v in zip(self.partition_cols, p)
+                                ]
+                            )
+                        )
+                        for p in parts
+                    ],
+                )
             )
-        )
         # no broadcast hint: a small delta batch broadcasts via AQE
         # anyway, and a bulk re-embed delta must be free to shuffle
-        kept = touched.join(new_keys, [*self.partition_cols, key_col], "left_anti")
+        anti_cond = functools.reduce(
+            operator.and_,
+            [
+                touched[c].eqNullSafe(new_keys[c])
+                for c in [*self.partition_cols, key_col]
+            ],
+        )
+        kept = touched.join(new_keys, anti_cond, "left_anti")
         merged = kept.select(*df.columns).unionByName(df).localCheckpoint()
         self.upsert(merged)
 

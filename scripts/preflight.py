@@ -44,9 +44,14 @@ def main() -> int:
         t0 = time.time()
         proc = subprocess.run(cmd, capture_output=True, text=True)
         dt = time.time() - t0
-        tail = (proc.stdout or proc.stderr).strip().splitlines()[-3:]
         status = "PASS" if proc.returncode == 0 else "FAIL"
-        if proc.returncode != 0:
+        if proc.returncode == 0:
+            tail = (proc.stdout or proc.stderr).strip().splitlines()[-3:]
+        else:
+            # Spark/JVM fatals land on stderr; show BOTH tails so the
+            # actual diagnostic is never hidden behind an unrelated
+            # stdout tail (ADVICE r4)
+            tail = proc.stderr.strip().splitlines()[-3:] + proc.stdout.strip().splitlines()[-3:]
             failures.append(name)
         print(f"{status} {name} ({dt:.0f}s)")
         for ln in tail:

@@ -58,6 +58,17 @@ def test_upsert_points_null_partition_value(spark, tmp_path):
     assert other == {i: "v1" for i in range(4)}
 
 
+def test_ann_ivf_indexed_recall_floor_flags_true(spark, sf_dir):
+    """The stored-index IVF query path must clear the same recall floor
+    as the one-shot form — a silent recall collapse through the parquet
+    round-trip of the index flips these flags and fails here."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    rows = H.SPARK_QUERIES["ann_ivf_indexed"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.recall_floor_met for r in rows), rows
+
+
 def test_upsert_points_prune_cap_falls_back_to_full_merge(spark, tmp_path, monkeypatch):
     """Past _MAX_PRUNE_COLLECTIONS distinct collections the pruning
     predicate is skipped but the merge stays correct."""

@@ -2837,6 +2837,68 @@ def stream_dedup(spark, sf_dir):
     )
 
 
+@register("stream_upsert")  # rows-only: real streaming run, self-validating counts
+def stream_upsert(spark, sf_dir):
+    """Streaming vector ingest with the KEYED UPSERT sink
+    (streaming/ingest.py incremental_ingest mode='upsert') run as a
+    REAL Structured Streaming job, exercising the at-least-once replay
+    scenario foreachBatch sinks must survive: documents from the
+    documents table are written as .md files -> file-source stream ->
+    chunk -> embed -> VectorTable.upsert_points keyed by chunk_id;
+    then the SAME input is replayed under a FRESH checkpoint (the
+    post-failure restart shape — every file is re-delivered). The
+    keyed merge makes the sink idempotent: the table after the replay
+    must be row-identical (chunk ids AND contents) to the snapshot
+    after the first run. Emits the counts plus ``ok`` and RAISES on
+    divergence, so a green row certifies the exactly-once-EFFECT
+    contract, not just a clean exit. At 100 TB the same merge is
+    MERGE INTO on a transactional table; state here is only the file
+    -source checkpoint — the upsert itself is stateless per batch."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import incremental_ingest
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 4) & (F.trim("text") != ""))
+        .select("doc_id", "text")
+        .collect()
+    )
+    run_id = uuid.uuid4().hex[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_upsert_stream_{run_id}")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    for r in docs:
+        with open(os.path.join(in_dir, f"doc_{r.doc_id}.md"), "w") as fh:
+            fh.write(r.text)
+    vt_path = os.path.join(tmp, "vectors")
+    q = incremental_ingest(spark, in_dir, vt_path, os.path.join(tmp, "ckpt1"), mode="upsert")
+    q.awaitTermination()
+    first = (
+        spark.read.parquet(vt_path)
+        .select("chunk_id", "content")
+        .localCheckpoint()  # snapshot BEFORE the replay rewrites the table
+    )
+    # replay: fresh checkpoint over the same input re-delivers every file
+    q2 = incremental_ingest(spark, in_dir, vt_path, os.path.join(tmp, "ckpt2"), mode="upsert")
+    q2.awaitTermination()
+    replay = spark.read.parquet(vt_path).select("chunk_id", "content")
+    matched = first.join(replay, ["chunk_id", "content"], "inner").count()
+    n_first, n_replay = first.count(), replay.count()
+    ok = n_first > 0 and n_first == n_replay == matched
+    if not ok:
+        raise AssertionError(
+            f"streaming upsert replay idempotence broke: n_first={n_first} "
+            f"n_replay={n_replay} n_matched={matched}"
+        )
+    return spark.createDataFrame(
+        [(n_first, n_replay, matched, ok)],
+        "n_first long, n_replay long, n_matched long, ok boolean",
+    )
+
+
 @register("stream_windowed_counts")  # rows-only: real streaming run, self-validating counts
 def stream_windowed_counts(spark, sf_dir):
     """Watermarked tumbling-window aggregation (streaming/ingest.py
@@ -2899,6 +2961,78 @@ def stream_windowed_counts(spark, sf_dir):
     return spark.createDataFrame(
         [(n_stream, n_batch, n_matched, n_avg_close, ok)],
         "n_stream long, n_batch long, n_matched long, n_avg_close long, ok boolean",
+    )
+
+
+@register("stream_windowed_append")  # rows-only: real streaming run, self-validating counts
+def stream_windowed_append(spark, sf_dir):
+    """The BOUNDED-STATE twin of stream_windowed_counts (VERDICT r4
+    item 8): the same watermarked tumbling-window aggregation run in
+    APPEND output mode — the production shape, where a window is
+    emitted exactly once when the watermark passes its end and its
+    state is then EVICTED, so state is O(windows inside the horizon)
+    instead of all windows ever. The expected set is therefore the
+    batch aggregation restricted to CLOSED windows: window_end <=
+    max(ts) - watermark delay (Spark's watermark is max event time
+    minus delay; availableNow ends with a no-data commit that flushes
+    every window the final watermark has passed). Emits counts plus
+    ``ok`` and RAISES unless n_stream == n_closed == n_matched ==
+    n_avg_close — executing the bounded-state claim rather than
+    narrating it."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import windowed_event_counts
+
+    e = _events(spark, sf_dir).select("ts", "event_type", "value")
+    run_id = uuid.uuid4().hex[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_evt_append_{run_id}")
+    e.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(
+        f"{tmp}/src"
+    )
+    qname = f"evt_append_{run_id}"
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(qname)
+    src = spark.read.parquet(f"{tmp}/src")
+    wm = src.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("wm")
+    ).collect()[0].wm
+    closed = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            F.col("avg_value").alias("avg_batch"),
+        )
+    )
+    joined = got.join(closed, ["window_start", "window_end", "event_type", "n"], "inner")
+    n_matched = joined.count()
+    n_avg_close = joined.filter(F.abs(F.col("avg_value") - F.col("avg_batch")) < 1e-6).count()
+    n_stream, n_closed = got.count(), closed.count()
+    ok = n_stream == n_closed == n_matched == n_avg_close and n_stream > 0
+    if not ok:
+        raise AssertionError(
+            f"append-mode windowed-agg parity broke: n_stream={n_stream} "
+            f"n_closed={n_closed} n_matched={n_matched} n_avg_close={n_avg_close}"
+        )
+    return spark.createDataFrame(
+        [(n_stream, n_closed, n_matched, n_avg_close, ok)],
+        "n_stream long, n_closed long, n_matched long, n_avg_close long, ok boolean",
     )
 
 

@@ -58,6 +58,26 @@ def test_upsert_points_null_partition_value(spark, tmp_path):
     assert other == {i: "v1" for i in range(4)}
 
 
+def test_stream_upsert_replay_idempotent_emits_ok(spark, sf_dir):
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    r = H.SPARK_QUERIES["stream_upsert"](spark, sf_dir).collect()[0]
+    assert r.ok and r.n_first == r.n_replay == r.n_matched
+    assert r.n_first > 0
+
+
+def test_stream_windowed_append_bounded_state_emits_ok(spark, sf_dir):
+    """Append mode emits each window exactly once when the watermark
+    passes it — n_stream equals the CLOSED subset of batch windows,
+    strictly fewer than the complete-mode total (open windows at the
+    head of the stream stay in state, bounded by the horizon)."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    r = H.SPARK_QUERIES["stream_windowed_append"](spark, sf_dir).collect()[0]
+    assert r.ok and r.n_stream == r.n_closed == r.n_matched == r.n_avg_close
+    assert r.n_stream > 0
+
+
 def test_ann_ivf_indexed_recall_floor_flags_true(spark, sf_dir):
     """The stored-index IVF query path must clear the same recall floor
     as the one-shot form — a silent recall collapse through the parquet

@@ -110,10 +110,29 @@ def _pdf_unescape(raw: bytes) -> str:
     return _re.sub(rb"\\([0-7]{1,3}|.)", sub, raw).decode("latin-1")
 
 
-def _pdf_stream_texts(obj_body: bytes) -> list[str]:
-    """Literal-string show operators from one content-stream object:
-    ``(...) Tj`` one line each; ``[...] TJ`` arrays with their string
-    segments joined (kerning numbers dropped). Flate or raw streams
+def _pdf_hex_decode(raw: bytes) -> str:
+    """Hex-string show payload -> text, assuming a SIMPLE single-byte
+    font encoding (the caller only enables hex decoding when the
+    document has no composite /Type0 fonts, whose hex strings are
+    glyph ids that would decode to garbage). Whitespace inside the hex
+    is legal; an odd final digit is padded with 0 per spec."""
+    h = b"".join(raw.split())
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+    except ValueError:
+        return ""
+
+
+def _pdf_stream_texts(obj_body: bytes, decode_hex: bool = True) -> list[str]:
+    """Text-show operators from one content-stream object: literal
+    ``(...) Tj`` and — for simple-font documents — hex ``<...> Tj``,
+    one line each; ``[...] TJ`` arrays with their string segments
+    joined (kerning numbers dropped). Scanner-produced PDFs (e.g. the
+    reference checkout's Canon-scanned financial filings) carry their
+    OCR text layer as render-mode-3 hex shows over the page images —
+    the same text PyPDF2 extracts from them. Flate or raw streams
     only — any other /Filter raises so the caller degrades honestly."""
     import re as _re
     import zlib
@@ -132,30 +151,48 @@ def _pdf_stream_texts(obj_body: bytes) -> list[str]:
     texts: list[str] = []
     for bt in _re.finditer(rb"BT(.*?)ET", stream, _re.DOTALL):
         for sm in _re.finditer(
-            rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[((?:[^\]\\]|\\.)*?)\]\s*TJ",
+            rb"\(((?:[^()\\]|\\.)*)\)\s*Tj"
+            rb"|<([0-9A-Fa-f\s]*)>\s*Tj"
+            rb"|\[((?:[^\]\\]|\\.)*?)\]\s*TJ",
             bt.group(1),
             _re.DOTALL,
         ):
             if sm.group(1) is not None:
                 texts.append(_pdf_unescape(sm.group(1)))
+            elif sm.group(2) is not None:
+                if decode_hex:
+                    texts.append(_pdf_hex_decode(sm.group(2)))
             else:
-                parts = _re.findall(rb"\(((?:[^()\\]|\\.)*)\)", sm.group(2))
-                texts.append("".join(_pdf_unescape(p) for p in parts))
+                segs = []
+                for pm in _re.finditer(
+                    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>", sm.group(3)
+                ):
+                    if pm.group(1) is not None:
+                        segs.append(_pdf_unescape(pm.group(1)))
+                    elif decode_hex:
+                        segs.append(_pdf_hex_decode(pm.group(2)))
+                texts.append("".join(segs))
     return [t for t in texts if t.strip()]
 
 
 def _pdf_text_paged(data: bytes) -> str:
     """Multi-page stdlib PDF extraction: walk Catalog -> /Pages ->
     /Kids to the page objects IN TREE ORDER, pull each page's
-    /Contents stream(s), and emit the literal-string show text under
-    the reference's ``--- Page N ---`` markers (document_loader.py:
+    /Contents stream(s), and emit the text-show text under the
+    reference's ``--- Page N ---`` markers (document_loader.py:
     86-102 joins PyPDF2 page texts exactly so). Envelope: plain
     (uncompressed-xref) object structure, Flate/raw content streams,
-    literal-string Tj/TJ — covers 27 of the reference checkout's 28
-    real financial PDFs; anything outside raises NotImplementedError
-    and the caller degrades to the single-page fallback, then the
-    stub. No positioning model: text order is stream order, which is
-    what substring-match relevance (evaluation.py:41-45) needs."""
+    literal-string Tj/TJ always, hex-string Tj/TJ when every font in
+    the document is a simple single-byte one (composite /Type0 /
+    Identity-H fonts show glyph ids, not character codes — those
+    decline rather than emit garbage) — covers ALL 28 of the
+    reference checkout's real financial PDFs, including the 17
+    Canon-scanned filings whose OCR layer is render-mode-3 hex shows
+    (census pinned by tests/test_round5.py); anything outside raises
+    NotImplementedError and the caller degrades to the single-page
+    fallback, then the stub. No positioning model: text order is
+    stream order, which is what substring-match relevance
+    (evaluation.py:41-45) needs."""
     import re as _re
     import zlib
 
@@ -226,17 +263,24 @@ def _pdf_text_paged(data: bytes) -> str:
     walk(int(root.group(1)))
     if not page_bodies:
         raise NotImplementedError("empty page tree")
+    # hex shows are character codes only under simple single-byte
+    # fonts; with any composite font in the document they are glyph
+    # ids, so hex decoding is disabled wholesale (per-font resource
+    # resolution is beyond the stdlib envelope)
+    decode_hex = not _re.search(rb"/Type0\b|/Identity-H\b", data)
     pages, any_text = [], False
     for i, body in enumerate(page_bodies, start=1):
         cm = _re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)", body)
         texts: list[str] = []
         if cm is not None:
             for rm in _re.finditer(rb"(\d+)\s+0\s+R", cm.group(1)):
-                texts.extend(_pdf_stream_texts(objs.get(int(rm.group(1)), b"")))
+                texts.extend(
+                    _pdf_stream_texts(objs.get(int(rm.group(1)), b""), decode_hex)
+                )
         any_text = any_text or bool(texts)
         pages.append(f"--- Page {i} ---\n" + "\n".join(texts))
     if not any_text:
-        raise NotImplementedError("no literal-string text operators in any page")
+        raise NotImplementedError("no text-show operators in any page")
     return "\n".join(pages)
 
 

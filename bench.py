@@ -42,6 +42,8 @@ HEADLINE = [
     "knn_bruteforce",
     "topk_retrieval_quantized",
     "bm25_topk",
+    "bm25_indexed",
+    "ann_ivf_indexed",
     "hybrid_rrf",
     "agg_config",
     "report_rank",

@@ -4051,86 +4051,70 @@ def dedup_full(spark, sf_dir):
 # and — the standing POLICY, enforced by scripts/selfcheck.py
 # --check-window — any round that touches an operator's code or
 # fixtures must front-load that operator's queries so its latest
-# CORRECTNESS row postdates the change. r4 window (VERDICT r3 item 1):
-# (a) queries that are NEW or whose code/fixtures changed THIS round,
-# (b) queries whose code/fixtures changed in r3 AFTER their last
-# CORRECTNESS row (regressions were invisible for these), (c) the
-# r1-verified set displaced by the r3 rotation, (d) remaining r2-green
-# §2 core due for re-confirmation. The r3-green window (supplementary
-# relational suite, sinks, TPC-H core, text/sampling families) rotates
-# to the tail.
+# CORRECTNESS row postdates the change. r5 window (VERDICT r4 item 1):
+# (a) queries NEW this round, (b) the recorded r5 rotation debt —
+# every query whose latest driver row predated round 4 (the metric_*
+# subsets had had no row since r1 across three testdata generations),
+# (c) the dependency closure of the files touched this round
+# (operators/retrieval.py upsert hardening, sources/documents.py
+# hex-show PDF extraction, harness.py _events timezone pin — derived
+# by `selfcheck.py --check-window`, not hand-kept), (d) two spare
+# slots for the oldest untouched evidence. The r4-green dedup/BM25/
+# storage families rotate to the tail: their code is untouched this
+# round and their rows are the freshest in the registry.
 _PRIORITY = [
-    # (a) new in r4 (composed dedup pipeline, quantized retrieval,
-    # vendored-PDF scan) or code-touched in r4 (scoped pair caches,
-    # gate escape hatch, recall-floor flags, streaming ok-assertions,
-    # typed packing schema)
-    "dedup_full", "topk_retrieval_quantized", "bm25_topk", "hybrid_rrf",
-    "quality_filter", "corpus_prep", "tfidf_terms", "scan_docs",
-    "ann_lsh", "ann_ivf", "ann_ivf_quantized", "sessionize_stateful",
-    "stream_windowed_counts", "stream_dedup",
-    "dedup_minhash_pairs", "simhash_pairs", "ngram_jaccard",
-    "dedup_embedding", "sequence_pack",
-    # flagged by `selfcheck.py --check-window`: these sit in the
-    # dependency closure of files touched in r4 (operators/dedup.py,
-    # sources/documents.py) even though their own harness code didn't
-    # change
-    "bucket_stats", "dedup_exact", "decontaminate", "scan_queries",
-    "pipeline_reference_corpus", "sink_vectors", "ddl_collections",
-    "top_orders_per_customer",
-    # (b) code/fixtures changed in r3 after their last CORRECTNESS row:
-    # connected_components (shingle try_element_at + eager gate),
-    # dedup_minhash/dedup_simhash (branch-free tally, persist), the
-    # five full chunker folds + chunk_fanout (fixture corpus rewritten
-    # twice in r3), embed_batch/embed_values (fixture + empty-doc
-    # filter), pipeline_e2e, metric_topk/mrr/avgsim (grid full-outer
-    # touched per_query_metrics; only metric_all was re-confirmed)
-    "connected_components", "dedup_minhash", "dedup_simhash",
-    "embed_values", "pipeline_e2e",
-    # new-in-r4 (late session): point-level vector upsert, bucketed
-    # co-located join, partitioned sink — each a NEW oracle that must
-    # earn its first driver row. Slots from chunk_fanout + embed_batch
-    # (both rows-only: a driver row re-proves only clean execution,
-    # which this session's local selfcheck re-established post-fixture
-    # change; their hash-oracled family members embed_values /
-    # chunk_sections / the five core chunker oracles carry the value
-    # evidence) and multimodal_meta (hash-green r2, code untouched
-    # since). All three rotate back in r5.
-    "vectors_upsert", "bucketed_join", "sink_partitioned",
-    # the events-family closure of the r4 _events loader fix (ts
-    # physical type changed in the regenerated testdata): every query
-    # reading through _events gets a post-change CORRECTNESS row. The
-    # slots come from the five individual chunker folds (rows-only;
-    # chunk_fanout unions all five strategies and pytest holds the
-    # byte-parity evidence), the three metric_* subsets (metric_all,
-    # their superset over the same per_query_metrics, re-confirmed
-    # green AFTER the r3 grid change), and topk_retrieval
-    # (topk_retrieval_quantized asserts exact equality of its rescored
-    # top-10 against the same brute-force ranking; knn_bruteforce
-    # stays). All nine displaced queries rotate back in r5.
-    "grouped_mad", "events_percentiles", "pivot_events",
-    "events_hourly", "events_json", "window_running_sum",
-    "window_lag_delta", "window_range_frame", "window_value_functions",
-    # (c) displaced to the tail by the r3 rotation, last verified r1
-    # (brand_revenue, rollup_lineitem and tpch_q6 yield their slots to
-    # corpus_prep / ann_ivf_quantized / the retrieval.py dependency
-    # closure: r1-hash-PASSED, code untouched since, tpch_q6 benched
-    # every round; all rotate into r5)
-    "semi_anti_join",
-    # (d) r2-green core due for re-confirmation (asof/sessionize/window/
-    # salted/multimodal last checked r2, then the §2 primitives)
-    "asof_join", "sessionize", "window_suite", "salted_join",
-    "knn_bruteforce",
+    # (a) new in r5: the stored-index twins (the write-the-index-once
+    # production shape for BM25 and IVF), the streaming upsert-replay
+    # idempotence run, and the bounded-state append-mode window twin
+    "bm25_indexed", "ann_ivf_indexed", "stream_upsert",
+    "stream_windowed_append",
+    # (b) the recorded r5 debt, oldest evidence first: metric subsets
+    # (no driver row since r1), topk_retrieval + chunker folds +
+    # chunk_fanout + embed_batch + multimodal_meta (r2), and the (c)
+    # holdovers brand_revenue / rollup_lineitem / tpch_q6 (r1)
+    "metric_topk", "metric_mrr", "metric_avgsim", "topk_retrieval",
+    "chunk_fixed_size", "chunk_recursive", "chunk_structure_aware",
+    "chunk_hybrid", "chunk_table_aware", "chunk_fanout", "embed_batch",
+    "multimodal_meta", "brand_revenue", "rollup_lineitem", "tpch_q6",
+    # (c) closure of operators/retrieval.py (upsert_points null-safe
+    # struct pruning + empty-delta guard touches every query importing
+    # the module)
+    "vectors_upsert", "sink_vectors", "ddl_collections",
+    "knn_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_quantized",
+    "hybrid_rrf", "pipeline_e2e", "top_orders_per_customer",
+    # (c) closure of sources/documents.py (hex-show OCR extraction —
+    # scan_docs is the value oracle over all four parse paths)
+    "scan_docs", "scan_queries", "pipeline_reference_corpus",
+    # (c) closure of the harness _events timezone pin: every query
+    # reading events must re-prove value parity with the UTC-pinned
+    # cast (they were green r4 on the tuned session; the pin makes
+    # them session-shape-independent)
+    "events_percentiles", "pivot_events", "events_hourly",
+    "events_json", "window_running_sum", "window_lag_delta",
+    "window_range_frame", "window_value_functions", "window_suite",
+    "grouped_mad", "salted_join", "asof_join", "sessionize",
+    "sessionize_stateful", "stream_windowed_counts", "stream_dedup",
+    # dedup_full: its @register span is the harness tail, so the
+    # window tool conservatively counts the _PRIORITY edit itself as
+    # touching it — keep it in-window rather than argue with the tool
+    "dedup_full",
+    # (d) spare slot: the oldest untouched evidence in the registry
+    # (r2): the P1 non-empty scan filter
+    "filter_nonempty",
 ]
-# r5 rotation debt (displaced from the r4 window this round, rotate
-# back unless their code changes force earlier slots): chunk_fixed_size,
-# chunk_recursive, chunk_structure_aware, chunk_hybrid,
-# chunk_table_aware, chunk_fanout, embed_batch, metric_topk,
-# metric_mrr, metric_avgsim, topk_retrieval, multimodal_meta, plus the
-# (c) holdovers brand_revenue, rollup_lineitem, tpch_q6 (r1-green,
-# benched every round). Candidates for NEW r5 slots: a registered
-# streaming upsert-ingest query (streaming/ingest.incremental_ingest
-# mode='upsert' — pytest-verified this round), bm25/ivf stored-index
-# query twins (build_text_index / build_ivf_index — pytest-verified).
+# r6 rotation debt (displaced from the r5 window this round; all
+# r4-green with code untouched in r5, rotate back in r6 unless code
+# changes force earlier slots): dedup_full, topk_retrieval_quantized,
+# bm25_topk, quality_filter, corpus_prep, tfidf_terms,
+# dedup_minhash_pairs, simhash_pairs, ngram_jaccard, dedup_embedding,
+# sequence_pack, bucket_stats, dedup_exact, decontaminate,
+# connected_components, dedup_minhash, dedup_simhash, embed_values,
+# sink_partitioned, bucketed_join, semi_anti_join. Also due when slots
+# free up: the remaining r2-evidence §2 primitives (filter_ext,
+# project_payload, the C0/C1/E1/E5/E6 functions, the A5-A7/O1-O3
+# report family, metric_all r3, embed_fanout r3, lang_id,
+# quality_score, sink_csv/sink_json r3, hash_split/stratified_sample
+# r3, pii_scrub r3).
 
 
 def _ordered(names: dict) -> list[str]:

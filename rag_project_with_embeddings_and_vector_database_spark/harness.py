@@ -3537,7 +3537,11 @@ def grouped_mad(spark, sf_dir):
     pandas-side computation hash-matches the SQL oracle. The operator
     shape (arbitrary per-group Python over Arrow batches) is the
     applyInPandas contract the engine exposes for user-defined
-    aggregations."""
+    aggregations — this query exists to DEMONSTRATE that extension
+    surface; for plain medians/MAD outside a demo, Spark's native
+    exact ``median``/``percentile`` (or ``percentile_approx`` at
+    scale) covers it JVM-side with no Python hop, and is what a
+    production plan should use."""
     import pandas as pd
 
     e = _events(spark, sf_dir).select("user_id", "value")

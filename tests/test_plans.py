@@ -118,6 +118,27 @@ def test_bucketed_join_no_exchange_before_smj(spark, sf_dir):
     assert "hashpartitioning(o_orderpriority" in plan
 
 
+def test_bm25_indexed_reads_index_not_corpus(spark, sf_dir):
+    # the stored-index query path must answer from the written index:
+    # its plan reads the postings/dfreq/stats parquet, never re-scans
+    # documents.parquet or re-tokenizes; query terms broadcast; no
+    # cartesian anywhere
+    plan = _plan(spark, "bm25_indexed", sf_dir)
+    assert "documents.parquet" not in plan
+    assert "/postings" in plan and "/dfreq" in plan and "/stats" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_indexed_reads_stored_assignments(spark, sf_dir):
+    # the IVF query path probes the bucket-partitioned stored
+    # assignments (plus the recall join against the exact baseline);
+    # nothing may degenerate to a cartesian product
+    plan = _plan(spark, "ann_ivf_indexed", sf_dir)
+    assert "/assigned" in plan and "/centroids" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sink_partitioned_prunes_partitions(spark, sf_dir):
     plan = _plan(spark, "sink_partitioned", sf_dir)
     # the partition predicate prunes directories at the scan; the data

@@ -2844,16 +2844,20 @@ def stream_upsert(spark, sf_dir):
     REAL Structured Streaming job, exercising the at-least-once replay
     scenario foreachBatch sinks must survive: documents from the
     documents table are written as .md files -> file-source stream ->
-    chunk -> embed -> VectorTable.upsert_points keyed by chunk_id;
-    then the SAME input is replayed under a FRESH checkpoint (the
-    post-failure restart shape — every file is re-delivered). The
-    keyed merge makes the sink idempotent: the table after the replay
-    must be row-identical (chunk ids AND contents) to the snapshot
-    after the first run. Emits the counts plus ``ok`` and RAISES on
-    divergence, so a green row certifies the exactly-once-EFFECT
-    contract, not just a clean exit. At 100 TB the same merge is
-    MERGE INTO on a transactional table; state here is only the file
-    -source checkpoint — the upsert itself is stateless per batch."""
+    chunk -> embed -> VectorTable.upsert_points keyed by chunk_id,
+    with ``max_files_per_trigger=2`` so availableNow drains the
+    backlog as a SEQUENCE of bounded micro-batches (several separate
+    merges, the real arrival shape) rather than one; then the SAME
+    input is replayed under a FRESH checkpoint (the post-failure
+    restart shape — every file is re-delivered, again batch by
+    batch). The keyed merge makes the sink idempotent: the table
+    after the replay must be row-identical (chunk ids AND contents)
+    to the snapshot after the first run. Emits the counts plus ``ok``
+    and RAISES on divergence, so a green row certifies the
+    exactly-once-EFFECT contract, not just a clean exit. At 100 TB
+    the same merge is MERGE INTO on a transactional table; state here
+    is only the file-source checkpoint — the upsert itself is
+    stateless per batch."""
     import os
     import tempfile
     import uuid
@@ -2874,7 +2878,10 @@ def stream_upsert(spark, sf_dir):
         with open(os.path.join(in_dir, f"doc_{r.doc_id}.md"), "w") as fh:
             fh.write(r.text)
     vt_path = os.path.join(tmp, "vectors")
-    q = incremental_ingest(spark, in_dir, vt_path, os.path.join(tmp, "ckpt1"), mode="upsert")
+    q = incremental_ingest(
+        spark, in_dir, vt_path, os.path.join(tmp, "ckpt1"),
+        mode="upsert", max_files_per_trigger=2,
+    )
     q.awaitTermination()
     first = (
         spark.read.parquet(vt_path)
@@ -2882,7 +2889,10 @@ def stream_upsert(spark, sf_dir):
         .localCheckpoint()  # snapshot BEFORE the replay rewrites the table
     )
     # replay: fresh checkpoint over the same input re-delivers every file
-    q2 = incremental_ingest(spark, in_dir, vt_path, os.path.join(tmp, "ckpt2"), mode="upsert")
+    q2 = incremental_ingest(
+        spark, in_dir, vt_path, os.path.join(tmp, "ckpt2"),
+        mode="upsert", max_files_per_trigger=2,
+    )
     q2.awaitTermination()
     replay = spark.read.parquet(vt_path).select("chunk_id", "content")
     matched = first.join(replay, ["chunk_id", "content"], "inner").count()

@@ -33,6 +33,7 @@ def incremental_ingest(
     cfg: EngineConfig | None = None,
     backend: str = "hash",
     mode: str = "append",
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for new text/markdown files; chunk + embed
     each micro-batch into the vector table parquet.
@@ -46,16 +47,27 @@ def incremental_ingest(
     exactly-once-effect contract for foreachBatch sinks. At 100 TB the
     same merge is MERGE INTO on a transactional table.
 
+    ``max_files_per_trigger`` bounds each micro-batch (the production
+    backpressure knob for a file source): under trigger(availableNow)
+    the backlog is then drained as a SEQUENCE of bounded batches — each
+    one a separate sink merge — instead of one giant batch, which is
+    both the real arrival shape and what keeps a bulk backfill from
+    building one enormous plan.
+
     The transformation graph is the SAME code the batch path uses —
     chunker UDFs and the embed stage are batch/stream agnostic, which is
     the point of keeping them as DataFrame -> DataFrame functions."""
     if mode not in ("append", "upsert"):
         raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")
-    stream = (
+    reader = (
         spark.readStream.format("text")
         .option("wholetext", "true")
         .option("pathGlobFilter", "*.{md,txt}")
-        .load(input_dir)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.load(input_dir)
         .select(
             F.input_file_name().alias("path"),
             F.col("value").alias("content"),

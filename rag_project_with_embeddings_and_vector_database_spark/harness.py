@@ -26,6 +26,7 @@ from .functions import text as TX
 from .functions import vectors as V
 from .operators import chunking as CH
 from .operators import dedup as DD
+from .operators import dedup_index as DI
 from .operators import joins as J
 from .operators import metrics as M
 from .operators import ranking as RK
@@ -4058,6 +4059,78 @@ def dedup_full(spark, sf_dir):
         .withColumn("kept", F.col("component") == F.col("doc_id"))
     )
 
+def _dedup_incremental_sql(max_bucket_size: int = 1000) -> str:
+    base = _minhash_sql(source="unioned")
+    band_exprs = []
+    for band in range(4):
+        cols = " || '_' || ".join(f"sig[{band * 4 + r + 1}]::VARCHAR" for r in range(4))
+        band_exprs.append(
+            f"SELECT doc_id, sig, {band} AS band, ('0x' || substr(md5({cols}), 1, 15))::BIGINT AS band_hash FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_exprs)
+    # the oracle replays the incremental contract by DEFINITION: run
+    # the one-shot pair generator over corpus-union-delta (identical
+    # union-level bucket guard) and keep only pairs touching a delta
+    # id — dedup_delta must produce exactly this set without ever
+    # pairing corpus against corpus
+    return f"""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' incremental delta revision' AS text
+      FROM documents WHERE doc_id < 25
+    ),
+    sigs AS ({base}),
+    banded AS ({bands}),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, band_hash) AS _n FROM banded
+      ) WHERE _n <= {max_bucket_size}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0::DOUBLE, 6) AS est_jaccard
+    FROM kept a JOIN kept b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    WHERE a.doc_id >= 1000000 OR b.doc_id >= 1000000
+    """
+
+
+@register("dedup_incremental", _dedup_incremental_sql())
+def dedup_incremental(spark, sf_dir):
+    """INCREMENTAL dedup over a STORED signature index (operators/
+    dedup.py build_dedup_index + dedup_delta) — the production shape:
+    the corpus's banded minhash signatures are built ONCE and written
+    to parquet partitioned by band (at scale: bucketed by (band,
+    band_hash)); a simulated daily delta (25 near-identical revisions
+    of existing docs under fresh ids) is then deduped AGAINST the
+    stored index — new-vs-corpus candidates from one probe equi-join
+    into the index, new-vs-new from the delta's tiny self-join — and
+    the corpus is never re-shingled or re-paired. The oracle replays
+    the contract by definition: the one-shot pair generator over
+    corpus-union-delta filtered to pairs touching a delta id; a hash
+    match proves the incremental path equals the full recompute while
+    doing O(delta) work."""
+    import os
+    import tempfile
+    import uuid
+
+    docs = _par(_t(spark, sf_dir, "documents"))
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"spark_rag_dedup_idx_{uuid.uuid4().hex[:10]}"
+    )
+    DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(tmp)
+    delta = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" incremental delta revision")).alias("text"),
+    )
+    return DI.dedup_delta(
+        spark.read.parquet(tmp), delta, num_perm=16, num_bands=4, seed=42
+    )
+
+
+
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01 evidence). The window ROTATES each
@@ -4078,10 +4151,12 @@ def dedup_full(spark, sf_dir):
 # round and their rows are the freshest in the registry.
 _PRIORITY = [
     # (a) new in r5: the stored-index twins (the write-the-index-once
-    # production shape for BM25 and IVF), the streaming upsert-replay
-    # idempotence run, and the bounded-state append-mode window twin
-    "bm25_indexed", "ann_ivf_indexed", "stream_upsert",
-    "stream_windowed_append",
+    # production shape for BM25, IVF, and the minhash dedup index with
+    # its incremental delta-vs-index query), the streaming
+    # upsert-replay idempotence run, and the bounded-state append-mode
+    # window twin
+    "bm25_indexed", "ann_ivf_indexed", "dedup_incremental",
+    "stream_upsert", "stream_windowed_append",
     # (b) the recorded r5 debt, oldest evidence first: metric subsets
     # (no driver row since r1), topk_retrieval + chunker folds +
     # chunk_fanout + embed_batch + multimodal_meta (r2), and the (c)
@@ -4110,11 +4185,10 @@ _PRIORITY = [
     "sessionize_stateful", "stream_windowed_counts", "stream_dedup",
     # dedup_full: its @register span is the harness tail, so the
     # window tool conservatively counts the _PRIORITY edit itself as
-    # touching it — keep it in-window rather than argue with the tool
+    # touching it — keep it in-window rather than argue with the tool.
+    # (The spare slot that held filter_nonempty went to
+    # dedup_incremental; filter_nonempty joins the r6 debt list.)
     "dedup_full",
-    # (d) spare slot: the oldest untouched evidence in the registry
-    # (r2): the P1 non-empty scan filter
-    "filter_nonempty",
 ]
 # r6 rotation debt (displaced from the r5 window this round; all
 # r4-green with code untouched in r5, rotate back in r6 unless code
@@ -4124,7 +4198,8 @@ _PRIORITY = [
 # sequence_pack, bucket_stats, dedup_exact, decontaminate,
 # connected_components, dedup_minhash, dedup_simhash, embed_values,
 # sink_partitioned, bucketed_join, semi_anti_join. Also due when slots
-# free up: the remaining r2-evidence §2 primitives (filter_ext,
+# free up: filter_nonempty (r2; yielded its r5 spare slot to
+# dedup_incremental), the remaining r2-evidence §2 primitives (filter_ext,
 # project_payload, the C0/C1/E1/E5/E6 functions, the A5-A7/O1-O3
 # report family, metric_all r3, embed_fanout r3, lang_id,
 # quality_score, sink_csv/sink_json r3, hash_split/stratified_sample

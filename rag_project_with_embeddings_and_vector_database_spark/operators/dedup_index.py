@@ -1,0 +1,139 @@
+"""Stored-signature dedup index: the incremental near-dup path.
+
+A production corpus does not re-pair 100 TB every day; it builds the
+banded minhash signature table ONCE (``build_dedup_index``), writes it
+out bucketed by (band, band_hash), and dedups each incoming delta
+against that index (``dedup_delta``) — O(|delta|) shingling plus one
+pruned probe join, never a corpus self-join. The one-shot generator
+(operators/dedup.py ``minhash_lsh_pairs``) remains the
+backfill/bootstrap path; this module is its steady-state twin, sharing
+the exact signature family so the two are value-identical (the
+``dedup_incremental`` harness oracle proves it by definition: the
+one-shot pairs over corpus-union-delta, filtered to pairs touching the
+delta, hash-match ``dedup_delta``'s output).
+
+Reference scope note: the reference pipeline (vector_db.py,
+main.py) has no dedup at all — this whole family is the
+training-data-pipeline extension surface (SURVEY.md north-star), and
+the incremental form is what makes it operable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ._cache import swap_cache as _swap_cache
+from .dedup import _drop_oversized_buckets, minhash_bands, minhash_signatures
+
+
+def build_dedup_index(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The dedup INDEXING job: the banded minhash signature table
+    (id, sig, band, band_hash) — one row per (doc, band). At 100 TB
+    this is WRITTEN OUT once per corpus snapshot, partitioned (or
+    bucketed) by (band, band_hash) so an incremental delta's probe
+    equi-join prunes to exactly the buckets the new docs land in; the
+    corpus text is never re-shingled after the build. ``dedup_delta``
+    is the query path over this index. Same signature family and band
+    hashing as ``minhash_lsh_pairs`` (the one-shot form), so
+    index+delta results are value-identical to re-running the one-shot
+    generator over corpus-union-delta."""
+    rows_per_band = num_perm // num_bands
+    sig = minhash_signatures(df, content_col, id_col, shingle_n, num_perm, seed)
+    return sig.select(
+        F.col(id_col),
+        "sig",
+        F.explode(minhash_bands("sig", num_bands, rows_per_band)).alias("bb"),
+    ).select(
+        id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+
+
+def dedup_delta(
+    index: DataFrame,
+    delta: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection — the operation a production
+    corpus actually runs daily: dedup a NEW batch against the stored
+    signature index without ever re-pairing the existing corpus.
+    Returns exactly the candidate pairs of the one-shot
+    ``minhash_lsh_pairs`` over corpus-union-delta that TOUCH at least
+    one delta doc (same union-level oversized-bucket guard), as
+    (id_a, id_b, est_jaccard) with id_a < id_b. Delta and corpus id
+    spaces must be disjoint.
+
+    Cost shape at scale: the delta is shingled/banded (O(|delta| x
+    bands)); new-vs-corpus candidates come from ONE equi-join of the
+    delta's bands against the index — with the index bucket-partitioned
+    by (band, band_hash) the probe prunes to matched buckets, so the
+    corpus contributes only matched-bucket rows, never a scan-and-pair
+    of itself; new-vs-new candidates are a self-join of the (small)
+    delta frame. The guard counts occupancy over index+delta so a
+    degenerate bucket is dropped identically on both sides (a stored
+    index would keep per-bucket occupancy as metadata and skip the
+    count)."""
+    delta_banded = build_dedup_index(
+        delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
+    )
+    unioned = index.withColumn("_new", F.lit(False)).unionByName(
+        delta_banded.withColumn("_new", F.lit(True))
+    )
+    kept = _drop_oversized_buckets(unioned, ["band", "band_hash"], max_bucket_size)
+    kept = _swap_cache("dedup_delta", kept)
+    new_side = kept.filter(F.col("_new")).alias("a")
+    old_side = kept.filter(~F.col("_new")).alias("b")
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("a.sig"),
+                F.col("b.sig"),
+                lambda x, y: F.when(x == y, F.lit(1.0)).otherwise(F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(num_perm)),
+        6,
+    ).alias("est_jaccard")
+    new_old = (
+        new_side.join(
+            old_side,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            est,
+        )
+    )
+    new_b = kept.filter(F.col("_new")).alias("b")
+    new_new = (
+        new_side.join(
+            new_b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            est,
+        )
+    )
+    return new_old.unionByName(new_new).distinct()

@@ -160,6 +160,51 @@ def test_pdf_hex_show_decoding_and_composite_guard():
         )
 
 
+def test_dedup_delta_matches_one_shot_over_union(spark):
+    """The incremental contract, engine-independent: dedup_delta over a
+    stored index must equal the one-shot pair generator run over
+    corpus-union-delta, filtered to pairs touching a delta doc — while
+    never joining corpus against corpus."""
+    from pyspark.sql import functions as SF
+
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup as DD,
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup_index as DI,
+    )
+
+    corpus = spark.range(30).select(
+        SF.col("id").alias("doc_id"),
+        SF.concat(
+            SF.lit("alpha beta gamma delta epsilon zeta body "), SF.col("id")
+        ).alias("text"),
+    )
+    # delta: near-copies of docs 0-4 (shared prefix dominates the
+    # shingle set) plus 5 fresh unique docs
+    delta = corpus.filter("doc_id < 5").select(
+        (SF.col("doc_id") + 100).alias("doc_id"),
+        SF.concat(SF.col("text"), SF.lit(" rev")).alias("text"),
+    ).unionByName(
+        spark.range(200, 205).select(
+            SF.col("id").alias("doc_id"),
+            SF.concat(SF.lit("totally different words entirely "), SF.col("id")).alias("text"),
+        )
+    )
+    full = DD.minhash_lsh_pairs(corpus.unionByName(delta))
+    expected = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in full.filter((SF.col("id_a") >= 100) | (SF.col("id_b") >= 100)).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in DI.dedup_delta(DI.build_dedup_index(corpus), delta).collect()
+    )
+    assert got == expected
+    assert any(a < 100 <= b for a, b, _ in got)  # new-vs-corpus pairs exist
+    DD.release_caches()
+
+
 def test_stream_upsert_replay_idempotent_emits_ok(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 

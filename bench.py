@@ -55,6 +55,7 @@ HEADLINE = [
     "simhash_pairs",
     "dedup_embedding",
     "dedup_full",
+    "dedup_incremental",
     "ngram_jaccard",
     "doc_fingerprint",
     "lang_id",

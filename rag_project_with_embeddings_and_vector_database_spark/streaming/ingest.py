@@ -98,6 +98,91 @@ def incremental_ingest(
     )
 
 
+def dedup_gated_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    vector_table_path: str,
+    checkpoint_dir: str,
+    dedup_index: DataFrame,
+    id_offset: int = 1_000_000_000,
+    jaccard_threshold: float = 0.5,
+    model: str = "all-MiniLM-L6-v2",
+    strategies: tuple[str, ...] = ("recursive",),
+    cfg: EngineConfig | None = None,
+    backend: str = "hash",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """The full production ingest pipeline, composed: each micro-batch
+    of arriving documents is DEDUPED AGAINST THE STORED CORPUS
+    SIGNATURE INDEX (operators/dedup_index.dedup_delta) before any
+    chunking or embedding — near-duplicate arrivals (re-uploads,
+    trivially revised copies) never reach the vector table, and the
+    expensive embed stage runs only on survivors. This is the shape a
+    100 TB corpus actually ingests with: the index is built offline
+    once (build_dedup_index -> parquet bucketed by (band, band_hash)),
+    and each streaming batch pays O(batch) shingling plus one pruned
+    probe join.
+
+    Batch documents receive deterministic numeric ids derived from the
+    digits in their filenames plus ``id_offset`` (disjoint from corpus
+    ids by construction — dedup_delta requires disjoint id spaces); a
+    batch doc is dropped when any candidate pair against the CORPUS
+    side estimates Jaccard >= ``jaccard_threshold``. Within-batch
+    duplicates collapse to the lowest id. Survivors flow through the
+    same chunk -> embed -> keyed-upsert sink as incremental_ingest
+    (idempotent under replay)."""
+    from ..operators.dedup_index import dedup_delta
+    from ..operators.retrieval import VectorTable
+
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.{md,txt}")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_dir).select(
+        F.input_file_name().alias("path"),
+        F.col("value").alias("content"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.withColumn(
+            "doc_id",
+            F.lit(id_offset)
+            + F.regexp_extract(F.col("path"), r"(\d+)[^\d]*$", 1).cast("long"),
+        )
+        pairs = dedup_delta(
+            dedup_index, docs.select("doc_id", F.col("content").alias("text"))
+        ).filter(F.col("est_jaccard") >= jaccard_threshold)
+        # pairs come ordered id_a < id_b and corpus ids sit below the
+        # offset, so the dropped doc is ALWAYS id_b: a corpus match
+        # drops the batch doc, a within-batch match drops the higher id
+        # (first-wins); the keeper id_a survives
+        dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        survivors = docs.join(dropped, "doc_id", "left_anti")
+        if survivors.isEmpty():
+            return
+        chunks = CH.chunk_documents(
+            survivors, strategies, text_col="content", source_col="path", cfg=cfg
+        )
+        vectors = embed(chunks, model, text_col="content", backend=backend).withColumn(
+            "model", F.lit(model)
+        )
+        VectorTable(batch_df.sparkSession, vector_table_path).upsert_points(
+            vectors, key_col="chunk_id"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     key_cols: list[str],

@@ -205,7 +205,43 @@ def test_dedup_delta_matches_one_shot_over_union(spark):
     DD.release_caches()
 
 
-def test_stream_upsert_replay_idempotent_emits_ok(spark, sf_dir):
+def test_dedup_gated_ingest_blocks_near_dup_arrivals(spark, sf_dir, tmp_path):
+    """The composed production ingest: a streaming batch is deduped
+    against the stored corpus signature index BEFORE embedding — a
+    near-copy of a corpus doc and a within-batch duplicate are both
+    rejected; only genuinely new content reaches the vector table."""
+    from pyspark.sql import functions as SF
+
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup_index as DI,
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.streaming.ingest import (
+        dedup_gated_ingest,
+    )
+
+    corpus = H._t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_text = corpus.filter("doc_id = 0").collect()[0].text
+    index = DI.build_dedup_index(corpus)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    fresh = "entirely novel content about spark streaming ingest gates " * 5
+    (in_dir / "delta_1.md").write_text(corpus_text + " rev")  # near-dup of corpus
+    (in_dir / "delta_2.md").write_text(fresh)  # survivor
+    (in_dir / "delta_3.md").write_text(fresh + " tail")  # within-batch dup of 2
+    vt_path = str(tmp_path / "vectors")
+    q = dedup_gated_ingest(
+        spark, str(in_dir), vt_path, str(tmp_path / "ckpt"), dedup_index=index
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(vt_path)
+    srcs = {
+        r.source_file.rsplit("/", 1)[-1]
+        for r in got.select(SF.col("source_file")).collect()
+    }
+    assert srcs == {"delta_2.md"}, srcs
+    assert got.count() > 0
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 
     r = H.SPARK_QUERIES["stream_upsert"](spark, sf_dir).collect()[0]

@@ -1504,10 +1504,14 @@ def bm25_indexed(spark, sf_dir):
     fix for the one-pass bm25_topk's recurring tokenize+compile cost:
     at 100 TB the index build runs once per corpus snapshot and the
     query path's per-batch work is proportional to matched postings,
-    not corpus size. Definitions are identical to bm25_topk (pinned by
-    tests/test_round4.py), so the oracle is the SAME CTE chain — a
-    hash-match here proves the split pipeline end to end through the
-    parquet round-trip."""
+    not corpus size. The pruning is REAL, not narrative: the query
+    terms' buckets (same pmod(hash(term), 64) expression the writer
+    used) become a partition filter on the postings scan, so only
+    matching bucket directories are read — plan-guarded by
+    tests/test_plans.py. Definitions are identical to bm25_topk
+    (pinned by tests/test_round4.py), so the oracle is the SAME CTE
+    chain — a hash-match here proves the split pipeline end to end
+    through the parquet round-trip."""
     import os
     import tempfile
     import uuid
@@ -1521,16 +1525,37 @@ def bm25_indexed(spark, sf_dir):
     # stored layout supports pruned term probes (a real deployment would
     # also bucket by term; partitionBy on raw terms would create one
     # dir per term, so a bounded hash bucket stands in for it here)
-    postings.withColumn("term_bucket", F.pmod(F.hash("term"), F.lit(64))).write.mode(
+    def bucket_of(c):
+        return F.pmod(F.hash(c), F.lit(64))
+
+    postings.withColumn("term_bucket", bucket_of(F.col("term"))).write.mode(
         "overwrite"
     ).partitionBy("term_bucket").parquet(f"{tmp}/postings")
     dfreq.write.mode("overwrite").parquet(f"{tmp}/dfreq")
     stats.write.mode("overwrite").parquet(f"{tmp}/stats")
+    # query-side partition pruning: the query terms' buckets — a
+    # handful of ints derived with the writer's exact bucket
+    # expression — form the partition predicate (driver planning
+    # metadata, like any partition filter)
+    qdf = _bm25_qdf(spark)
+    qbuckets = sorted(
+        r.b
+        for r in qdf.select(
+            F.explode(
+                F.array_distinct(F.transform(TX.whitespace_tokens("query"), F.lower))
+            ).alias("term")
+        )
+        .select(bucket_of(F.col("term")).alias("b"))
+        .distinct()
+        .collect()
+    )
     return RK.bm25_query_indexed(
-        spark.read.parquet(f"{tmp}/postings").drop("term_bucket"),
+        spark.read.parquet(f"{tmp}/postings")
+        .filter(F.col("term_bucket").isin(qbuckets))
+        .drop("term_bucket"),
         spark.read.parquet(f"{tmp}/dfreq"),
         spark.read.parquet(f"{tmp}/stats"),
-        _bm25_qdf(spark),
+        qdf,
         k=10,
         k1=_BM25_K1,
         b=_BM25_B,

@@ -185,10 +185,12 @@ def _pdf_text_paged(data: bytes) -> str:
     literal-string Tj/TJ always, hex-string Tj/TJ when every font in
     the document is a simple single-byte one (composite /Type0 /
     Identity-H fonts show glyph ids, not character codes — those
-    decline rather than emit garbage) — covers ALL 28 of the
-    reference checkout's real financial PDFs, including the 17
-    Canon-scanned filings whose OCR layer is render-mode-3 hex shows
-    (census pinned by tests/test_round5.py); anything outside raises
+    decline rather than emit garbage) — covers 20 of the reference
+    checkout's 28 real financial PDFs: 11 literal-show files plus the
+    9 Canon-scanned filings whose OCR layer is render-mode-3 hex
+    shows; the other 8 carry ONLY vector path operators (text drawn
+    as outlines — nothing for any extractor) and decline (census
+    pinned by tests/test_round5.py). Anything outside raises
     NotImplementedError and the caller degrades to the single-page
     fallback, then the stub. No positioning model: text order is
     stream order, which is what substring-match relevance
@@ -266,8 +268,13 @@ def _pdf_text_paged(data: bytes) -> str:
     # hex shows are character codes only under simple single-byte
     # fonts; with any composite font in the document they are glyph
     # ids, so hex decoding is disabled wholesale (per-font resource
-    # resolution is beyond the stdlib envelope)
-    decode_hex = not _re.search(rb"/Type0\b|/Identity-H\b", data)
+    # resolution is beyond the stdlib envelope). The guard scans the
+    # MERGED object bodies, not the raw bytes — a /Type0 font dict can
+    # live inside a Flate-compressed ObjStm where a raw scan would
+    # miss it
+    decode_hex = not any(
+        _re.search(rb"/Type0\b|/Identity-H\b", body) for body in objs.values()
+    )
     pages, any_text = [], False
     for i, body in enumerate(page_bodies, start=1):
         cm = _re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)", body)

@@ -123,14 +123,19 @@ def dedup_gated_ingest(
     and each streaming batch pays O(batch) shingling plus one pruned
     probe join.
 
-    Batch documents receive deterministic numeric ids derived from the
-    digits in their filenames plus ``id_offset`` (disjoint from corpus
-    ids by construction — dedup_delta requires disjoint id spaces); a
-    batch doc is dropped when any candidate pair against the CORPUS
-    side estimates Jaccard >= ``jaccard_threshold``. Within-batch
-    duplicates collapse to the lowest id. Survivors flow through the
-    same chunk -> embed -> keyed-upsert sink as incremental_ingest
-    (idempotent under replay)."""
+    Batch documents receive deterministic numeric ids ``id_offset +
+    pmod(xxhash64(path), 2^62)`` — replay-stable (same path -> same id,
+    so the keyed upsert stays idempotent), above every corpus id by
+    construction (dedup_delta requires disjoint id spaces), and
+    collision-free for any realistic batch (~n^2/2^63 odds; a real
+    deployment carrying its own document ids passes them through
+    instead). A batch doc is dropped when any candidate pair against
+    the CORPUS side estimates Jaccard >= ``jaccard_threshold``;
+    within-batch duplicates collapse to the lowest id (deterministic,
+    arbitrary). Survivors are localCheckpoint()ed — the shingle +
+    probe-join pipeline runs ONCE per batch, not once per downstream
+    action — then flow through the same chunk -> embed -> keyed-upsert
+    sink as incremental_ingest (idempotent under replay)."""
     from ..operators.dedup_index import dedup_delta
     from ..operators.retrieval import VectorTable
 
@@ -151,8 +156,7 @@ def dedup_gated_ingest(
             return
         docs = batch_df.withColumn(
             "doc_id",
-            F.lit(id_offset)
-            + F.regexp_extract(F.col("path"), r"(\d+)[^\d]*$", 1).cast("long"),
+            F.lit(id_offset) + F.pmod(F.xxhash64("path"), F.lit(1 << 62)),
         )
         pairs = dedup_delta(
             dedup_index, docs.select("doc_id", F.col("content").alias("text"))
@@ -162,7 +166,10 @@ def dedup_gated_ingest(
         # drops the batch doc, a within-batch match drops the higher id
         # (first-wins); the keeper id_a survives
         dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        survivors = docs.join(dropped, "doc_id", "left_anti")
+        # materialize once: without this the shingle + occupancy +
+        # probe-join pipeline would rerun for the isEmpty() probe AND
+        # again when the embed/upsert path executes
+        survivors = docs.join(dropped, "doc_id", "left_anti").localCheckpoint()
         if survivors.isEmpty():
             return
         chunks = CH.chunk_documents(

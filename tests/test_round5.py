@@ -61,13 +61,19 @@ def test_upsert_points_null_partition_value(spark, tmp_path):
 _REFERENCE_PDF_GLOB = "/root/reference/projects/**/*.pdf"
 
 # the per-file census of THIS reference checkout (VERDICT r4 item 6):
-# 20 of 28 carry a text layer the paged walker extracts — 11 with
-# literal-string shows, 9 Canon-scanned filings whose OCR layer is
-# render-mode-3 HEX shows under simple WinAnsi fonts (unlocked in r5);
-# the 8 declined files contain ONLY vector path operators (text drawn
-# as outlines — no show operators exist, so no text extractor, PyPDF2
-# included, could return anything).
+# 18 of 28 carry a text layer the paged walker can extract SAFELY —
+# 11 with literal-string shows, 7 Canon-scanned filings whose OCR
+# layer is render-mode-3 HEX shows under simple WinAnsi fonts
+# (unlocked in r5). Of the 10 declined: 8 contain ONLY vector path
+# operators (text drawn as outlines — no show operators exist, so no
+# text extractor, PyPDF2 included, could return anything) and 2 carry
+# composite CID fonts packed in ObjStm streams, whose hex shows are
+# GLYPH IDS — decoding them as character codes yields corrupted text
+# ("Limitgd"), so the composite-font guard declines rather than emit
+# garbage.
 _EXPECTED_DECLINED = {
+    "annual_results_FY2021-22_31.03.2022.pdf",  # CID composite (ObjStm)
+    "quarterly_results_Q3_31.12.2022.pdf",  # CID composite (ObjStm)
     "rpt_disclosure_half_year_H1_FY2020_30_09_2020.pdf",
     "rpt_disclosure_half_year_H1_FY2023_30_09_2023.pdf",
     "rpt_disclosure_half_year_H1_FY2024_30_09_2024.pdf",
@@ -106,11 +112,11 @@ def test_reference_pdf_census_is_pinned():
             declined[name] = str(e)
     if len(files) == 28 and _EXPECTED_DECLINED <= (parsed.keys() | declined.keys()):
         # the checkout this census was taken on: pin exactly
-        assert len(parsed) == 20, sorted(declined)
+        assert len(parsed) == 18, sorted(declined)
         assert set(declined) == _EXPECTED_DECLINED
     else:
         # checkout changed: hold the structural floor
-        assert len(parsed) >= int(0.7 * len(files)), sorted(declined)
+        assert len(parsed) >= int(0.6 * len(files)), sorted(declined)
     assert all("no text-show operators" in e for e in declined.values()), declined
     # the hex-show OCR layer extracts real words, not hex soup
     scanned = parsed.get("annual_results_FY2020-21_31.03.2021.pdf")
@@ -228,7 +234,7 @@ def test_dedup_gated_ingest_blocks_near_dup_arrivals(spark, sf_dir, tmp_path):
     in_dir.mkdir()
     fresh = "entirely novel content about spark streaming ingest gates " * 5
     (in_dir / "delta_1.md").write_text(corpus_text + " rev")  # near-dup of corpus
-    (in_dir / "delta_2.md").write_text(fresh)  # survivor
+    (in_dir / "delta_2.md").write_text(fresh)  # novel pair, one survives
     (in_dir / "delta_3.md").write_text(fresh + " tail")  # within-batch dup of 2
     vt_path = str(tmp_path / "vectors")
     q = dedup_gated_ingest(
@@ -240,8 +246,14 @@ def test_dedup_gated_ingest_blocks_near_dup_arrivals(spark, sf_dir, tmp_path):
         r.source_file.rsplit("/", 1)[-1]
         for r in got.select(SF.col("source_file")).collect()
     }
-    assert srcs == {"delta_2.md"}, srcs
+    # the corpus near-dup is blocked; the within-batch near-dup pair
+    # collapses to exactly ONE keeper (which one is decided by the
+    # path-hash id order — deterministic, arbitrary)
+    assert len(srcs) == 1 and srcs <= {"delta_2.md", "delta_3.md"}, srcs
     assert got.count() > 0
+
+
+def test_stream_upsert_replay_idempotent_emits_ok(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 
     r = H.SPARK_QUERIES["stream_upsert"](spark, sf_dir).collect()[0]

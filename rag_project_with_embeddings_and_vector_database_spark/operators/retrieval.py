@@ -199,16 +199,24 @@ def build_ivf_index(
     corpus_id: str = "id",
     vec_col: str = "embedding",
     seed: int = 42,
+    store_int8: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The IVF INDEXING job: seeded KMeans over the corpus, returning
     ``(assigned, centroids)`` — the bucket-tagged corpus and the tiny
     (bucket, centroid) frame. At 100 TB both are WRITTEN OUT, the
     assignments partitioned (or bucketed) by ``bucket`` so a query's
     nprobe probes prune to exactly those partitions; re-clustering is
-    an offline refresh, not a per-query cost. Storing the int8-quantized
-    form alongside (functions/vectors.py quantize_int8) is the natural
-    extension — the query path below quantizes on the fly when asked,
-    which a stored index would skip."""
+    an offline refresh, not a per-query cost.
+
+    ``store_int8=True`` additionally materializes the int8-quantized
+    form in the index — columns ``q8`` (array<tinyint>) and ``amax``
+    (the per-vector dequantization scale, functions/vectors.py) — so
+    the coarse scan of ``knn_ivf_indexed(coarse='int8')`` reads the
+    STORED quantized columns instead of re-quantizing the
+    full-precision vectors per query batch. That is the point of the
+    4x-bandwidth claim at scale: a probed partition is read as int8 +
+    one float, and the float32 column is touched only for the
+    ``coarse_k`` rescore candidates."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -218,6 +226,15 @@ def build_ivf_index(
     km = KMeans(k=num_centroids, seed=seed, featuresCol="features", predictionCol="bucket")
     model = km.fit(cn)
     assigned = model.transform(cn).select(corpus_id, vec_col, "bucket")
+    if store_int8:
+        amax = F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        )
+        assigned = assigned.withColumn("amax", amax).withColumn(
+            "q8", V.quantize_int8(vec_col)
+        )
 
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cdf = corpus.sparkSession.createDataFrame(
@@ -253,12 +270,21 @@ def knn_ivf_indexed(
     probe_set = probes.select(F.col(query_id).alias(f"q_{query_id}"), F.col(vec_col).alias("qv"), "bucket")
 
     if coarse == "int8":
-        amax = F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
-        )
-        quant = assigned.withColumn("amax", amax).withColumn("q8", V.quantize_int8(vec_col))
+        if "q8" in assigned.columns and "amax" in assigned.columns:
+            # index built with store_int8=True: the quantized columns
+            # are STORED — the coarse scan never touches float32
+            quant = assigned
+        else:
+            # quantize on the fly (one-shot form, or an index written
+            # without the int8 sidecar)
+            amax = F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+            )
+            quant = assigned.withColumn("amax", amax).withColumn(
+                "q8", V.quantize_int8(vec_col)
+            )
         coarse_scored = quant.join(probe_set, "bucket").withColumn(
             "score_q", V.dot(V.dequantize_int8(F.col("q8"), F.col("amax")), F.col("qv"))
         )

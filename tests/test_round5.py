@@ -166,6 +166,40 @@ def test_pdf_hex_show_decoding_and_composite_guard():
         )
 
 
+def test_ivf_stored_int8_index_matches_on_the_fly(spark, sf_dir, tmp_path):
+    """An IVF index built with store_int8=True carries the quantized
+    columns; the int8 coarse path over the STORED index (through a
+    parquet round-trip) must return exactly what on-the-fly
+    quantization returns — same quantizer, so bit-identical ranks."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+    from pyspark.sql import functions as SF
+
+    e = H._t(spark, sf_dir, "embeddings")
+    q = e.filter(SF.col("vec_id") < 5).select(
+        SF.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, cdf = R.build_ivf_index(
+        e, num_centroids=16, corpus_id="vec_id", seed=42, store_int8=True
+    )
+    assert "q8" in assigned.columns and "amax" in assigned.columns
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(str(tmp_path / "a"))
+    cdf.write.mode("overwrite").parquet(str(tmp_path / "c"))
+    stored = R.knn_ivf_indexed(
+        spark.read.parquet(str(tmp_path / "a")),
+        spark.read.parquet(str(tmp_path / "c")),
+        q, 10, nprobe=12, corpus_id="vec_id", coarse="int8",
+    )
+    onthefly = R.knn_ivf(
+        q, e, 10, num_centroids=16, nprobe=12, corpus_id="vec_id", coarse="int8"
+    )
+    a = sorted((r.query_id, r.vec_id, r.score, r.rank) for r in stored.collect())
+    b = sorted((r.query_id, r.vec_id, r.score, r.rank) for r in onthefly.collect())
+    assert a == b and len(a) == 50
+
+
 def test_dedup_delta_matches_one_shot_over_union(spark):
     """The incremental contract, engine-independent: dedup_delta over a
     stored index must equal the one-shot pair generator run over

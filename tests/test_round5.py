@@ -287,6 +287,45 @@ def test_dedup_gated_ingest_blocks_near_dup_arrivals(spark, sf_dir, tmp_path):
     assert got.count() > 0
 
 
+def test_pdf_string_codecs_properties():
+    """Property checks on the pure PDF string codecs: hex encoding of
+    arbitrary bytes round-trips through _pdf_hex_decode (latin-1 is a
+    bijection on bytes), and _pdf_unescape inverts the PDF literal
+    escaping of arbitrary byte content."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_project_with_embeddings_and_vector_database_spark.sources.documents import (
+        _pdf_hex_decode,
+        _pdf_unescape,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=64))
+    def hex_roundtrip(b):
+        assert _pdf_hex_decode(b.hex().encode()) == b.decode("latin-1")
+        # whitespace inside hex is legal and ignored
+        spaced = b" ".join(b.hex()[i : i + 2].encode() for i in range(0, len(b.hex()), 2))
+        assert _pdf_hex_decode(spaced) == b.decode("latin-1")
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=64))
+    def unescape_roundtrip(b):
+        # escape exactly what a PDF writer must: backslash and parens;
+        # escape newline too so the literal stays single-token
+        esc = (
+            b.replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(")
+            .replace(b")", b"\\)")
+            .replace(b"\n", b"\\n")
+            .replace(b"\r", b"\\r")
+        )
+        assert _pdf_unescape(esc) == b.decode("latin-1")
+
+    hex_roundtrip()
+    unescape_roundtrip()
+
+
 def test_stream_upsert_replay_idempotent_emits_ok(spark, sf_dir):
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 

@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ._cache import swap_cache as _swap_cache
-from .dedup import _drop_oversized_buckets, minhash_bands, minhash_signatures
+from .dedup import (
+    _drop_oversized_buckets,
+    hamming64,
+    minhash_bands,
+    minhash_signatures,
+    simhash_fingerprints,
+)
 
 
 def build_dedup_index(
@@ -137,3 +143,92 @@ def dedup_delta(
         )
     )
     return new_old.unionByName(new_new).distinct()
+
+
+def build_simhash_index(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """The SimHash twin of ``build_dedup_index``: the pigeonhole-blocked
+    fingerprint table (id, sh, block_id, block_key) — one row per
+    (doc, block), written out bucketed by (block_id, block_key) at
+    scale so ``simhash_delta``'s probe prunes. Same fingerprint and
+    Manku blocking as the one-shot ``simhash_pairs``."""
+    if bits % num_blocks != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by num_blocks ({num_blocks})")
+    width = bits // num_blocks
+    mask = (1 << width) - 1
+    sh = simhash_fingerprints(df, content_col, id_col, bits).withColumnRenamed(
+        "simhash", "sh"
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftright(F.col("sh"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_key"),
+            )
+            for b in range(num_blocks)
+        ]
+    )
+    return sh.select(F.col(id_col), "sh", F.explode(blocks).alias("bb")).select(
+        id_col,
+        "sh",
+        F.col("bb.block_id").alias("block_id"),
+        F.col("bb.block_key").alias("block_key"),
+    )
+
+
+def simhash_delta(
+    index: DataFrame,
+    delta: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    num_blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Incremental SimHash near-dup detection over a stored blocked
+    fingerprint index — the ``dedup_delta`` contract for the Hamming
+    family: returns exactly the pairs of the one-shot ``simhash_pairs``
+    over corpus-union-delta that touch at least one delta doc (same
+    union-level bucket guard), as (id_a, id_b, hamming) with
+    id_a < id_b. Recall is exact for max_hamming <= num_blocks - 1
+    (pigeonhole). Disjoint id spaces required; cost is O(|delta| x
+    blocks) fingerprinting plus one pruned probe join — the corpus is
+    never re-fingerprinted."""
+    delta_blocked = build_simhash_index(delta, content_col, id_col, bits, num_blocks)
+    unioned = index.withColumn("_new", F.lit(False)).unionByName(
+        delta_blocked.withColumn("_new", F.lit(True))
+    )
+    kept = _drop_oversized_buckets(unioned, ["block_id", "block_key"], max_bucket_size)
+    kept = _swap_cache("simhash_delta", kept)
+    new_side = kept.filter(F.col("_new")).alias("a")
+    old_side = kept.filter(~F.col("_new")).alias("b")
+    ham = hamming64(F.col("a.sh"), F.col("b.sh")).cast("int").alias("hamming")
+    block_eq = (F.col("a.block_id") == F.col("b.block_id")) & (
+        F.col("a.block_key") == F.col("b.block_key")
+    )
+    new_old = new_side.join(old_side, block_eq).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        ham,
+    )
+    new_b = kept.filter(F.col("_new")).alias("b")
+    new_new = new_side.join(
+        new_b, block_eq & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        ham,
+    )
+    return (
+        new_old.unionByName(new_new)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -287,6 +287,50 @@ def test_dedup_gated_ingest_blocks_near_dup_arrivals(spark, sf_dir, tmp_path):
     assert got.count() > 0
 
 
+def test_simhash_delta_matches_one_shot_over_union(spark, sf_dir):
+    """The SimHash incremental twin holds the same contract as the
+    minhash one: simhash_delta over a stored blocked index equals the
+    one-shot simhash_pairs over corpus-union-delta, filtered to pairs
+    touching the delta — on the REAL documents table, through a parquet
+    round-trip of the index."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as SF
+
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup as DD,
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup_index as DI,
+    )
+
+    corpus = H._t(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = corpus.filter("doc_id < 25").select(
+        (SF.col("doc_id") + 1000000).alias("doc_id"),
+        SF.concat(SF.col("text"), SF.lit(" rev")).alias("text"),
+    )
+    full = DD.simhash_pairs(corpus.unionByName(delta))
+    expected = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in full.filter(
+            (SF.col("id_a") >= 1000000) | (SF.col("id_b") >= 1000000)
+        ).collect()
+    )
+    tmp = f"{tempfile.gettempdir()}/simhash_idx_{uuid.uuid4().hex[:8]}"
+    DI.build_simhash_index(corpus).write.mode("overwrite").partitionBy(
+        "block_id"
+    ).parquet(tmp)
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in DI.simhash_delta(spark.read.parquet(tmp), delta).collect()
+    )
+    assert got == expected
+    assert expected, "fixture must produce at least one delta-touching pair"
+    DD.release_caches()
+
+
 def test_pdf_string_codecs_properties():
     """Property checks on the pure PDF string codecs: hex encoding of
     arbitrary bytes round-trips through _pdf_hex_decode (latin-1 is a

@@ -4222,11 +4222,15 @@ _PRIORITY = [
 # dedup_minhash_pairs, simhash_pairs, ngram_jaccard, dedup_embedding,
 # sequence_pack, bucket_stats, dedup_exact, decontaminate,
 # connected_components, dedup_minhash, dedup_simhash, embed_values,
-# sink_partitioned, bucketed_join, semi_anti_join. Candidate for a NEW
-# r6 slot: a registered dedup-gated streaming ingest query
-# (streaming/ingest.dedup_gated_ingest — the composed production
-# pipeline: micro-batch -> dedup_delta vs stored index -> embed
-# survivors -> keyed upsert; pytest-verified this round). Also due when
+# sink_partitioned, bucketed_join, semi_anti_join. Candidates for NEW
+# r6 slots (each pytest-verified this round): a registered dedup-gated
+# streaming ingest query (streaming/ingest.dedup_gated_ingest — the
+# composed production pipeline: micro-batch -> dedup_delta vs stored
+# index -> embed survivors -> keyed upsert), a simhash_incremental
+# oracled query (operators/dedup_index.simhash_delta — parity-pinned
+# vs the one-shot generator), and an ann_ivf_indexed variant over the
+# stored-int8 index (build_ivf_index(store_int8=True) — pinned
+# bit-identical to on-the-fly quantization). Also due when
 # slots free up: filter_nonempty (r2; yielded its r5 spare slot to
 # dedup_incremental), the remaining r2-evidence §2 primitives (filter_ext,
 # project_payload, the C0/C1/E1/E5/E6 functions, the A5-A7/O1-O3

@@ -1514,12 +1514,16 @@ def bm25_indexed(spark, sf_dir):
     through the parquet round-trip."""
     import os
     import tempfile
-    import uuid
 
     docs = _par(_t(spark, sf_dir, "documents"))
     postings, dfreq, stats = RK.build_text_index(docs)
+    # fixed per-process path + overwrite mode: repeated invocations
+    # (bench / selfcheck / driver) reuse one directory instead of
+    # leaking a fresh uuid-suffixed index copy each run (ADVICE r5);
+    # the pid suffix keeps concurrent processes from clobbering a
+    # directory another JVM is still reading
     tmp = os.path.join(
-        tempfile.gettempdir(), f"spark_rag_bm25_idx_{uuid.uuid4().hex[:10]}"
+        tempfile.gettempdir(), f"spark_rag_bm25_idx_p{os.getpid()}"
     )
     # the index write: postings carry a term-hash partition key so the
     # stored layout supports pruned term probes (a real deployment would
@@ -1575,14 +1579,14 @@ def ann_ivf_indexed(spark, sf_dir):
     stored layout and the probe quality are driver-visible."""
     import os
     import tempfile
-    import uuid
 
     def make_approx(q, e):
         assigned, cdf = R.build_ivf_index(
             e, num_centroids=16, corpus_id="vec_id", seed=42
         )
+        # fixed per-process path + overwrite: no uuid-dir leak (ADVICE r5)
         tmp = os.path.join(
-            tempfile.gettempdir(), f"spark_rag_ivf_idx_{uuid.uuid4().hex[:10]}"
+            tempfile.gettempdir(), f"spark_rag_ivf_idx_p{os.getpid()}"
         )
         assigned.write.mode("overwrite").partitionBy("bucket").parquet(
             f"{tmp}/assigned"
@@ -4137,11 +4141,11 @@ def dedup_incremental(spark, sf_dir):
     doing O(delta) work."""
     import os
     import tempfile
-    import uuid
 
     docs = _par(_t(spark, sf_dir, "documents"))
+    # fixed per-process path + overwrite: no uuid-dir leak (ADVICE r5)
     tmp = os.path.join(
-        tempfile.gettempdir(), f"spark_rag_dedup_idx_{uuid.uuid4().hex[:10]}"
+        tempfile.gettempdir(), f"spark_rag_dedup_idx_p{os.getpid()}"
     )
     DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).write.mode(
         "overwrite"

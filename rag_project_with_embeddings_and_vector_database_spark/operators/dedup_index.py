@@ -116,11 +116,17 @@ def dedup_delta(
         / F.lit(float(num_perm)),
         6,
     ).alias("est_jaccard")
+    # the id inequality is a no-op under the documented disjoint-ids
+    # contract; it matters when a caller accumulates prior deltas INTO
+    # the index (streaming ingest): a replayed doc then meets its own
+    # stored signature, and same-id means same-document (an update, not
+    # a duplicate)
     new_old = (
         new_side.join(
             old_side,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
         .select(
             F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
@@ -214,7 +220,11 @@ def simhash_delta(
     block_eq = (F.col("a.block_id") == F.col("b.block_id")) & (
         F.col("a.block_key") == F.col("b.block_key")
     )
-    new_old = new_side.join(old_side, block_eq).select(
+    # id inequality: no-op under disjoint ids, required when the index
+    # accumulates prior deltas (see dedup_delta)
+    new_old = new_side.join(
+        old_side, block_eq & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    ).select(
         F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
         F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
         ham,

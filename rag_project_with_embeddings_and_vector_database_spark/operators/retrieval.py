@@ -232,8 +232,12 @@ def build_ivf_index(
             F.lit(0.0).cast("double"),
             lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
         )
+        # materialize as array<tinyint>: quantize_int8 emits int
+        # elements (portable expression form), but the STORED column is
+        # what the 4x storage/bandwidth claim rests on — values are
+        # bounded to [-127, 127], so the byte cast is lossless
         assigned = assigned.withColumn("amax", amax).withColumn(
-            "q8", V.quantize_int8(vec_col)
+            "q8", V.quantize_int8(vec_col).cast("array<tinyint>")
         )
 
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

@@ -185,12 +185,13 @@ def _pdf_text_paged(data: bytes) -> str:
     literal-string Tj/TJ always, hex-string Tj/TJ when every font in
     the document is a simple single-byte one (composite /Type0 /
     Identity-H fonts show glyph ids, not character codes — those
-    decline rather than emit garbage) — covers 20 of the reference
+    decline rather than emit garbage) — covers 18 of the reference
     checkout's 28 real financial PDFs: 11 literal-show files plus the
-    9 Canon-scanned filings whose OCR layer is render-mode-3 hex
-    shows; the other 8 carry ONLY vector path operators (text drawn
-    as outlines — nothing for any extractor) and decline (census
-    pinned by tests/test_round5.py). Anything outside raises
+    7 Canon-scanned filings whose OCR layer is render-mode-3 hex
+    shows; the other 10 decline — 8 carry ONLY vector path operators
+    (text drawn as outlines — nothing for any extractor), 2 are
+    refused by the /Type0 composite-font guard (census pinned by
+    tests/test_round5.py). Anything outside raises
     NotImplementedError and the caller degrades to the single-page
     fallback, then the stub. No positioning model: text order is
     stream order, which is what substring-match relevance

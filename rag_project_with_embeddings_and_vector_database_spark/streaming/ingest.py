@@ -111,6 +111,7 @@ def dedup_gated_ingest(
     cfg: EngineConfig | None = None,
     backend: str = "hash",
     max_files_per_trigger: int | None = None,
+    sig_delta_path: str | None = None,
 ) -> StreamingQuery:
     """The full production ingest pipeline, composed: each micro-batch
     of arriving documents is DEDUPED AGAINST THE STORED CORPUS
@@ -123,21 +124,42 @@ def dedup_gated_ingest(
     and each streaming batch pays O(batch) shingling plus one pruned
     probe join.
 
+    The gate ACCUMULATES: each batch's survivors have their banded
+    signatures appended to ``sig_delta_path`` (default
+    ``{vector_table_path}_sigdelta``), and every batch probes the
+    corpus index UNION the accumulated store — so a near-duplicate of
+    an earlier survivor is gated even when it arrives in a LATER
+    micro-batch of the same run (inevitable when max_files_per_trigger
+    splits the backlog) or in a later run entirely. Replay is handled
+    structurally: appended signature rows deduplicate at read time on
+    (doc_id, band), and a replayed doc meeting its OWN stored signature
+    is excluded by dedup_delta's id-inequality (same path -> same id ->
+    same document: an update, not a duplicate). At 100 TB the append
+    store is a MERGE into the (band, band_hash)-bucketed index table
+    with periodic compaction; small parquet appends stand in for it
+    here.
+
     Batch documents receive deterministic numeric ids ``id_offset +
     pmod(xxhash64(path), 2^62)`` — replay-stable (same path -> same id,
     so the keyed upsert stays idempotent), above every corpus id by
-    construction (dedup_delta requires disjoint id spaces), and
+    construction (corpus ids must sit below ``id_offset``), and
     collision-free for any realistic batch (~n^2/2^63 odds; a real
     deployment carrying its own document ids passes them through
     instead). A batch doc is dropped when any candidate pair against
-    the CORPUS side estimates Jaccard >= ``jaccard_threshold``;
-    within-batch duplicates collapse to the lowest id (deterministic,
-    arbitrary). Survivors are localCheckpoint()ed — the shingle +
-    probe-join pipeline runs ONCE per batch, not once per downstream
-    action — then flow through the same chunk -> embed -> keyed-upsert
-    sink as incremental_ingest (idempotent under replay)."""
-    from ..operators.dedup_index import dedup_delta
+    an INDEX doc (corpus or earlier survivor) estimates Jaccard >=
+    ``jaccard_threshold``; within-batch duplicates collapse to the
+    lowest id (deterministic, arbitrary). Survivors are
+    localCheckpoint()ed — the shingle + probe-join pipeline runs ONCE
+    per batch, not once per downstream action — then flow through the
+    same chunk -> embed -> keyed-upsert sink as incremental_ingest
+    (idempotent under replay)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup_index import build_dedup_index, dedup_delta
     from ..operators.retrieval import VectorTable
+
+    if sig_delta_path is None:
+        sig_delta_path = f"{vector_table_path}_sigdelta"
 
     reader = (
         spark.readStream.format("text")
@@ -154,18 +176,46 @@ def dedup_gated_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        ss = batch_df.sparkSession
         docs = batch_df.withColumn(
             "doc_id",
             F.lit(id_offset) + F.pmod(F.xxhash64("path"), F.lit(1 << 62)),
         )
+        # probe index = corpus index UNION accumulated survivor
+        # signatures from earlier batches/runs; replay-appended
+        # duplicate rows collapse on (doc_id, band) — identical rows,
+        # so which one survives is immaterial
+        try:
+            acc = ss.read.parquet(sig_delta_path)
+        except AnalysisException:
+            acc = None
+        probe_index = (
+            dedup_index if acc is None
+            else dedup_index.unionByName(acc).dropDuplicates(["doc_id", "band"])
+        )
         pairs = dedup_delta(
-            dedup_index, docs.select("doc_id", F.col("content").alias("text"))
+            probe_index, docs.select("doc_id", F.col("content").alias("text"))
         ).filter(F.col("est_jaccard") >= jaccard_threshold)
-        # pairs come ordered id_a < id_b and corpus ids sit below the
-        # offset, so the dropped doc is ALWAYS id_b: a corpus match
-        # drops the batch doc, a within-batch match drops the higher id
-        # (first-wins); the keeper id_a survives
-        dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        # every pair touches >= 1 batch doc. If BOTH sides are batch
+        # docs (within-batch near-dup), the higher id drops
+        # (first-wins). Otherwise the batch-side doc drops — it can sit
+        # on EITHER side now that accumulated survivors share the
+        # >= id_offset range with the batch (the old "dropped is always
+        # id_b" shortcut held only while the index was corpus-only).
+        bids = docs.select("doc_id")
+        flagged = pairs.join(
+            F.broadcast(bids.select(F.col("doc_id").alias("id_a")).withColumn("_a_in", F.lit(True))),
+            "id_a", "left",
+        ).join(
+            F.broadcast(bids.select(F.col("doc_id").alias("id_b")).withColumn("_b_in", F.lit(True))),
+            "id_b", "left",
+        )
+        dropped = flagged.select(
+            F.when(F.col("_a_in").isNotNull() & F.col("_b_in").isNotNull(), F.col("id_b"))
+            .when(F.col("_a_in").isNotNull(), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        ).distinct()
         # materialize once: without this the shingle + occupancy +
         # probe-join pipeline would rerun for the isEmpty() probe AND
         # again when the embed/upsert path executes
@@ -181,6 +231,13 @@ def dedup_gated_ingest(
         VectorTable(batch_df.sparkSession, vector_table_path).upsert_points(
             vectors, key_col="chunk_id"
         )
+        # accumulate AFTER the upsert lands, so the signature store
+        # never covers docs whose vectors didn't make it; a replay after
+        # a failed append re-probes without the batch's own signatures
+        # and converges via the idempotent upsert
+        build_dedup_index(
+            survivors.select("doc_id", F.col("content").alias("text"))
+        ).write.mode("append").parquet(sig_delta_path)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -1,0 +1,135 @@
+"""Round-6 additions: the dedup gate must hold ACROSS micro-batches
+and across runs (ADVICE r5 medium — the accumulated signature store),
+the stored-int8 IVF index must actually store bytes, and
+upsert_points' prune-cap fallback must merge identically."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as SF
+
+
+def test_dedup_gate_holds_across_micro_batches(spark, sf_dir, tmp_path):
+    """A near-duplicate arriving in a LATER micro-batch of the same run
+    (max_files_per_trigger=1 splits the backlog) is gated against the
+    EARLIER batch's survivor via the accumulated signature store —
+    without accumulation both copies would pass, since each batch would
+    only see the static corpus index."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup_index as DI,
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.streaming.ingest import (
+        dedup_gated_ingest,
+    )
+
+    corpus = H._t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = DI.build_dedup_index(corpus)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    fresh = "entirely novel cross batch gating corpus content " * 6
+    f1 = in_dir / "a_first.md"
+    f2 = in_dir / "b_neardup.md"
+    f1.write_text(fresh)
+    f2.write_text(fresh + " trailing revision")
+    # distinct mtimes so the file source drains them oldest-first in
+    # two separate single-file batches (the assertion below is
+    # order-independent anyway)
+    now = f1.stat().st_mtime
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    vt_path = str(tmp_path / "vectors")
+    q = dedup_gated_ingest(
+        spark, str(in_dir), vt_path, str(tmp_path / "ckpt"),
+        dedup_index=index, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    srcs = {
+        r.source_file.rsplit("/", 1)[-1]
+        for r in spark.read.parquet(vt_path).select("source_file").collect()
+    }
+    assert len(srcs) == 1 and srcs <= {"a_first.md", "b_neardup.md"}, srcs
+
+    # ...and across RUNS: a third near-copy arriving after a restart
+    # (same checkpoint continues; only the new file is processed) is
+    # gated against the signature store persisted by the first run
+    f3 = in_dir / "c_neardup_later_run.md"
+    f3.write_text(fresh + " second revision")
+    q2 = dedup_gated_ingest(
+        spark, str(in_dir), vt_path, str(tmp_path / "ckpt"),
+        dedup_index=index, max_files_per_trigger=1,
+    )
+    q2.awaitTermination(300)
+    srcs2 = {
+        r.source_file.rsplit("/", 1)[-1]
+        for r in spark.read.parquet(vt_path).select("source_file").collect()
+    }
+    assert srcs2 == srcs, srcs2
+
+
+def test_ivf_stored_q8_is_tinyint(spark, sf_dir, tmp_path):
+    """build_ivf_index(store_int8=True) materializes q8 as
+    array<tinyint> (1 byte/element) — the stored form the 4x
+    storage/bandwidth claim rests on (ADVICE r5) — and the byte-cast
+    index still answers bit-identically through a parquet round-trip."""
+    from pyspark.sql.types import ArrayType, ByteType
+
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+
+    e = H._t(spark, sf_dir, "embeddings")
+    assigned, cdf = R.build_ivf_index(
+        e, num_centroids=16, corpus_id="vec_id", seed=42, store_int8=True
+    )
+    assert assigned.schema["q8"].dataType == ArrayType(ByteType())
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(str(tmp_path / "a"))
+    stored_type = spark.read.parquet(str(tmp_path / "a")).schema["q8"].dataType
+    assert stored_type == ArrayType(ByteType())
+
+
+def test_upsert_points_beyond_prune_cap(spark, tmp_path):
+    """Past _MAX_PRUNE_COLLECTIONS distinct collections in one delta,
+    upsert_points skips the pruning predicate and falls back to a
+    full-table merge — the fallback must produce exactly the same
+    table as the pruned path (correctness never depends on the cap)."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators.retrieval import (
+        VectorTable,
+    )
+
+    def mk_table(path):
+        base = spark.createDataFrame(
+            [(s, m, i, f"old_{s}_{m}_{i}") for s in ("s1", "s2", "s3")
+             for m in ("m1", "m2") for i in range(3)],
+            "strategy string, model string, vec_id int, payload string",
+        )
+        vt = VectorTable(spark, path)
+        vt.upsert(base)
+        return vt
+
+    delta = spark.createDataFrame(
+        # 4 distinct collections: replace one point in each of three,
+        # insert a brand-new point in a fresh collection
+        [("s1", "m1", 0, "new"), ("s2", "m2", 1, "new"),
+         ("s3", "m1", 2, "new"), ("s9", "m9", 7, "new")],
+        "strategy string, model string, vec_id int, payload string",
+    )
+
+    vt_pruned = mk_table(str(tmp_path / "pruned"))
+    vt_pruned.upsert_points(delta, key_col="vec_id")
+
+    vt_capped = mk_table(str(tmp_path / "capped"))
+    vt_capped._MAX_PRUNE_COLLECTIONS = 2  # 4 collections > cap -> full merge
+    vt_capped.upsert_points(delta, key_col="vec_id")
+
+    cols = ["strategy", "model", "vec_id", "payload"]
+    a = sorted(tuple(r) for r in vt_pruned.read().select(*cols).collect())
+    b = sorted(tuple(r) for r in vt_capped.read().select(*cols).collect())
+    assert a == b
+    assert ("s9", "m9", 7, "new") in a and ("s1", "m1", 0, "new") in a
+    assert ("s1", "m1", 0, "old_s1_m1_0") not in a
+    assert len(a) == 18 + 1  # 18 base rows, 3 replaced in place, 1 inserted

@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_full",
     "dedup_incremental",
+    "simhash_incremental",
     "ngram_jaccard",
     "doc_fingerprint",
     "lang_id",
@@ -78,6 +79,123 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def stored_index_query_benches(spark, sf_dir):
+    """The STEADY-STATE query side of the stored-index paths (VERDICT
+    r5 item 4): the bundled harness figures for bm25_indexed /
+    ann_ivf_indexed / dedup_incremental / simhash_incremental include
+    building and writing their indexes — the pay-once cost. Here each
+    index is built and written OUTSIDE the timed region, and the
+    returned thunks cover only the per-batch query work (including its
+    driver-side planning collects), so the amortized-cost claim is a
+    measured number. Returns {bench_name: thunk-returning-DataFrame}."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.functions import text as TX
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup_index as DI,
+        ranking as RK,
+        retrieval as R,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"spark_rag_benchidx_p{os.getpid()}")
+    docs = H._par(H._t(spark, sf_dir, "documents"))
+
+    # BM25 split index (same layout as the bm25_indexed harness query)
+    postings, dfreq, stats = RK.build_text_index(docs)
+
+    def bucket_of(c):
+        return F.pmod(F.hash(c), F.lit(64))
+
+    postings.withColumn("term_bucket", bucket_of(F.col("term"))).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(f"{base}/bm25/postings")
+    dfreq.write.mode("overwrite").parquet(f"{base}/bm25/dfreq")
+    stats.write.mode("overwrite").parquet(f"{base}/bm25/stats")
+
+    def bm25_query():
+        qdf = H._bm25_qdf(spark)
+        qbuckets = sorted(
+            r.b
+            for r in qdf.select(
+                F.explode(
+                    F.array_distinct(F.transform(TX.whitespace_tokens("query"), F.lower))
+                ).alias("term")
+            )
+            .select(bucket_of(F.col("term")).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return RK.bm25_query_indexed(
+            spark.read.parquet(f"{base}/bm25/postings")
+            .filter(F.col("term_bucket").isin(qbuckets))
+            .drop("term_bucket"),
+            spark.read.parquet(f"{base}/bm25/dfreq"),
+            spark.read.parquet(f"{base}/bm25/stats"),
+            qdf,
+            k=10,
+            k1=H._BM25_K1,
+            b=H._BM25_B,
+        )
+
+    # IVF stored index (query side only: probe selection + pruned scan;
+    # the recall-vs-exact join of the harness query is instrumentation,
+    # not query work, so it is deliberately absent here)
+    e = H._t(spark, sf_dir, "embeddings")
+    assigned, cdf = R.build_ivf_index(e, num_centroids=16, corpus_id="vec_id", seed=42)
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(f"{base}/ivf/assigned")
+    cdf.write.mode("overwrite").parquet(f"{base}/ivf/centroids")
+
+    def ivf_query():
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return R.knn_ivf_indexed(
+            spark.read.parquet(f"{base}/ivf/assigned"),
+            spark.read.parquet(f"{base}/ivf/centroids"),
+            q, 10, nprobe=12, corpus_id="vec_id",
+        )
+
+    # minhash dedup index: delta probe only
+    DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(f"{base}/dedupidx")
+
+    def dedup_query():
+        delta = docs.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" incremental delta revision")).alias("text"),
+        )
+        return DI.dedup_delta(
+            spark.read.parquet(f"{base}/dedupidx"), delta,
+            num_perm=16, num_bands=4, seed=42,
+        )
+
+    # simhash blocked index: delta probe only
+    DI.build_simhash_index(docs, bits=32, num_blocks=4).write.mode(
+        "overwrite"
+    ).partitionBy("block_id").parquet(f"{base}/simhashidx")
+
+    def simhash_query():
+        delta = docs.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rev")).alias("text"),
+        )
+        return DI.simhash_delta(
+            spark.read.parquet(f"{base}/simhashidx"), delta,
+            bits=32, num_blocks=4, max_hamming=3,
+        )
+
+    return {
+        "bm25_indexed_query": bm25_query,
+        "ann_ivf_indexed_query": ivf_query,
+        "dedup_incremental_query": dedup_query,
+        "simhash_incremental_query": simhash_query,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -93,6 +211,16 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         # bound cross-query interference (broadcast/codegen/GC debris)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    # steady-state stored-index query-only figures: indexes are built
+    # and written untimed, thunks time only the per-batch query side
+    for name, thunk in stored_index_query_benches(spark, sf_dir).items():
+        t0 = time.time()
+        force(thunk())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 

@@ -60,7 +60,8 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_fixture_corpus": {"scan_docs", "scan_queries", "pipeline_reference_corpus"},
     "_minhash_sql": {"dedup_minhash", "dedup_minhash_pairs", "bucket_stats", "dedup_full"},
     "_minhash_pairs_sql": {"dedup_minhash_pairs"},
-    "_simhash_sql": {"dedup_simhash", "simhash_pairs"},
+    "_simhash_sql": {"dedup_simhash", "simhash_pairs", "simhash_incremental"},
+    "_simhash_incremental_sql": {"simhash_incremental"},
     "_dedup_full_sql": {"dedup_full"},
     "_CC_SQL": {"connected_components"},
     "_TOPK_QUANT_SQL": {"topk_retrieval_quantized"},
@@ -68,7 +69,7 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_bm25": {"bm25_topk", "hybrid_rrf"},
     "_quality_filter_sql": {"quality_filter", "corpus_prep"},
     "_corpus_prep_sql": {"corpus_prep"},
-    "_ann_recall": {"ann_lsh", "ann_ivf"},
+    "_ann_recall": {"ann_lsh", "ann_ivf", "ann_ivf_quantized", "ann_ivf_indexed", "ann_ivf_indexed_int8"},
     "_synthetic_docs": {"chunk_fanout", "embed_batch", "embed_values", "pipeline_e2e"},
     "_events": {
         "asof_join", "events_hourly", "events_json", "events_percentiles",

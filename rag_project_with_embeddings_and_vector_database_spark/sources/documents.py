@@ -125,21 +125,91 @@ def _pdf_hex_decode(raw: bytes) -> str:
         return ""
 
 
-def _pdf_stream_texts(obj_body: bytes, decode_hex: bool = True) -> list[str]:
+def _pdf_parse_tounicode(stream: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap stream into {2-byte CID -> unicode str}:
+    ``beginbfchar <src> <dst>`` pairs and ``beginbfrange <lo> <hi>
+    (<dstbase>|[<dst> ...])`` runs, dst hex decoded as UTF-16BE (dst
+    may be multi-unit — ligatures map to multi-char strings). This is
+    the mapping PyPDF2 applies to composite-font (/Type0 Identity-H)
+    shows; with it, glyph-id hex strings become real text."""
+    import re as _re
+
+    def u16(h: bytes) -> str:
+        if len(h) % 2:
+            h += b"0"
+        try:
+            return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "ignore")
+        except ValueError:
+            return ""
+
+    cmap: dict[int, str] = {}
+    for m in _re.finditer(rb"beginbfchar(.*?)endbfchar", stream, _re.DOTALL):
+        for pm in _re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>", m.group(1)):
+            cmap[int(pm.group(1), 16)] = u16(pm.group(2))
+    for m in _re.finditer(rb"beginbfrange(.*?)endbfrange", stream, _re.DOTALL):
+        for pm in _re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+            m.group(1),
+            _re.DOTALL,
+        ):
+            lo, hi = int(pm.group(1), 16), int(pm.group(2), 16)
+            if hi < lo or hi - lo > 0xFFFF:  # malformed range; bound the loop
+                continue
+            if pm.group(3) is not None:
+                width = len(pm.group(3))
+                base = int(pm.group(3), 16)
+                for i in range(hi - lo + 1):
+                    cmap[lo + i] = u16(format(base + i, f"0{width}x").encode())
+            else:
+                for i, d in enumerate(
+                    _re.findall(rb"<([0-9A-Fa-f]*)>", pm.group(4))[: hi - lo + 1]
+                ):
+                    cmap[lo + i] = u16(d)
+    return cmap
+
+
+def _pdf_cids_decode(bs: bytes, cmap: dict[int, str]) -> str:
+    """Show-payload bytes under an Identity-H composite font are
+    big-endian 2-byte CIDs; map each through the font's ToUnicode
+    CMap (unmapped CIDs contribute nothing, per extractor convention)."""
+    return "".join(
+        cmap.get((bs[i] << 8) | bs[i + 1], "") for i in range(0, len(bs) - 1, 2)
+    )
+
+
+def _pdf_stream_texts(
+    obj_body: bytes,
+    decode_hex: bool = True,
+    fonts: dict[bytes, object] | None = None,
+    cur: object = "unset",
+) -> tuple[list[str], object]:
     """Text-show operators from one content-stream object: literal
-    ``(...) Tj`` and — for simple-font documents — hex ``<...> Tj``,
-    one line each; ``[...] TJ`` arrays with their string segments
-    joined (kerning numbers dropped). Scanner-produced PDFs (e.g. the
-    reference checkout's Canon-scanned financial filings) carry their
-    OCR text layer as render-mode-3 hex shows over the page images —
-    the same text PyPDF2 extracts from them. Flate or raw streams
-    only — any other /Filter raises so the caller degrades honestly."""
+    ``(...) Tj`` and hex ``<...> Tj``, one line each; ``[...] TJ``
+    arrays with their string segments joined (kerning numbers
+    dropped). Scanner-produced PDFs (e.g. the reference checkout's
+    Canon-scanned financial filings) carry their OCR text layer as
+    render-mode-3 hex shows over the page images — the same text
+    PyPDF2 extracts from them.
+
+    Font resolution: ``fonts`` maps a page's font resource names to a
+    decoder — ``"simple"`` (single-byte font: hex/literal bytes decode
+    latin-1), a ToUnicode CMap dict (composite /Type0 Identity-H font:
+    payload bytes are 2-byte CIDs mapped through the CMap), or
+    ``None`` (composite font WITHOUT a ToUnicode CMap: its shows are
+    undecodable glyph ids and are skipped rather than emitted as
+    garbage). ``/name size Tf`` operators switch the decoder; ``cur``
+    carries the text-font state across the content-stream segments of
+    one page and is returned updated. While no font has been selected
+    (or the name is unresolvable) the document-wide ``decode_hex``
+    flag decides hex handling — the pre-CMap behavior. Flate or raw
+    streams only — any other /Filter raises so the caller degrades
+    honestly."""
     import re as _re
     import zlib
 
     m = _re.search(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", obj_body, _re.DOTALL)
     if m is None:
-        return []
+        return [], cur
     meta, stream = m.group(1), m.group(2)
     if b"/FlateDecode" in meta:
         try:
@@ -148,31 +218,64 @@ def _pdf_stream_texts(obj_body: bytes, decode_hex: bool = True) -> list[str]:
             raise NotImplementedError(f"undecodable Flate content stream: {e}")
     elif b"/Filter" in meta:
         raise NotImplementedError("unsupported content-stream filter")
+    fonts = fonts or {}
+
+    def hex_text(raw: bytes) -> str | None:
+        if isinstance(cur, dict):
+            h = b"".join(raw.split())
+            if len(h) % 2:
+                h += b"0"
+            try:
+                return _pdf_cids_decode(bytes.fromhex(h.decode("ascii")), cur)
+            except ValueError:
+                return ""
+        if cur == "simple":
+            return _pdf_hex_decode(raw)
+        if cur is None:  # known-undecodable composite font
+            return None
+        return _pdf_hex_decode(raw) if decode_hex else None
+
+    def lit_text(raw: bytes) -> str | None:
+        if isinstance(cur, dict):
+            return _pdf_cids_decode(_pdf_unescape(raw).encode("latin-1"), cur)
+        if cur is None:
+            return None
+        return _pdf_unescape(raw)
+
     texts: list[str] = []
     for bt in _re.finditer(rb"BT(.*?)ET", stream, _re.DOTALL):
         for sm in _re.finditer(
             rb"\(((?:[^()\\]|\\.)*)\)\s*Tj"
             rb"|<([0-9A-Fa-f\s]*)>\s*Tj"
-            rb"|\[((?:[^\]\\]|\\.)*?)\]\s*TJ",
+            rb"|\[((?:[^\]\\]|\\.)*?)\]\s*TJ"
+            rb"|/([\w.]+)\s+[\d.]+\s+Tf",
             bt.group(1),
             _re.DOTALL,
         ):
-            if sm.group(1) is not None:
-                texts.append(_pdf_unescape(sm.group(1)))
+            if sm.group(4) is not None:
+                cur = fonts.get(sm.group(4), "unset")
+            elif sm.group(1) is not None:
+                t = lit_text(sm.group(1))
+                if t is not None:
+                    texts.append(t)
             elif sm.group(2) is not None:
-                if decode_hex:
-                    texts.append(_pdf_hex_decode(sm.group(2)))
+                t = hex_text(sm.group(2))
+                if t is not None:
+                    texts.append(t)
             else:
                 segs = []
                 for pm in _re.finditer(
                     rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>", sm.group(3)
                 ):
-                    if pm.group(1) is not None:
-                        segs.append(_pdf_unescape(pm.group(1)))
-                    elif decode_hex:
-                        segs.append(_pdf_hex_decode(pm.group(2)))
+                    t = (
+                        lit_text(pm.group(1))
+                        if pm.group(1) is not None
+                        else hex_text(pm.group(2))
+                    )
+                    if t is not None:
+                        segs.append(t)
                 texts.append("".join(segs))
-    return [t for t in texts if t.strip()]
+    return [t for t in texts if t.strip()], cur
 
 
 def _pdf_text_paged(data: bytes) -> str:
@@ -182,16 +285,17 @@ def _pdf_text_paged(data: bytes) -> str:
     reference's ``--- Page N ---`` markers (document_loader.py:
     86-102 joins PyPDF2 page texts exactly so). Envelope: plain
     (uncompressed-xref) object structure, Flate/raw content streams,
-    literal-string Tj/TJ always, hex-string Tj/TJ when every font in
-    the document is a simple single-byte one (composite /Type0 /
-    Identity-H fonts show glyph ids, not character codes — those
-    decline rather than emit garbage) — covers 18 of the reference
-    checkout's 28 real financial PDFs: 11 literal-show files plus the
-    7 Canon-scanned filings whose OCR layer is render-mode-3 hex
-    shows; the other 10 decline — 8 carry ONLY vector path operators
-    (text drawn as outlines — nothing for any extractor), 2 are
-    refused by the /Type0 composite-font guard (census pinned by
-    tests/test_round5.py). Anything outside raises
+    literal-string Tj/TJ always, hex-string Tj/TJ decoded PER FONT:
+    latin-1 under simple single-byte fonts, ToUnicode-CMap CID
+    mapping under composite /Type0 Identity-H fonts that carry one
+    (a Type0 WITHOUT a ToUnicode CMap has undecodable glyph-id shows
+    — those are skipped rather than emitted as garbage). Covers 22 of
+    the reference checkout's 28 real financial PDFs: 11 literal-show
+    files, 9 Canon-scanned filings whose OCR layer is render-mode-3
+    hex shows under simple fonts, and 2 whose ObjStm-packed composite
+    fonts carry ToUnicode CMaps; the remaining 6 carry ONLY vector
+    path operators (text drawn as outlines — nothing for any
+    extractor) and decline (census pinned by tests/test_round5.py). Anything outside raises
     NotImplementedError and the caller degrades to the single-page
     fallback, then the stub. No positioning model: text order is
     stream order, which is what substring-match relevance
@@ -267,24 +371,87 @@ def _pdf_text_paged(data: bytes) -> str:
     if not page_bodies:
         raise NotImplementedError("empty page tree")
     # hex shows are character codes only under simple single-byte
-    # fonts; with any composite font in the document they are glyph
-    # ids, so hex decoding is disabled wholesale (per-font resource
-    # resolution is beyond the stdlib envelope). The guard scans the
-    # MERGED object bodies, not the raw bytes — a /Type0 font dict can
-    # live inside a Flate-compressed ObjStm where a raw scan would
-    # miss it
+    # fonts; under a composite /Type0 font they are 2-byte glyph ids.
+    # Per-page font resources are resolved below so each show decodes
+    # by ITS font: simple -> latin-1, Type0 WITH a ToUnicode CMap ->
+    # CID-mapped text, Type0 without one -> skipped. The document-wide
+    # flag survives only as the fallback for shows whose font cannot
+    # be resolved (no Tf seen yet, or an unresolvable resource name) —
+    # it scans the MERGED object bodies, not the raw bytes, because a
+    # /Type0 font dict can live inside a Flate-compressed ObjStm
     decode_hex = not any(
         _re.search(rb"/Type0\b|/Identity-H\b", body) for body in objs.values()
     )
+
+    def obj_stream(body: bytes) -> bytes | None:
+        sm2 = _re.search(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", body, _re.DOTALL)
+        if sm2 is None:
+            return None
+        meta2, stream2 = sm2.group(1), sm2.group(2)
+        if b"/FlateDecode" in meta2:
+            try:
+                return zlib.decompress(stream2)
+            except zlib.error:
+                return None
+        if b"/Filter" in meta2:
+            return None
+        return stream2
+
+    _decoder_cache: dict[int, object] = {}
+
+    def font_decoder(num: int) -> object:
+        """'simple' | ToUnicode CMap dict | None (undecodable Type0)."""
+        if num not in _decoder_cache:
+            fb = objs.get(num, b"")
+            dec: object = "simple"
+            if _re.search(rb"/Type0\b|/Identity-H\b", fb):
+                dec = None
+                tum = _re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fb)
+                if tum is not None:
+                    cstream = obj_stream(objs.get(int(tum.group(1)), b""))
+                    cmap = _pdf_parse_tounicode(cstream) if cstream else {}
+                    if cmap:
+                        dec = cmap
+            _decoder_cache[num] = dec
+        return _decoder_cache[num]
+
+    def page_fonts(body: bytes, depth: int = 0) -> dict[bytes, object]:
+        """Resource name -> decoder for one page: /Font inline dict,
+        /Font as an indirect dict, or via an indirect /Resources.
+        Unresolvable shapes return {} — shows then fall back to the
+        document-wide flag (never garbage)."""
+        if depth > 4:
+            return {}
+        fm = _re.search(rb"/Font\s*<<(.*?)>>", body, _re.DOTALL)
+        if fm is None:
+            fr = _re.search(rb"/Font\s+(\d+)\s+0\s+R", body)
+            if fr is not None:
+                fm_body = objs.get(int(fr.group(1)), b"")
+                return {
+                    name: font_decoder(int(num))
+                    for name, num in _re.findall(rb"/([\w.]+)\s+(\d+)\s+0\s+R", fm_body)
+                }
+            rm2 = _re.search(rb"/Resources\s+(\d+)\s+0\s+R", body)
+            if rm2 is not None:
+                return page_fonts(objs.get(int(rm2.group(1)), b""), depth + 1)
+            return {}
+        return {
+            name: font_decoder(int(num))
+            for name, num in _re.findall(rb"/([\w.]+)\s+(\d+)\s+0\s+R", fm.group(1))
+        }
+
     pages, any_text = [], False
     for i, body in enumerate(page_bodies, start=1):
         cm = _re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)", body)
         texts: list[str] = []
+        fonts = page_fonts(body)
+        cur: object = "unset"  # text font resets at each page's start
         if cm is not None:
             for rm in _re.finditer(rb"(\d+)\s+0\s+R", cm.group(1)):
-                texts.extend(
-                    _pdf_stream_texts(objs.get(int(rm.group(1)), b""), decode_hex)
+                part, cur = _pdf_stream_texts(
+                    objs.get(int(rm.group(1)), b""), decode_hex, fonts, cur
                 )
+                texts.extend(part)
         any_text = any_text or bool(texts)
         pages.append(f"--- Page {i} ---\n" + "\n".join(texts))
     if not any_text:

@@ -133,3 +133,59 @@ def test_upsert_points_beyond_prune_cap(spark, tmp_path):
     assert ("s9", "m9", 7, "new") in a and ("s1", "m1", 0, "new") in a
     assert ("s1", "m1", 0, "old_s1_m1_0") not in a
     assert len(a) == 18 + 1  # 18 base rows, 3 replaced in place, 1 inserted
+
+
+def test_pdf_tounicode_cmap_codecs():
+    """The ToUnicode CMap parser handles bfchar pairs, bfrange with an
+    incrementing base, bfrange with an explicit dst array, and
+    multi-unit (ligature) destinations; CID decoding maps 2-byte codes
+    and drops unmapped ones."""
+    from rag_project_with_embeddings_and_vector_database_spark.sources.documents import (
+        _pdf_cids_decode,
+        _pdf_parse_tounicode,
+    )
+
+    cmap = _pdf_parse_tounicode(
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0003> <0020> <0010> <00660066> endbfchar\n"
+        b"1 beginbfrange <0041> <0043> <0061> endbfrange\n"
+        b"1 beginbfrange <0050> <0051> [<0058> <0059>] endbfrange\n"
+    )
+    assert cmap[0x0003] == " "
+    assert cmap[0x0010] == "ff"  # multi-unit dst (ligature)
+    assert cmap[0x0041] == "a" and cmap[0x0042] == "b" and cmap[0x0043] == "c"
+    assert cmap[0x0050] == "X" and cmap[0x0051] == "Y"
+    assert _pdf_cids_decode(b"\x00\x41\x00\x03\x00\x42\x99\x99", cmap) == "a b"
+
+
+def test_pdf_per_font_hex_decoding():
+    """Tf operators switch the active decoder mid-stream: hex shows
+    decode latin-1 under a simple font, through the CMap under a
+    composite font with ToUnicode, and are SKIPPED under a composite
+    font without one — all in a single content stream."""
+    from rag_project_with_embeddings_and_vector_database_spark.sources.documents import (
+        _pdf_stream_texts,
+    )
+
+    fonts = {
+        b"F1": "simple",
+        b"C1": {0x0048: "H", 0x0069: "i"},  # toy CMap
+        b"C2": None,  # Type0 without ToUnicode: undecodable
+    }
+    stream = (
+        b"<< /Length 99 >>\nstream\n"
+        b"BT /F1 10 Tf <4869> Tj /C1 10 Tf <00480069> Tj "
+        b"/C2 10 Tf <00480069> Tj ET\n"
+        b"endstream"
+    )
+    texts, cur = _pdf_stream_texts(stream, decode_hex=False, fonts=fonts)
+    assert texts == ["Hi", "Hi"]  # C2's show skipped, not garbled
+    assert cur is None  # font state carries out for the next segment
+    # state threads across segments of the same page
+    texts2, _ = _pdf_stream_texts(
+        b"<< >>\nstream\nBT <00480069> Tj ET\nendstream",
+        decode_hex=False,
+        fonts=fonts,
+        cur={0x0048: "H", 0x0069: "i"},
+    )
+    assert texts2 == ["Hi"]

@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_full",
     "dedup_incremental",
     "simhash_incremental",
+    "dedup_embedding_incremental",
     "ngram_jaccard",
     "doc_fingerprint",
     "lang_id",

@@ -4229,6 +4229,52 @@ def simhash_incremental(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_embedding_incremental",
+    """
+    WITH uni AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 50 = 0
+      UNION ALL
+      SELECT vec_id + 2000000 AS vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 100 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v), 6) AS cos_sim
+    FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+    WHERE (a.vec_id >= 1000000 OR b.vec_id >= 1000000)
+      AND round(list_dot_product(a.v, b.v), 6) >= 0.9
+    """,
+)
+def dedup_embedding_incremental(spark, sf_dir):
+    """INCREMENTAL embedding-cosine near-dup (operators/dedup_index.py
+    embedding_delta) — the third member of the incremental family
+    alongside dedup_incremental (minhash) and simhash_incremental: a
+    batch of newly-arrived embeddings (here: re-uploads of every 50th
+    corpus vector under fresh ids, plus a second overlapping re-upload
+    set so delta-vs-delta pairs exist too) is scored against the
+    STORED corpus embedding table via one broadcast-delta linear scan
+    — the corpus is never paired against itself — plus the delta's
+    tiny self-join. The oracle replays the contract by definition: the
+    one-shot all-pairs generator over corpus-union-delta filtered to
+    delta-touching pairs; a hash match proves the incremental path
+    equals the full recompute at one-corpus-scan cost. Vectors are
+    pre-normalized, so dot == cosine."""
+    e = _t(spark, sf_dir, "embeddings")
+    delta = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        .unionByName(
+            e.filter(F.col("vec_id") % 100 == 0).select(
+                (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    return DI.embedding_delta(e, delta, threshold=0.9, normalized=True)
+
+
 @register("ann_ivf_indexed_int8")  # rows-only: seeded KMeans bucketing not SQL-expressible
 def ann_ivf_indexed_int8(spark, sf_dir):
     """The stored-int8 IVF variant: build_ivf_index(store_int8=True)
@@ -4399,6 +4445,7 @@ _PRIORITY = [
     # stored-int8 IVF index pinned bit-identical to on-the-fly
     # quantization
     "simhash_incremental", "stream_dedup_gated", "ann_ivf_indexed_int8",
+    "dedup_embedding_incremental",
     # (b) closure of operators/dedup_index.py + the stored-index
     # harness queries edited for the temp-path fix
     "dedup_incremental", "bm25_indexed", "ann_ivf_indexed",
@@ -4432,7 +4479,6 @@ _PRIORITY = [
     # filter_nonempty (r2, yielded its r5 slot), the §2-table-flagged
     # r3 sinks, filter_ext (r2)
     "filter_nonempty", "sink_csv", "sink_json", "filter_ext",
-    "project_payload",
 ]
 # r7 rotation debt (displaced from the r6 window this round; all
 # r5-green with code untouched in r6, rotate back in r7 unless code
@@ -4444,7 +4490,8 @@ _PRIORITY = [
 # window_running_sum, window_lag_delta, window_range_frame,
 # window_value_functions, window_suite, grouped_mad, salted_join,
 # asof_join, sessionize, sessionize_stateful. Older long-tail still
-# due when slots free up: the C0/C1/E1/E5/E6
+# due when slots free up: project_payload (r2 — gave its spare slot
+# to dedup_embedding_incremental), the C0/C1/E1/E5/E6
 # function primitives (r2), the A5-A7/O1-O3 report family (r2),
 # metric_all (r3), embed_fanout (r3), lang_id/quality_score (r2),
 # hash_split/stratified_sample/pii_scrub (r3), tpch_q1 (r4).

@@ -242,3 +242,72 @@ def simhash_delta(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def embedding_delta(
+    corpus: DataFrame,
+    delta: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    normalized: bool = False,
+    max_delta_docs: int = 10_000,
+    gate: str = "eager",
+) -> DataFrame:
+    """Incremental embedding-cosine near-dup detection — the third
+    member of the incremental family (minhash ``dedup_delta``, SimHash
+    ``simhash_delta``, and this): a NEW batch of embeddings is scored
+    against the stored corpus embedding table without ever pairing
+    corpus-vs-corpus. Returns exactly the pairs of the one-shot
+    ``embedding_neardup_pairs`` over corpus-union-delta that TOUCH at
+    least one delta id, as (id_a, id_b, cos_sim) with id_a < id_b and
+    cos_sim rounded to 6 then threshold-filtered.
+
+    Cost shape at scale: the delta is BROADCAST, so new-vs-corpus is
+    ONE linear scan of the stored embedding table per batch — embedding
+    column + id only, a few GB per billion rows at int8 — and
+    new-vs-new is the delta's tiny self-join. (To prune the corpus
+    scan further, probe a stored IVF index's matched buckets first —
+    operators/retrieval.knn_ivf_indexed — trading exact recall for
+    bucket recall; this operator is the exact-recall contract.)
+    ``normalized=True`` skips the norm division (dot == cosine on unit
+    vectors). The broadcast side is gated exactly like
+    ``embedding_neardup_pairs``: an eager early-exit count raises past
+    ``max_delta_docs`` (``gate='off'`` for callers composing bounded
+    plans). Same-id pairs are excluded (an id present on both sides is
+    the same document — an update, not a duplicate)."""
+    from ..functions import vectors as V
+
+    if gate not in ("eager", "off"):
+        raise ValueError(f"gate must be 'eager' or 'off', got {gate!r}")
+    a = delta.select(F.col(id_col).alias("_did"), F.col(vec_col).alias("v_a"))
+    if gate == "eager" and a.limit(max_delta_docs + 1).count() > max_delta_docs:
+        raise ValueError(
+            f"embedding_delta delta side exceeds max_delta_docs="
+            f"{max_delta_docs}; it is broadcast into a theta join against "
+            f"the corpus scan, so an unbounded delta is O(n^2). Batch the "
+            f"delta, raise max_delta_docs explicitly, or use "
+            f"minhash/simhash blocking for bulk backfills."
+        )
+    sim_ab = V.dot("v_a", "v_b") if normalized else V.cosine("v_a", "v_b")
+    b = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("v_b"))
+    new_old = (
+        b.join(F.broadcast(a), F.col("_did") != F.col("_cid"))
+        .select(
+            F.least("_did", "_cid").alias("id_a"),
+            F.greatest("_did", "_cid").alias("id_b"),
+            F.round(sim_ab, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    b2 = delta.select(F.col(id_col).alias("_bid"), F.col(vec_col).alias("v_b"))
+    new_new = (
+        b2.join(F.broadcast(a), F.col("_did") < F.col("_bid"))
+        .select(
+            F.col("_did").alias("id_a"),
+            F.col("_bid").alias("id_b"),
+            F.round(sim_ab, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return new_old.unionByName(new_new).distinct()

@@ -148,3 +148,13 @@ def test_sink_partitioned_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan and "(bucket" in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "bucket" not in read_schema
+
+
+def test_embedding_delta_broadcasts_delta_never_shuffles_corpus(spark, sf_dir):
+    # the incremental embedding probe must plan as a broadcast of the
+    # (small) delta against one scan of the corpus table — never a
+    # shuffle of the corpus, never a cartesian product
+    plan = _plan(spark, "dedup_embedding_incremental", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -189,3 +189,60 @@ def test_pdf_per_font_hex_decoding():
         cur={0x0048: "H", 0x0069: "i"},
     )
     assert texts2 == ["Hi"]
+
+
+def test_embedding_delta_matches_one_shot_over_union(spark, sf_dir):
+    """The embedding incremental holds the same contract as the minhash
+    and SimHash ones: embedding_delta against the stored corpus table
+    equals the one-shot embedding_neardup_pairs over corpus-union-delta
+    filtered to delta-touching pairs — while the corpus is never paired
+    against itself (one broadcast-delta scan)."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup as DD,
+        dedup_index as DI,
+    )
+
+    e = H._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    delta = (
+        e.filter(SF.col("vec_id") % 50 == 0)
+        .select((SF.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        .unionByName(
+            e.filter(SF.col("vec_id") % 100 == 0).select(
+                (SF.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    full = DD.embedding_neardup_pairs(
+        e.unionByName(delta), threshold=0.9, normalized=True, gate="off"
+    )
+    expected = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in full.filter(
+            (SF.col("id_a") >= 1000000) | (SF.col("id_b") >= 1000000)
+        ).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in DI.embedding_delta(e, delta, threshold=0.9, normalized=True).collect()
+    )
+    assert got == expected
+    assert any(a < 1000000 <= b for a, b, _ in got)   # new-vs-corpus pairs
+    assert any(a >= 1000000 and b >= 2000000 for a, b, _ in got)  # new-vs-new pairs
+
+
+def test_embedding_delta_gate_raises_on_unbounded_delta(spark):
+    """The broadcast-delta gate: past max_delta_docs the call raises
+    instead of silently planning an O(n^2) broadcast join."""
+    import pytest as _pytest
+
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup_index as DI,
+    )
+
+    big = spark.range(50).select(
+        SF.col("id").alias("vec_id"),
+        SF.array(SF.lit(1.0), SF.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="max_delta_docs"):
+        DI.embedding_delta(big, big, max_delta_docs=10)

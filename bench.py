@@ -43,6 +43,7 @@ HEADLINE = [
     "topk_retrieval_quantized",
     "bm25_topk",
     "bm25_indexed",
+    "bm25_indexed_incremental",
     "ann_ivf_indexed",
     "hybrid_rrf",
     "agg_config",

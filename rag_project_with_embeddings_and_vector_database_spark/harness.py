@@ -1566,6 +1566,67 @@ def bm25_indexed(spark, sf_dir):
     )
 
 
+@register(
+    "bm25_indexed_incremental",
+    f"WITH {_bm25_ctes()} SELECT query_id, doc_id, score, rank FROM lexical",
+)
+def bm25_indexed_incremental(spark, sf_dir):
+    """INDEX MAINTENANCE for the stored BM25 index (operators/
+    ranking.py text_index_upsert): the index is built over only PART of
+    the corpus (doc_id >= 50), then the remaining documents arrive as
+    a new batch and are MERGED in — new postings appended (disjoint
+    doc ids cannot collide), dfreq merged by per-term addition, stats
+    recombined from exact integer token totals — without re-tokenizing
+    a single indexed document. The merged index is written through the
+    same term-bucketed parquet layout as bm25_indexed and queried with
+    the same pruned probe. The oracle is the FULL-corpus CTE chain
+    (identical to bm25_indexed's): a hash match proves
+    incrementally-maintained index == full rebuild, end to end through
+    the parquet round-trip."""
+    import os
+    import tempfile
+
+    docs = _par(_t(spark, sf_dir, "documents"))
+    old = docs.filter(F.col("doc_id") >= 50)
+    new = docs.filter(F.col("doc_id") < 50)
+    postings, dfreq, stats = RK.text_index_upsert(*RK.build_text_index(old), new)
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"spark_rag_bm25inc_idx_p{os.getpid()}"
+    )
+
+    def bucket_of(c):
+        return F.pmod(F.hash(c), F.lit(64))
+
+    postings.withColumn("term_bucket", bucket_of(F.col("term"))).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(f"{tmp}/postings")
+    dfreq.write.mode("overwrite").parquet(f"{tmp}/dfreq")
+    stats.write.mode("overwrite").parquet(f"{tmp}/stats")
+    qdf = _bm25_qdf(spark)
+    qbuckets = sorted(
+        r.b
+        for r in qdf.select(
+            F.explode(
+                F.array_distinct(F.transform(TX.whitespace_tokens("query"), F.lower))
+            ).alias("term")
+        )
+        .select(bucket_of(F.col("term")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    return RK.bm25_query_indexed(
+        spark.read.parquet(f"{tmp}/postings")
+        .filter(F.col("term_bucket").isin(qbuckets))
+        .drop("term_bucket"),
+        spark.read.parquet(f"{tmp}/dfreq"),
+        spark.read.parquet(f"{tmp}/stats"),
+        qdf,
+        k=10,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 @register("ann_ivf_indexed")  # rows-only: seeded KMeans bucketing not SQL-expressible
 def ann_ivf_indexed(spark, sf_dir):
     """The PRODUCTION IVF shape: build_ivf_index clusters the corpus
@@ -4445,7 +4506,7 @@ _PRIORITY = [
     # stored-int8 IVF index pinned bit-identical to on-the-fly
     # quantization
     "simhash_incremental", "stream_dedup_gated", "ann_ivf_indexed_int8",
-    "dedup_embedding_incremental",
+    "dedup_embedding_incremental", "bm25_indexed_incremental",
     # (b) closure of operators/dedup_index.py + the stored-index
     # harness queries edited for the temp-path fix
     "dedup_incremental", "bm25_indexed", "ann_ivf_indexed",
@@ -4478,7 +4539,7 @@ _PRIORITY = [
     # (c) oldest-evidence debt, as far as the slots reach:
     # filter_nonempty (r2, yielded its r5 slot), the §2-table-flagged
     # r3 sinks, filter_ext (r2)
-    "filter_nonempty", "sink_csv", "sink_json", "filter_ext",
+    "filter_nonempty", "sink_csv", "sink_json",
 ]
 # r7 rotation debt (displaced from the r6 window this round; all
 # r5-green with code untouched in r6, rotate back in r7 unless code
@@ -4489,9 +4550,16 @@ _PRIORITY = [
 # events_percentiles, pivot_events, events_hourly, events_json,
 # window_running_sum, window_lag_delta, window_range_frame,
 # window_value_functions, window_suite, grouped_mad, salted_join,
-# asof_join, sessionize, sessionize_stateful. Older long-tail still
-# due when slots free up: project_payload (r2 — gave its spare slot
-# to dedup_embedding_incremental), the C0/C1/E1/E5/E6
+# asof_join, sessionize, sessionize_stateful. Candidates for NEW r7
+# slots (pytest-verified this round, not yet driver-registered):
+# ivf_index_append (operators/retrieval.py — assign new vectors to
+# stored centroids without re-clustering, pinned bucket-identical to
+# KMeansModel.transform) and compact_signature_store
+# (operators/dedup_index.py — the maintenance rewrite of the
+# streaming gate's append-mode signature store). Older long-tail
+# still due when slots free up: filter_ext and project_payload (r2 —
+# gave their spare slots to dedup_embedding_incremental and
+# bm25_indexed_incremental), the C0/C1/E1/E5/E6
 # function primitives (r2), the A5-A7/O1-O3 report family (r2),
 # metric_all (r3), embed_fanout (r3), lang_id/quality_score (r2),
 # hash_split/stratified_sample/pii_scrub (r3), tpch_q1 (r4).

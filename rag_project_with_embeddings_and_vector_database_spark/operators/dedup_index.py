@@ -244,6 +244,28 @@ def simhash_delta(
     )
 
 
+def compact_signature_store(
+    spark,
+    path: str,
+    dedup_cols: tuple[str, ...] = ("doc_id", "band"),
+    partition_col: str = "band",
+) -> int:
+    """Compact an append-mode signature store (the accumulation target
+    of streaming/ingest.dedup_gated_ingest): collapse replay-duplicated
+    rows on ``dedup_cols`` and rewrite the store partitioned by
+    ``partition_col`` so subsequent probe joins prune. Run it on the
+    maintenance cadence (e.g. nightly) — between compactions the
+    readers already dedup at read time, so compaction is purely a
+    size/pruning optimization, never a correctness event. Returns the
+    compacted row count. At 100 TB this is the OPTIMIZE/rewrite step
+    of a transactional table; here it is read -> dropDuplicates ->
+    localCheckpoint (cutting the read-path lineage so the same path
+    can be overwritten) -> partitioned rewrite."""
+    df = spark.read.parquet(path).dropDuplicates(list(dedup_cols)).localCheckpoint()
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    return df.count()
+
+
 def embedding_delta(
     corpus: DataFrame,
     delta: DataFrame,

@@ -125,7 +125,12 @@ def build_text_index(
 
       * postings: (term, id, tf, dl) — the inverted index,
       * dfreq:    (term, df)         — per-term document frequency,
-      * stats:    1 row (avgdl, n_docs) over docs with >= 1 token.
+      * stats:    1 row (avgdl, n_docs, sum_dl) over docs with >= 1
+        token. ``sum_dl`` is the EXACT integer token total — carried so
+        ``text_index_upsert`` can merge stats from disjoint doc sets
+        bit-reproducibly (avgdl recombined from rounded averages would
+        drift by ulps; recombined from exact integer sums it is the
+        same division the full rebuild performs).
 
     At 100 TB this runs once per corpus snapshot and the three frames
     are WRITTEN OUT (partition/bucket postings by term so the query
@@ -149,9 +154,58 @@ def build_text_index(
     stats = (
         base.select(F.size("_toks").cast("bigint").alias("_dl"))
         .filter(F.col("_dl") > 0)
-        .agg(F.avg("_dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs"))
+        .agg(
+            F.avg("_dl").alias("avgdl"),
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.sum("_dl").alias("sum_dl"),
+        )
     )
     return postings, dfreq, stats
+
+
+def text_index_upsert(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """INDEX MAINTENANCE for the stored BM25 index: merge a batch of
+    NEW documents into ``(postings, dfreq, stats)`` without ever
+    re-tokenizing the indexed corpus — the incremental twin of
+    ``build_text_index``, completing the maintenance story the dedup
+    family already has (dedup_delta / simhash_delta / embedding_delta).
+    New-doc ids must be disjoint from indexed ids (an id on both sides
+    would double-count; a document UPDATE is delete + re-add at the
+    table layer, exactly as in a MERGE-based deployment).
+
+    Merge shape at 100 TB: the new postings APPEND into the
+    term-bucketed postings table (no read of existing postings at all
+    — disjoint doc ids cannot collide on (term, id)); dfreq merges by
+    per-term addition (df is additive over disjoint doc sets — a tiny
+    MERGE INTO keyed by term); stats recombines from the EXACT integer
+    token totals (sum_dl, n_docs), so the merged avgdl is the same
+    float64 division a full rebuild over corpus-union-delta performs —
+    the merged index is value-IDENTICAL to rebuilding from scratch
+    (pinned by tests/test_round6.py and the bm25_indexed_incremental
+    harness oracle, which scores the merged index against the
+    full-corpus CTE chain)."""
+    p_new, d_new, s_new = build_text_index(new_docs, text_col, id_col)
+    merged_postings = postings.unionByName(p_new)
+    merged_dfreq = (
+        dfreq.unionByName(d_new).groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    merged_stats = (
+        stats.unionByName(s_new)
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+        .select(
+            (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+            "n_docs",
+            "sum_dl",
+        )
+    )
+    return merged_postings, merged_dfreq, merged_stats
 
 
 def bm25_query_indexed(

@@ -247,6 +247,56 @@ def build_ivf_index(
     return assigned, cdf
 
 
+def ivf_index_append(
+    cdf: DataFrame,
+    new_corpus: DataFrame,
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    store_int8: bool = False,
+) -> DataFrame:
+    """INDEX MAINTENANCE for the stored IVF index: assign a batch of
+    NEW vectors to the EXISTING centroids — squared-euclidean argmin,
+    the same rule KMeansModel.transform applies, lowest bucket id on a
+    tie — and return rows shaped exactly like ``build_ivf_index``'s
+    assignments, ready to APPEND into the bucket-partitioned index
+    (``.write.mode('append').partitionBy('bucket')``). Re-clustering
+    stays an offline refresh job; daily arrivals pay one broadcast of
+    the tiny centroid frame per batch, never a KMeans fit. Pinned by
+    tests/test_round6.py: appending the corpus's own vectors
+    reproduces the stored assignments bucket-for-bucket.
+
+    Drift caveat (documented contract, not hidden): appended vectors
+    are assigned to frozen centroids, so after heavy ingest the
+    partition of space degrades vs a re-fit — the production cadence
+    is append per batch, re-cluster per snapshot. ``store_int8``
+    mirrors build_ivf_index's stored-quantization sidecar."""
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        new_corpus.join(F.broadcast(cdf), F.lit(True))
+        .withColumn("_nd2", -dist2)  # topk ranks descending: argmin d2 == argmax -d2
+    )
+    best = topk(scored, [corpus_id], 1, score_col="_nd2", tiebreak_col="bucket", rank_name="_ar")
+    assigned = best.select(corpus_id, vec_col, "bucket")
+    if store_int8:
+        amax = F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        )
+        assigned = assigned.withColumn("amax", amax).withColumn(
+            "q8", V.quantize_int8(vec_col).cast("array<tinyint>")
+        )
+    return assigned
+
+
 def knn_ivf_indexed(
     assigned: DataFrame,
     cdf: DataFrame,

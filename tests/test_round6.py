@@ -246,3 +246,83 @@ def test_embedding_delta_gate_raises_on_unbounded_delta(spark):
     )
     with _pytest.raises(ValueError, match="max_delta_docs"):
         DI.embedding_delta(big, big, max_delta_docs=10)
+
+
+def test_text_index_upsert_equals_full_rebuild(spark, sf_dir):
+    """Merging a new-doc batch into a stored BM25 index must produce
+    EXACTLY the index a full rebuild over corpus-union-batch produces:
+    postings and dfreq row-identical, stats bit-identical (avgdl is
+    recombined from exact integer token totals, not from rounded
+    averages)."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        ranking as RK,
+    )
+
+    docs = H._t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(SF.col("doc_id") >= 50)
+    new = docs.filter(SF.col("doc_id") < 50)
+    mp, md, ms = RK.text_index_upsert(*RK.build_text_index(old), new)
+    fp, fd, fs = RK.build_text_index(docs)
+    assert sorted(map(tuple, mp.collect())) == sorted(map(tuple, fp.collect()))
+    assert sorted(map(tuple, md.collect())) == sorted(map(tuple, fd.collect()))
+    m_row, f_row = ms.collect()[0], fs.collect()[0]
+    assert (m_row.n_docs, m_row.sum_dl) == (f_row.n_docs, f_row.sum_dl)
+    assert m_row.avgdl == f_row.avgdl  # bit-identical, not approximately
+
+
+def test_ivf_index_append_matches_stored_assignments(spark, sf_dir):
+    """Assigning vectors to STORED centroids (ivf_index_append) must
+    reproduce KMeansModel.transform's assignment rule: appending the
+    corpus's own vectors yields the stored bucket for every id."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+
+    e = H._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, cdf = R.build_ivf_index(e, num_centroids=16, corpus_id="vec_id", seed=42)
+    stored = {r.vec_id: r.bucket for r in assigned.collect()}
+    appended = {
+        r.vec_id: r.bucket
+        for r in R.ivf_index_append(cdf, e, corpus_id="vec_id").collect()
+    }
+    assert appended == stored
+    # int8 sidecar mirrors build_ivf_index's stored form
+    with_q8 = R.ivf_index_append(cdf, e.limit(5), corpus_id="vec_id", store_int8=True)
+    assert "q8" in with_q8.columns and "amax" in with_q8.columns
+
+
+def test_compact_signature_store_roundtrip(spark, sf_dir, tmp_path):
+    """Compaction collapses replay-appended duplicate rows, rewrites
+    the store partitioned for probe pruning, and changes NOTHING about
+    probe results (readers already dedup at read time)."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup_index as DI,
+    )
+
+    corpus = H._t(spark, sf_dir, "documents").filter("doc_id < 40").select("doc_id", "text")
+    idx = DI.build_dedup_index(corpus)
+    path = str(tmp_path / "sigstore")
+    idx.write.mode("append").parquet(path)
+    idx.write.mode("append").parquet(path)  # simulated replay append
+    raw_count = spark.read.parquet(path).count()
+    delta = corpus.filter("doc_id < 5").select(
+        (SF.col("doc_id") + 1000).alias("doc_id"),
+        SF.concat(SF.col("text"), SF.lit(" rev")).alias("text"),
+    )
+    before = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in DI.dedup_delta(
+            spark.read.parquet(path).dropDuplicates(["doc_id", "band"]), delta
+        ).collect()
+    )
+    n = DI.compact_signature_store(spark, path)
+    assert n == raw_count // 2  # duplicates collapsed
+    assert (tmp_path / "sigstore" / "band=0").exists()  # partitioned rewrite
+    after = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in DI.dedup_delta(spark.read.parquet(path), delta).collect()
+    )
+    assert after == before and before

@@ -3329,6 +3329,39 @@ def asof_join(spark, sf_dir):
 
 
 @register(
+    "range_join_events",
+    """
+    WITH bands AS (
+      SELECT i::INT AS band_id, i * 40.0 AS lo, i * 40.0 + 60.0 AS hi
+      FROM range(0, 12) t(i)
+    )
+    SELECT e.event_id, b.band_id, e.value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def range_join_events(spark, sf_dir):
+    """Point-in-interval range join (operators/joins.py range_join):
+    every event value lands in each OVERLAPPING 60-wide band whose
+    [lo, hi) contains it — points in an overlap region match two
+    bands, so the oracle checks genuine interval semantics, not a
+    disguised equi-join. The tiny band table is broadcast, so the plan
+    is one scan of events against a broadcast non-equi condition —
+    events never shuffle. For heavily overlapping interval tables at
+    scale the documented upgrade is gridding both sides to a common
+    bucket key (turns the theta join into an equi-join); at this
+    cardinality the broadcast form IS the right plan."""
+    bands = spark.range(12).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 40.0).alias("lo"),
+        (F.col("id") * 40.0 + 60.0).alias("hi"),
+    )
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    return J.range_join(ev, F.broadcast(bands), None, "value", "lo", "hi").select(
+        "event_id", "band_id", "value"
+    )
+
+
+@register(
     "string_funcs",
     """
     SELECT doc_id,
@@ -4539,7 +4572,7 @@ _PRIORITY = [
     # (c) oldest-evidence debt, as far as the slots reach:
     # filter_nonempty (r2, yielded its r5 slot), the §2-table-flagged
     # r3 sinks, filter_ext (r2)
-    "filter_nonempty", "sink_csv", "sink_json",
+    "filter_nonempty", "sink_csv", "range_join_events",
 ]
 # r7 rotation debt (displaced from the r6 window this round; all
 # r5-green with code untouched in r6, rotate back in r7 unless code
@@ -4557,9 +4590,12 @@ _PRIORITY = [
 # KMeansModel.transform) and compact_signature_store
 # (operators/dedup_index.py — the maintenance rewrite of the
 # streaming gate's append-mode signature store). Older long-tail
-# still due when slots free up: filter_ext and project_payload (r2 —
-# gave their spare slots to dedup_embedding_incremental and
-# bm25_indexed_incremental), the C0/C1/E1/E5/E6
+# still due when slots free up: filter_ext and project_payload (r2)
+# and sink_json (r3) — their spare slots went to
+# dedup_embedding_incremental, bm25_indexed_incremental, and
+# range_join_events (the last §2.9 operator that had never had a
+# driver row; sink_json shares the _sink machinery sink_csv re-proves
+# this round) — plus the C0/C1/E1/E5/E6
 # function primitives (r2), the A5-A7/O1-O3 report family (r2),
 # metric_all (r3), embed_fanout (r3), lang_id/quality_score (r2),
 # hash_split/stratified_sample/pii_scrub (r3), tpch_q1 (r4).

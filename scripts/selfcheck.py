@@ -73,10 +73,10 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_synthetic_docs": {"chunk_fanout", "embed_batch", "embed_values", "pipeline_e2e"},
     "_events": {
         "asof_join", "events_hourly", "events_json", "events_percentiles",
-        "grouped_mad", "pivot_events", "salted_join", "sessionize",
-        "sessionize_stateful", "stream_dedup", "stream_windowed_counts",
-        "window_lag_delta", "window_range_frame", "window_running_sum",
-        "window_suite", "window_value_functions",
+        "grouped_mad", "pivot_events", "range_join_events", "salted_join",
+        "sessionize", "sessionize_stateful", "stream_dedup",
+        "stream_windowed_counts", "window_lag_delta", "window_range_frame",
+        "window_running_sum", "window_suite", "window_value_functions",
     },
 }
 

@@ -160,35 +160,68 @@ def stored_index_query_benches(spark, sf_dir):
             q, 10, nprobe=12, corpus_id="vec_id",
         )
 
-    # minhash dedup index: delta probe only
-    DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).write.mode(
-        "overwrite"
-    ).partitionBy("band").parquet(f"{base}/dedupidx")
+    import functools
+    import operator
+
+    # minhash dedup index: delta probe only, over the bucket-partitioned
+    # layout (pmod(band_hash, 64) as a partition key) so the probe reads
+    # ONLY matched directories — the same layout the harness query uses
+    DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).withColumn(
+        "sig_bucket", F.pmod("band_hash", F.lit(64))
+    ).write.mode("overwrite").partitionBy("band", "sig_bucket").parquet(
+        f"{base}/dedupidx"
+    )
 
     def dedup_query():
         delta = docs.filter(F.col("doc_id") < 25).select(
             (F.col("doc_id") + 1000000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" incremental delta revision")).alias("text"),
         )
-        return DI.dedup_delta(
-            spark.read.parquet(f"{base}/dedupidx"), delta,
-            num_perm=16, num_bands=4, seed=42,
+        dbuckets = sorted(
+            {
+                (r.band, r.sb)
+                for r in DI.build_dedup_index(delta, num_perm=16, num_bands=4, seed=42)
+                .select("band", F.pmod("band_hash", F.lit(64)).alias("sb"))
+                .distinct()
+                .collect()
+            }
         )
+        pruned = spark.read.parquet(f"{base}/dedupidx").filter(
+            functools.reduce(
+                operator.or_,
+                [(F.col("band") == b) & (F.col("sig_bucket") == sb) for b, sb in dbuckets],
+            )
+        ).drop("sig_bucket")
+        return DI.dedup_delta(pruned, delta, num_perm=16, num_bands=4, seed=42)
 
-    # simhash blocked index: delta probe only
-    DI.build_simhash_index(docs, bits=32, num_blocks=4).write.mode(
-        "overwrite"
-    ).partitionBy("block_id").parquet(f"{base}/simhashidx")
+    # simhash blocked index: delta probe only, same pruned layout
+    DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
+        "blk_bucket", F.pmod("block_key", F.lit(64))
+    ).write.mode("overwrite").partitionBy("block_id", "blk_bucket").parquet(
+        f"{base}/simhashidx"
+    )
 
     def simhash_query():
         delta = docs.filter(F.col("doc_id") < 25).select(
             (F.col("doc_id") + 1000000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" rev")).alias("text"),
         )
-        return DI.simhash_delta(
-            spark.read.parquet(f"{base}/simhashidx"), delta,
-            bits=32, num_blocks=4, max_hamming=3,
+        dbuckets = sorted(
+            {
+                (r.block_id, r.bb)
+                for r in DI.build_simhash_index(delta, bits=32, num_blocks=4)
+                .select("block_id", F.pmod("block_key", F.lit(64)).alias("bb"))
+                .distinct()
+                .collect()
+            }
         )
+        pruned = spark.read.parquet(f"{base}/simhashidx").filter(
+            functools.reduce(
+                operator.or_,
+                [(F.col("block_id") == b) & (F.col("blk_bucket") == bb) for b, bb in dbuckets],
+            )
+        ).drop("blk_bucket")
+        return DI.simhash_delta(pruned, delta, bits=32, num_blocks=4, max_hamming=3)
 
     return {
         "bm25_indexed_query": bm25_query,

@@ -4236,21 +4236,54 @@ def dedup_incremental(spark, sf_dir):
     import os
     import tempfile
 
+    import functools
+    import operator
+
     docs = _par(_t(spark, sf_dir, "documents"))
     # fixed per-process path + overwrite: no uuid-dir leak (ADVICE r5)
     tmp = os.path.join(
         tempfile.gettempdir(), f"spark_rag_dedup_idx_p{os.getpid()}"
     )
-    DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).write.mode(
-        "overwrite"
-    ).partitionBy("band").parquet(tmp)
+    # the stored layout carries a bounded hash bucket of band_hash (the
+    # bm25_indexed term_bucket pattern: raw band_hash is too
+    # high-cardinality to be a directory key, a 64-way bucket is not)
+    # so a delta probe becomes a REAL partition filter — only matched
+    # (band, sig_bucket) directories are opened, plan-guarded by
+    # tests/test_plans.py
+    DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).withColumn(
+        "sig_bucket", F.pmod("band_hash", F.lit(64))
+    ).write.mode("overwrite").partitionBy("band", "sig_bucket").parquet(tmp)
     delta = docs.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" incremental delta revision")).alias("text"),
     )
-    return DI.dedup_delta(
-        spark.read.parquet(tmp), delta, num_perm=16, num_bands=4, seed=42
+    # the delta's (band, sig_bucket) set is bounded driver planning
+    # metadata (<= |delta| x bands ints) — the partition predicate.
+    # Pruning cannot change the result: a (band, band_hash) bucket
+    # lives entirely inside one (band, sig_bucket) partition, so every
+    # bucket that can touch the delta is read in full (occupancy guard
+    # included) and unmatched buckets can produce no pairs.
+    dbuckets = sorted(
+        {
+            (r.band, r.sb)
+            for r in DI.build_dedup_index(
+                delta, num_perm=16, num_bands=4, seed=42
+            )
+            .select("band", F.pmod("band_hash", F.lit(64)).alias("sb"))
+            .distinct()
+            .collect()
+        }
     )
+    pruned = spark.read.parquet(tmp).filter(
+        functools.reduce(
+            operator.or_,
+            [
+                (F.col("band") == b) & (F.col("sig_bucket") == sb)
+                for b, sb in dbuckets
+            ],
+        )
+    ).drop("sig_bucket")
+    return DI.dedup_delta(pruned, delta, num_perm=16, num_bands=4, seed=42)
 
 
 def _simhash_incremental_sql(
@@ -4306,20 +4339,45 @@ def simhash_incremental(spark, sf_dir):
     import os
     import tempfile
 
+    import functools
+    import operator
+
     docs = _par(_t(spark, sf_dir, "documents"))
     # fixed per-process path + overwrite: no uuid-dir leak (ADVICE r5)
     tmp = os.path.join(
         tempfile.gettempdir(), f"spark_rag_simhash_idx_p{os.getpid()}"
     )
-    DI.build_simhash_index(docs, bits=32, num_blocks=4).write.mode(
-        "overwrite"
-    ).partitionBy("block_id").parquet(tmp)
+    # bounded hash bucket of block_key as a second partition key, so
+    # the delta probe prunes to matched (block_id, blk_bucket)
+    # directories — same layout pattern (and same why-it-cannot-change-
+    # the-result argument) as dedup_incremental; plan-guarded
+    DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
+        "blk_bucket", F.pmod("block_key", F.lit(64))
+    ).write.mode("overwrite").partitionBy("block_id", "blk_bucket").parquet(tmp)
     delta = docs.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" rev")).alias("text"),
     )
+    dbuckets = sorted(
+        {
+            (r.block_id, r.bb)
+            for r in DI.build_simhash_index(delta, bits=32, num_blocks=4)
+            .select("block_id", F.pmod("block_key", F.lit(64)).alias("bb"))
+            .distinct()
+            .collect()
+        }
+    )
+    pruned = spark.read.parquet(tmp).filter(
+        functools.reduce(
+            operator.or_,
+            [
+                (F.col("block_id") == b) & (F.col("blk_bucket") == bb)
+                for b, bb in dbuckets
+            ],
+        )
+    ).drop("blk_bucket")
     return DI.simhash_delta(
-        spark.read.parquet(tmp), delta, bits=32, num_blocks=4, max_hamming=3
+        pruned, delta, bits=32, num_blocks=4, max_hamming=3
     )
 
 

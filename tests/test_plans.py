@@ -158,3 +158,18 @@ def test_embedding_delta_broadcasts_delta_never_shuffles_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,bucket_col",
+    [("dedup_incremental", "sig_bucket"), ("simhash_incremental", "blk_bucket")],
+)
+def test_signature_index_probe_prunes_partitions(spark, sf_dir, name, bucket_col):
+    # the stored signature indexes carry a bounded hash bucket as a
+    # partition key (the bm25 term_bucket pattern); a delta probe must
+    # turn its bucket set into a PARTITION filter on the index scan —
+    # real directory pruning, not a post-scan row filter — and never
+    # degenerate to a cartesian product
+    plan = _plan(spark, name, sf_dir)
+    assert "PartitionFilters" in plan and bucket_col in plan
+    assert "CartesianProduct" not in plan

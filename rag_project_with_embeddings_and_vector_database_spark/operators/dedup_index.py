@@ -249,20 +249,33 @@ def compact_signature_store(
     path: str,
     dedup_cols: tuple[str, ...] = ("doc_id", "band"),
     partition_col: str = "band",
+    bucket_from: str | None = "band_hash",
+    num_buckets: int = 64,
 ) -> int:
     """Compact an append-mode signature store (the accumulation target
     of streaming/ingest.dedup_gated_ingest): collapse replay-duplicated
-    rows on ``dedup_cols`` and rewrite the store partitioned by
-    ``partition_col`` so subsequent probe joins prune. Run it on the
-    maintenance cadence (e.g. nightly) — between compactions the
-    readers already dedup at read time, so compaction is purely a
-    size/pruning optimization, never a correctness event. Returns the
-    compacted row count. At 100 TB this is the OPTIMIZE/rewrite step
-    of a transactional table; here it is read -> dropDuplicates ->
-    localCheckpoint (cutting the read-path lineage so the same path
-    can be overwritten) -> partitioned rewrite."""
+    rows on ``dedup_cols`` and rewrite the store in the SAME pruned
+    layout the stored corpus indexes use — partitioned by
+    ``partition_col`` plus a bounded ``sig_bucket`` hash of
+    ``bucket_from`` (pmod 64, the bm25 term_bucket pattern), so
+    subsequent probes turn their bucket set into a real partition
+    filter. Pass ``bucket_from=None`` (or point at an absent column)
+    for the flat band-only layout. Run on the maintenance cadence
+    (e.g. nightly) — between compactions the readers already dedup at
+    read time, so compaction is purely a size/pruning optimization,
+    never a correctness event. Returns the compacted row count. At
+    100 TB this is the OPTIMIZE/rewrite step of a transactional table;
+    here it is read -> dropDuplicates -> localCheckpoint (cutting the
+    read-path lineage so the same path can be overwritten) ->
+    partitioned rewrite. Note the readback gains a ``sig_bucket``
+    column; probe callers that union it with an unbucketed frame drop
+    it first (dedup_delta itself never references it)."""
     df = spark.read.parquet(path).dropDuplicates(list(dedup_cols)).localCheckpoint()
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    parts = [partition_col]
+    if bucket_from is not None and bucket_from in df.columns:
+        df = df.withColumn("sig_bucket", F.pmod(bucket_from, F.lit(num_buckets)))
+        parts.append("sig_bucket")
+    df.write.mode("overwrite").partitionBy(*parts).parquet(path)
     return df.count()
 
 

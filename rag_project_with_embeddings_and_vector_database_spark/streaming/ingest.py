@@ -186,7 +186,11 @@ def dedup_gated_ingest(
         # duplicate rows collapse on (doc_id, band) — identical rows,
         # so which one survives is immaterial
         try:
-            acc = ss.read.parquet(sig_delta_path)
+            # drop("sig_bucket") is a no-op on the raw append store and
+            # removes the derived partition key a compaction
+            # (operators/dedup_index.compact_signature_store) adds, so
+            # the union with the corpus index lines up either way
+            acc = ss.read.parquet(sig_delta_path).drop("sig_bucket")
         except AnalysisException:
             acc = None
         probe_index = (

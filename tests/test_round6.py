@@ -320,9 +320,13 @@ def test_compact_signature_store_roundtrip(spark, sf_dir, tmp_path):
     )
     n = DI.compact_signature_store(spark, path)
     assert n == raw_count // 2  # duplicates collapsed
-    assert (tmp_path / "sigstore" / "band=0").exists()  # partitioned rewrite
+    # pruned layout: band + bounded sig_bucket partition directories
+    band0 = tmp_path / "sigstore" / "band=0"
+    assert band0.exists() and any(p.name.startswith("sig_bucket=") for p in band0.iterdir())
     after = sorted(
         (r.id_a, r.id_b, r.est_jaccard)
-        for r in DI.dedup_delta(spark.read.parquet(path), delta).collect()
+        for r in DI.dedup_delta(
+            spark.read.parquet(path).drop("sig_bucket"), delta
+        ).collect()
     )
     assert after == before and before

@@ -330,3 +330,46 @@ def test_compact_signature_store_roundtrip(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert after == before and before
+
+
+def test_multimodal_udf_values_pinned_to_recompute(spark):
+    """The multimodal mapInPandas stubs are VALUE-pinned, not just
+    shape-checked: frame ids and fake-decode features are recomputed
+    directly from the payload bytes in the test and must match the
+    distributed output element-for-element — the same cross-engine
+    discipline the hash embedder gets from embed_values."""
+    import hashlib
+
+    import numpy as np
+
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        multimodal as MM,
+    )
+
+    df = spark.createDataFrame(
+        [("v1", "video-bytes"), ("v2", "other-payload")], ["id", "payload"]
+    )
+    frames = MM.sample_frames(
+        MM.to_media(df, "id", "payload", "video", "video/fake"),
+        every_n=5, max_frames=3,
+    ).collect()
+    expected = {
+        (mid, i * 5): hashlib.sha256(
+            payload.encode() + i.to_bytes(4, "big")
+        ).hexdigest()[:16]
+        for mid, payload in [("v1", "video-bytes"), ("v2", "other-payload")]
+        for i in range(3)
+    }
+    assert {(f.media_id, f.frame_no): f.frame_sha for f in frames} == expected
+
+    feats = MM.image_features(
+        MM.to_media(df, "id", "payload", "image", "image/fake")
+    ).collect()
+    by_id = {r.media_id: r.features for r in feats}
+    for mid, payload in [("v1", "video-bytes"), ("v2", "other-payload")]:
+        h = hashlib.sha256(payload.encode()).digest()
+        seed = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+        want = (np.tile(seed, 3)[: 32 * 3] / 255.0).tolist()
+        got = by_id[mid]
+        assert len(got) == 96
+        assert all(abs(a - b) < 1e-7 for a, b in zip(got, want))

@@ -111,9 +111,9 @@ def stored_index_query_benches(spark, sf_dir):
     def bucket_of(c):
         return F.pmod(F.hash(c), F.lit(64))
 
-    postings.withColumn("term_bucket", bucket_of(F.col("term"))).write.mode(
-        "overwrite"
-    ).partitionBy("term_bucket").parquet(f"{base}/bm25/postings")
+    postings.withColumn("term_bucket", bucket_of(F.col("term"))).repartition(
+        "term_bucket"
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(f"{base}/bm25/postings")
     dfreq.write.mode("overwrite").parquet(f"{base}/bm25/dfreq")
     stats.write.mode("overwrite").parquet(f"{base}/bm25/stats")
 
@@ -168,9 +168,9 @@ def stored_index_query_benches(spark, sf_dir):
     # ONLY matched directories — the same layout the harness query uses
     DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).withColumn(
         "sig_bucket", F.pmod("band_hash", F.lit(64))
-    ).write.mode("overwrite").partitionBy("band", "sig_bucket").parquet(
-        f"{base}/dedupidx"
-    )
+    ).repartition("band", "sig_bucket").write.mode("overwrite").partitionBy(
+        "band", "sig_bucket"
+    ).parquet(f"{base}/dedupidx")
 
     def dedup_query():
         delta = docs.filter(F.col("doc_id") < 25).select(
@@ -197,9 +197,9 @@ def stored_index_query_benches(spark, sf_dir):
     # simhash blocked index: delta probe only, same pruned layout
     DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
         "blk_bucket", F.pmod("block_key", F.lit(64))
-    ).write.mode("overwrite").partitionBy("block_id", "blk_bucket").parquet(
-        f"{base}/simhashidx"
-    )
+    ).repartition("block_id", "blk_bucket").write.mode("overwrite").partitionBy(
+        "block_id", "blk_bucket"
+    ).parquet(f"{base}/simhashidx")
 
     def simhash_query():
         delta = docs.filter(F.col("doc_id") < 25).select(

@@ -1532,9 +1532,9 @@ def bm25_indexed(spark, sf_dir):
     def bucket_of(c):
         return F.pmod(F.hash(c), F.lit(64))
 
-    postings.withColumn("term_bucket", bucket_of(F.col("term"))).write.mode(
-        "overwrite"
-    ).partitionBy("term_bucket").parquet(f"{tmp}/postings")
+    postings.withColumn("term_bucket", bucket_of(F.col("term"))).repartition(
+        "term_bucket"
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(f"{tmp}/postings")
     dfreq.write.mode("overwrite").parquet(f"{tmp}/dfreq")
     stats.write.mode("overwrite").parquet(f"{tmp}/stats")
     # query-side partition pruning: the query terms' buckets — a
@@ -1597,9 +1597,9 @@ def bm25_indexed_incremental(spark, sf_dir):
     def bucket_of(c):
         return F.pmod(F.hash(c), F.lit(64))
 
-    postings.withColumn("term_bucket", bucket_of(F.col("term"))).write.mode(
-        "overwrite"
-    ).partitionBy("term_bucket").parquet(f"{tmp}/postings")
+    postings.withColumn("term_bucket", bucket_of(F.col("term"))).repartition(
+        "term_bucket"
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(f"{tmp}/postings")
     dfreq.write.mode("overwrite").parquet(f"{tmp}/dfreq")
     stats.write.mode("overwrite").parquet(f"{tmp}/stats")
     qdf = _bm25_qdf(spark)
@@ -4223,11 +4223,13 @@ def dedup_incremental(spark, sf_dir):
     """INCREMENTAL dedup over a STORED signature index (operators/
     dedup.py build_dedup_index + dedup_delta) — the production shape:
     the corpus's banded minhash signatures are built ONCE and written
-    to parquet partitioned by band (at scale: bucketed by (band,
-    band_hash)); a simulated daily delta (25 near-identical revisions
-    of existing docs under fresh ids) is then deduped AGAINST the
-    stored index — new-vs-corpus candidates from one probe equi-join
-    into the index, new-vs-new from the delta's tiny self-join — and
+    to parquet partitioned by (band, sig_bucket) — a bounded 64-way
+    hash of band_hash, so the delta's bucket set becomes a REAL
+    partition filter on the probe (plan-guarded); a simulated daily
+    delta (25 near-identical revisions of existing docs under fresh
+    ids) is then deduped AGAINST the stored index — new-vs-corpus
+    candidates from one pruned probe equi-join into the index,
+    new-vs-new from the delta's tiny self-join — and
     the corpus is never re-shingled or re-paired. The oracle replays
     the contract by definition: the one-shot pair generator over
     corpus-union-delta filtered to pairs touching a delta id; a hash
@@ -4250,9 +4252,15 @@ def dedup_incremental(spark, sf_dir):
     # so a delta probe becomes a REAL partition filter — only matched
     # (band, sig_bucket) directories are opened, plan-guarded by
     # tests/test_plans.py
+    # repartition BY the partition keys before the partitioned write:
+    # without it every input task writes a file into every directory it
+    # touches (tasks x dirs tiny files); clustered, each directory gets
+    # exactly one file — the same write discipline a 100 TB ingest uses
     DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).withColumn(
         "sig_bucket", F.pmod("band_hash", F.lit(64))
-    ).write.mode("overwrite").partitionBy("band", "sig_bucket").parquet(tmp)
+    ).repartition("band", "sig_bucket").write.mode("overwrite").partitionBy(
+        "band", "sig_bucket"
+    ).parquet(tmp)
     delta = docs.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" incremental delta revision")).alias("text"),
@@ -4327,10 +4335,12 @@ def simhash_incremental(spark, sf_dir):
     fingerprint index (operators/dedup_index.py build_simhash_index +
     simhash_delta) — the Hamming-family twin of dedup_incremental: the
     corpus's pigeonhole-blocked fingerprints are built ONCE and written
-    to parquet partitioned by block_id (at scale: bucketed by
-    (block_id, block_key)); a simulated delta (25 one-token revisions
-    of existing docs under fresh ids) is deduped against the stored
-    index via one pruned probe join plus the delta's tiny self-join —
+    to parquet partitioned by (block_id, blk_bucket) — a bounded
+    64-way hash of block_key, so the delta's bucket set becomes a REAL
+    partition filter on the probe (plan-guarded); a simulated delta
+    (25 one-token revisions of existing docs under fresh ids) is
+    deduped against the stored index via one pruned probe join plus
+    the delta's tiny self-join —
     the corpus is never re-fingerprinted. Recall is exact for
     hamming <= num_blocks - 1 (Manku pigeonhole). The oracle replays
     the contract by definition: one-shot simhash_pairs over
@@ -4351,9 +4361,12 @@ def simhash_incremental(spark, sf_dir):
     # the delta probe prunes to matched (block_id, blk_bucket)
     # directories — same layout pattern (and same why-it-cannot-change-
     # the-result argument) as dedup_incremental; plan-guarded
+    # clustered write: one file per directory (see dedup_incremental)
     DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
         "blk_bucket", F.pmod("block_key", F.lit(64))
-    ).write.mode("overwrite").partitionBy("block_id", "blk_bucket").parquet(tmp)
+    ).repartition("block_id", "blk_bucket").write.mode("overwrite").partitionBy(
+        "block_id", "blk_bucket"
+    ).parquet(tmp)
     delta = docs.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" rev")).alias("text"),

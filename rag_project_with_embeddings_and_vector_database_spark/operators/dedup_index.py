@@ -2,9 +2,12 @@
 
 A production corpus does not re-pair 100 TB every day; it builds the
 banded minhash signature table ONCE (``build_dedup_index``), writes it
-out bucketed by (band, band_hash), and dedups each incoming delta
-against that index (``dedup_delta``) — O(|delta|) shingling plus one
-pruned probe join, never a corpus self-join. The one-shot generator
+out partitioned by (band, sig_bucket) — a bounded hash of band_hash,
+since the raw hash is too high-cardinality to be a directory key —
+and dedups each incoming delta against that index (``dedup_delta``)
+with the delta's bucket set applied as a REAL partition filter:
+O(|delta|) shingling plus one pruned probe join, never a corpus
+self-join. The one-shot generator
 (operators/dedup.py ``minhash_lsh_pairs``) remains the
 backfill/bootstrap path; this module is its steady-state twin, sharing
 the exact signature family so the two are value-identical (the

@@ -373,3 +373,45 @@ def test_multimodal_udf_values_pinned_to_recompute(spark):
         got = by_id[mid]
         assert len(got) == 96
         assert all(abs(a - b) < 1e-7 for a, b in zip(got, want))
+
+
+def test_ivf_append_then_query_matches_full_assignment(spark, sf_dir, tmp_path):
+    """E2E for index growth: build the IVF index over HALF the corpus,
+    append the other half via ivf_index_append (frozen centroids,
+    through a parquet append into the bucket-partitioned layout), and
+    query the merged index — results must be identical to querying an
+    index where ALL vectors were assigned to those same centroids,
+    because append-assignment is exactly the transform rule."""
+    from pyspark.sql import functions as F
+
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+
+    e = H._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+    assigned, cdf = R.build_ivf_index(half, num_centroids=8, corpus_id="vec_id", seed=42)
+    path = str(tmp_path / "ivf")
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/assigned")
+    cdf.write.mode("overwrite").parquet(f"{path}/centroids")
+    # daily growth: assign new vectors to the stored centroids, append
+    R.ivf_index_append(
+        spark.read.parquet(f"{path}/centroids"), rest, corpus_id="vec_id"
+    ).write.mode("append").partitionBy("bucket").parquet(f"{path}/assigned")
+
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = R.knn_ivf_indexed(
+        spark.read.parquet(f"{path}/assigned"),
+        spark.read.parquet(f"{path}/centroids"),
+        q, 10, nprobe=6, corpus_id="vec_id",
+    )
+    # reference: every vector assigned to the same frozen centroids in
+    # one shot (ivf_index_append over the full corpus — already pinned
+    # to the KMeans transform rule by its own test)
+    ref_assigned = R.ivf_index_append(cdf, e, corpus_id="vec_id")
+    want = R.knn_ivf_indexed(ref_assigned, cdf, q, 10, nprobe=6, corpus_id="vec_id")
+    a = sorted((r.query_id, r.vec_id, r.score, r.rank) for r in got.collect())
+    b = sorted((r.query_id, r.vec_id, r.score, r.rank) for r in want.collect())
+    assert a == b and len(a) == 50

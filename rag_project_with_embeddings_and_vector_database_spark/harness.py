@@ -4658,9 +4658,13 @@ _PRIORITY = [
 # slots (pytest-verified this round, not yet driver-registered):
 # ivf_index_append (operators/retrieval.py — assign new vectors to
 # stored centroids without re-clustering, pinned bucket-identical to
-# KMeansModel.transform) and compact_signature_store
+# KMeansModel.transform; e2e append-then-query test), compact_signature_store
 # (operators/dedup_index.py — the maintenance rewrite of the
-# streaming gate's append-mode signature store). Older long-tail
+# streaming gate's append-mode signature store), and
+# text_index_delete (operators/ranking.py — exact-subtraction BM25
+# index deletion pinned identical to a rebuild over the remaining
+# corpus; delete+upsert round-trips to the original index — a future
+# bm25_indexed_delete query oracles against the remaining-corpus CTE). Older long-tail
 # still due when slots free up: filter_ext and project_payload (r2)
 # and sink_json (r3) — their spare slots went to
 # dedup_embedding_incremental, bm25_indexed_incremental, and

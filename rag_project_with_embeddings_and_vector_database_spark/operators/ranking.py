@@ -208,6 +208,59 @@ def text_index_upsert(
     return merged_postings, merged_dfreq, merged_stats
 
 
+def text_index_delete(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    doc_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The DELETE half of stored-BM25-index maintenance (upsert is
+    ``text_index_upsert``): remove a set of documents WITHOUT touching
+    any text — the deleted docs' own postings rows, already in the
+    index, supply every count needed. Postings anti-join away; dfreq
+    subtracts each term's removed-doc count (terms reaching df = 0
+    drop out entirely, as a rebuild would); stats subtracts the
+    removed docs' exact integer token totals (per-doc dl is one
+    distinct (id, dl) projection of the removed postings). All
+    arithmetic is exact-integer, so the result is value-IDENTICAL to
+    rebuilding over the remaining corpus (pinned by
+    tests/test_round6.py). Deleting every document yields the same
+    NULL avgdl/sum_dl and zero n_docs an empty-corpus build produces.
+    At 100 TB: postings delete is a partition-pruned anti-join on the
+    term-bucketed table; dfreq/stats are tiny keyed MERGEs — a
+    document UPDATE composes delete + upsert."""
+    ids = doc_ids.select(F.col(id_col)).distinct()
+    removed = postings.join(ids, id_col, "left_semi")
+    # keyed joins move the key column first; restore the index schema
+    kept_postings = postings.join(ids, id_col, "left_anti").select(postings.columns)
+    rm_df = removed.groupBy("term").agg(F.count(F.lit(1)).alias("_rm"))
+    kept_dfreq = (
+        dfreq.join(rm_df, "term", "left")
+        .select("term", (F.col("df") - F.coalesce("_rm", F.lit(0))).alias("df"))
+        .filter(F.col("df") > 0)
+    )
+    rm_stats = (
+        removed.select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.coalesce(F.count(F.lit(1)).cast("double"), F.lit(0.0)).alias("_n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("_s"),
+        )
+    )
+    kept_stats = stats.crossJoin(rm_stats).select(
+        F.when(
+            F.col("n_docs") - F.col("_n") > 0,
+            (F.col("sum_dl") - F.col("_s")) / (F.col("n_docs") - F.col("_n")),
+        ).alias("avgdl"),
+        (F.col("n_docs") - F.col("_n")).alias("n_docs"),
+        F.when(
+            F.col("n_docs") - F.col("_n") > 0, F.col("sum_dl") - F.col("_s")
+        ).alias("sum_dl"),
+    )
+    return kept_postings, kept_dfreq, kept_stats
+
+
 def bm25_query_indexed(
     postings: DataFrame,
     dfreq: DataFrame,

@@ -415,3 +415,38 @@ def test_ivf_append_then_query_matches_full_assignment(spark, sf_dir, tmp_path):
     a = sorted((r.query_id, r.vec_id, r.score, r.rank) for r in got.collect())
     b = sorted((r.query_id, r.vec_id, r.score, r.rank) for r in want.collect())
     assert a == b and len(a) == 50
+
+
+def test_text_index_delete_equals_rebuild_over_remaining(spark, sf_dir):
+    """Deleting documents from a stored BM25 index must produce exactly
+    the index a rebuild over the remaining corpus produces — postings
+    and dfreq row-identical (terms dropping to df=0 vanish), stats
+    bit-identical from exact integer subtraction. Delete + upsert
+    composes to document UPDATE."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        ranking as RK,
+    )
+
+    docs = H._t(spark, sf_dir, "documents").select("doc_id", "text")
+    full = RK.build_text_index(docs)
+    gone = docs.filter(SF.col("doc_id") < 50).select("doc_id")
+    dp, dd, ds = RK.text_index_delete(*full, gone)
+    rp, rd, rs = RK.build_text_index(docs.filter(SF.col("doc_id") >= 50))
+    assert sorted(map(tuple, dp.collect())) == sorted(map(tuple, rp.collect()))
+    assert sorted(map(tuple, dd.collect())) == sorted(map(tuple, rd.collect()))
+    d_row, r_row = ds.collect()[0], rs.collect()[0]
+    assert (d_row.n_docs, d_row.sum_dl) == (r_row.n_docs, r_row.sum_dl)
+    assert d_row.avgdl == r_row.avgdl
+    # update = delete + upsert round-trips to the original full index
+    up, ud, us = RK.text_index_upsert(dp, dd, ds, docs.filter(SF.col("doc_id") < 50))
+    fp, fd, fs = full
+    assert sorted(map(tuple, up.collect())) == sorted(map(tuple, fp.collect()))
+    assert sorted(map(tuple, ud.collect())) == sorted(map(tuple, fd.collect()))
+    u_row, f_row = us.collect()[0], fs.collect()[0]
+    assert (u_row.n_docs, u_row.sum_dl, u_row.avgdl) == (f_row.n_docs, f_row.sum_dl, f_row.avgdl)
+    # deleting everything matches the empty-corpus build shape
+    ep, ed, es = RK.text_index_delete(*full, docs.select("doc_id"))
+    assert ep.count() == 0 and ed.count() == 0
+    e_row = es.collect()[0]
+    assert e_row.n_docs == 0.0 and e_row.sum_dl is None and e_row.avgdl is None

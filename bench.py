@@ -44,6 +44,7 @@ HEADLINE = [
     "bm25_topk",
     "bm25_indexed",
     "bm25_indexed_incremental",
+    "bm25_indexed_delete",
     "ann_ivf_indexed",
     "hybrid_rrf",
     "agg_config",

@@ -1384,11 +1384,13 @@ _BM25_QUERIES = (
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_ctes() -> str:
+def _bm25_ctes(source: str = "documents") -> str:
     """Shared CTE chain computing the BM25 lexical top-10 (`lexical`).
     Constants are inlined pre-evaluated (k1+1, 1-b) with ::DOUBLE casts
     so DuckDB never does DECIMAL arithmetic; expression association
-    mirrors the Spark column expression term for term."""
+    mirrors the Spark column expression term for term. ``source`` lets
+    a caller score a RESTRICTED corpus (bm25_indexed_delete's
+    remaining-docs oracle) through the identical chain."""
     vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
     k1, b = _BM25_K1, _BM25_B
     return f"""
@@ -1396,7 +1398,7 @@ def _bm25_ctes() -> str:
       SELECT doc_id,
              unnest(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''),
                     t -> lower(t))) AS term
-      FROM documents
+      FROM {source}
     ),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -1627,6 +1629,73 @@ def bm25_indexed_incremental(spark, sf_dir):
     )
 
 
+@register(
+    "bm25_indexed_delete",
+    "WITH remaining AS (SELECT * FROM documents WHERE doc_id >= 50), "
+    + f"{_bm25_ctes(source='remaining')} "
+    + "SELECT query_id, doc_id, score, rank FROM lexical",
+)
+def bm25_indexed_delete(spark, sf_dir):
+    """The DELETE half of stored-BM25-index maintenance (operators/
+    ranking.py text_index_delete — upsert is bm25_indexed_incremental):
+    the index is built over the FULL corpus, then documents doc_id < 50
+    are deleted FROM THE INDEX ALONE — their own postings rows supply
+    every count needed, so no document text is touched: postings
+    anti-join away, dfreq subtracts per-term removed counts (df=0
+    terms drop out), stats subtracts exact integer token totals. The
+    maintained index is written through the same term-bucketed parquet
+    layout as bm25_indexed and queried with the same pruned probe. The
+    oracle REBUILDS from scratch over only the remaining corpus
+    (``remaining`` CTE) and scores through the identical chain: a hash
+    match proves delete-maintained index == rebuild over survivors,
+    end to end through the parquet round-trip. With
+    bm25_indexed_incremental this closes the MERGE story — a document
+    UPDATE is delete + upsert, pinned round-trip-identical by
+    tests/test_round6.py."""
+    import os
+    import tempfile
+
+    docs = _par(_t(spark, sf_dir, "documents"))
+    full = RK.build_text_index(docs)
+    gone = docs.filter(F.col("doc_id") < 50).select("doc_id")
+    postings, dfreq, stats = RK.text_index_delete(*full, gone)
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"spark_rag_bm25del_idx_p{os.getpid()}"
+    )
+
+    def bucket_of(c):
+        return F.pmod(F.hash(c), F.lit(64))
+
+    postings.withColumn("term_bucket", bucket_of(F.col("term"))).repartition(
+        "term_bucket"
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(f"{tmp}/postings")
+    dfreq.write.mode("overwrite").parquet(f"{tmp}/dfreq")
+    stats.write.mode("overwrite").parquet(f"{tmp}/stats")
+    qdf = _bm25_qdf(spark)
+    qbuckets = sorted(
+        r.b
+        for r in qdf.select(
+            F.explode(
+                F.array_distinct(F.transform(TX.whitespace_tokens("query"), F.lower))
+            ).alias("term")
+        )
+        .select(bucket_of(F.col("term")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    return RK.bm25_query_indexed(
+        spark.read.parquet(f"{tmp}/postings")
+        .filter(F.col("term_bucket").isin(qbuckets))
+        .drop("term_bucket"),
+        spark.read.parquet(f"{tmp}/dfreq"),
+        spark.read.parquet(f"{tmp}/stats"),
+        qdf,
+        k=10,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 @register("ann_ivf_indexed")  # rows-only: seeded KMeans bucketing not SQL-expressible
 def ann_ivf_indexed(spark, sf_dir):
     """The PRODUCTION IVF shape: build_ivf_index clusters the corpus
@@ -1659,6 +1728,60 @@ def ann_ivf_indexed(spark, sf_dir):
             q,
             10,
             nprobe=12,
+            corpus_id="vec_id",
+        )
+
+    return _ann_recall(spark, sf_dir, make_approx)
+
+
+@register("ann_ivf_append")  # rows-only: seeded KMeans bucketing not SQL-expressible
+def ann_ivf_append(spark, sf_dir):
+    """INDEX GROWTH for the stored IVF index (operators/retrieval.py
+    ivf_index_append): the index is built over HALF the corpus (even
+    vec_ids), then the other half ARRIVES and is assigned to the
+    FROZEN stored centroids — squared-euclidean argmin, the exact
+    KMeansModel.transform rule, one broadcast of the KB-scale centroid
+    frame, never a re-fit — and APPENDED into the bucket-partitioned
+    parquet layout. Queries then run over the grown index through the
+    same pruned nprobe probe as ann_ivf_indexed. Output is per-query
+    recall@10 vs the exact brute-force baseline over the FULL corpus
+    with the asserted ``recall_floor_met`` flag, so the driver pins
+    that centroids fitted on half the data still answer for all of it
+    (append-per-batch / re-cluster-per-snapshot is the documented
+    production cadence; tests/test_round6.py pins the append rule
+    bucket-identical to a one-shot assignment)."""
+    import os
+    import tempfile
+
+    def make_approx(q, e):
+        half = e.filter(F.col("vec_id") % 2 == 0)
+        rest = e.filter(F.col("vec_id") % 2 == 1)
+        assigned, cdf = R.build_ivf_index(
+            half, num_centroids=16, corpus_id="vec_id", seed=42
+        )
+        tmp = os.path.join(
+            tempfile.gettempdir(), f"spark_rag_ivfapp_idx_p{os.getpid()}"
+        )
+        # the overwrite resets the fixed per-process path, so the
+        # append below is idempotent across repeated invocations
+        # (bench / selfcheck / driver share one JVM)
+        assigned.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{tmp}/assigned"
+        )
+        cdf.write.mode("overwrite").parquet(f"{tmp}/centroids")
+        R.ivf_index_append(
+            spark.read.parquet(f"{tmp}/centroids"), rest, corpus_id="vec_id"
+        ).write.mode("append").partitionBy("bucket").parquet(f"{tmp}/assigned")
+        # nprobe runs 14/16 here (ann_ivf_indexed probes 12): centroids
+        # fitted on HALF a toy corpus partition space more loosely, so
+        # the sf0.001 recall floor needs the wider probe; production
+        # corpora run nprobe/num_centroids ~0.1 with a re-fit cadence
+        return R.knn_ivf_indexed(
+            spark.read.parquet(f"{tmp}/assigned"),
+            spark.read.parquet(f"{tmp}/centroids"),
+            q,
+            10,
+            nprobe=14,
             corpus_id="vec_id",
         )
 
@@ -4294,6 +4417,76 @@ def dedup_incremental(spark, sf_dir):
     return DI.dedup_delta(pruned, delta, num_perm=16, num_bands=4, seed=42)
 
 
+@register("dedup_store_compact")  # rows-only: self-validating maintenance run
+def dedup_store_compact(spark, sf_dir):
+    """The OPTIMIZE step of the streaming dedup gate's signature store
+    (operators/dedup_index.py compact_signature_store): an append-mode
+    store accumulates replay-duplicated rows (dedup_gated_ingest
+    re-appends survivors' signatures on checkpoint replay — readers
+    dedup at read time, so correctness never waits for maintenance);
+    the nightly compaction collapses duplicates on (doc_id, band) and
+    rewrites the store in the pruned (band, sig_bucket) layout the
+    stored corpus indexes use. This query EXECUTES that maintenance
+    cycle end to end and self-validates like the streaming queries —
+    it RAISES unless (a) the compacted row count is exactly the
+    distinct half of the doubled store, (b) the rewritten layout
+    carries real band=/sig_bucket= partition directories, and (c) a
+    delta probe (dedup_delta) returns the IDENTICAL pair set before
+    and after compaction — proving compaction is purely a size/pruning
+    event, never a correctness event. At 100 TB this is OPTIMIZE on a
+    transactional table; the driver row pins the contract."""
+    import os
+    import tempfile
+
+    docs = _par(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    idx = DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42)
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"spark_rag_sigstore_p{os.getpid()}"
+    )
+    # overwrite-then-append resets the fixed per-process path each run
+    # and leaves exactly 2 copies of every row — the simulated replay
+    idx.write.mode("overwrite").parquet(tmp)
+    idx.write.mode("append").parquet(tmp)
+    n_raw = spark.read.parquet(tmp).count()
+    delta = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" incremental delta revision")).alias("text"),
+    )
+    before = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in DI.dedup_delta(
+            spark.read.parquet(tmp).dropDuplicates(["doc_id", "band"]),
+            delta, num_perm=16, num_bands=4, seed=42,
+        ).collect()
+    )
+    n_compacted = DI.compact_signature_store(spark, tmp)
+    pruned_layout = any(
+        d.startswith("band=") for d in os.listdir(tmp)
+    ) and any(
+        d.startswith("sig_bucket=")
+        for d in os.listdir(os.path.join(tmp, "band=0"))
+    )
+    after = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in DI.dedup_delta(
+            spark.read.parquet(tmp).drop("sig_bucket"),
+            delta, num_perm=16, num_bands=4, seed=42,
+        ).collect()
+    )
+    ok = n_compacted * 2 == n_raw and pruned_layout and after == before and bool(before)
+    if not ok:
+        raise AssertionError(
+            f"compaction broke the store: n_raw={n_raw} "
+            f"n_compacted={n_compacted} pruned_layout={pruned_layout} "
+            f"pairs_before={len(before)} pairs_after={len(after)} "
+            f"pairs_equal={after == before}"
+        )
+    return spark.createDataFrame(
+        [(n_raw, n_compacted, len(after), ok)],
+        "n_raw long, n_compacted long, n_probe_pairs long, ok boolean",
+    )
+
+
 def _simhash_incremental_sql(
     bits: int = 32, num_blocks: int = 4, max_hamming: int = 3, max_bucket_size: int = 1000
 ) -> str:
@@ -4611,6 +4804,12 @@ _PRIORITY = [
     # quantization
     "simhash_incremental", "stream_dedup_gated", "ann_ivf_indexed_int8",
     "dedup_embedding_incremental", "bm25_indexed_incremental",
+    # (a) late-r6 maintenance paths promoted from pytest-only to driver
+    # evidence (the r7 candidates recorded below, landed early): the
+    # BM25 index DELETE half (oracled by a rebuild-over-remaining-corpus
+    # CTE), IVF index GROWTH by append-to-frozen-centroids, and the
+    # signature-store compaction cycle (self-validating rows)
+    "bm25_indexed_delete", "ann_ivf_append", "dedup_store_compact",
     # (b) closure of operators/dedup_index.py + the stored-index
     # harness queries edited for the temp-path fix
     "dedup_incremental", "bm25_indexed", "ann_ivf_indexed",
@@ -4638,33 +4837,31 @@ _PRIORITY = [
     "corpus_prep", "tfidf_terms", "dedup_minhash_pairs",
     "ngram_jaccard", "dedup_embedding", "sequence_pack", "dedup_exact",
     "decontaminate", "connected_components", "dedup_minhash",
-    "embed_values", "sink_partitioned", "bucketed_join",
-    "semi_anti_join",
+    "embed_values",
     # (c) oldest-evidence debt, as far as the slots reach:
     # filter_nonempty (r2, yielded its r5 slot), the §2-table-flagged
     # r3 sinks, filter_ext (r2)
     "filter_nonempty", "sink_csv", "range_join_events",
 ]
 # r7 rotation debt (displaced from the r6 window this round; all
-# r5-green with code untouched in r6, rotate back in r7 unless code
-# changes force earlier slots): metric_topk, metric_mrr, metric_avgsim,
+# r4/r5-green with code untouched in r6, rotate back in r7 unless code
+# changes force earlier slots): sink_partitioned, bucketed_join,
+# semi_anti_join (r4-green, plan-guarded by tests/test_plans.py and
+# tests/test_bucketing.py — their slots went to the three late-r6
+# maintenance registrations bm25_indexed_delete / ann_ivf_append /
+# dedup_store_compact), metric_topk, metric_mrr, metric_avgsim,
 # chunk_fixed_size, chunk_recursive, chunk_structure_aware,
 # chunk_hybrid, chunk_table_aware, chunk_fanout, embed_batch,
 # multimodal_meta, brand_revenue, rollup_lineitem, tpch_q6,
 # events_percentiles, pivot_events, events_hourly, events_json,
 # window_running_sum, window_lag_delta, window_range_frame,
 # window_value_functions, window_suite, grouped_mad, salted_join,
-# asof_join, sessionize, sessionize_stateful. Candidates for NEW r7
-# slots (pytest-verified this round, not yet driver-registered):
-# ivf_index_append (operators/retrieval.py — assign new vectors to
-# stored centroids without re-clustering, pinned bucket-identical to
-# KMeansModel.transform; e2e append-then-query test), compact_signature_store
-# (operators/dedup_index.py — the maintenance rewrite of the
-# streaming gate's append-mode signature store), and
-# text_index_delete (operators/ranking.py — exact-subtraction BM25
-# index deletion pinned identical to a rebuild over the remaining
-# corpus; delete+upsert round-trips to the original index — a future
-# bm25_indexed_delete query oracles against the remaining-corpus CTE). Older long-tail
+# asof_join, sessionize, sessionize_stateful. The three r7 candidates
+# originally queued here (ivf_index_append, compact_signature_store,
+# text_index_delete) were PROMOTED late in r6 as the window's
+# bm25_indexed_delete / ann_ivf_append / dedup_store_compact entries,
+# paid for by the three plan-guarded r4-green displacements noted
+# above. Older long-tail
 # still due when slots free up: filter_ext and project_payload (r2)
 # and sink_json (r3) — their spare slots went to
 # dedup_embedding_incremental, bm25_indexed_incremental, and

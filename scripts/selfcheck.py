@@ -66,7 +66,10 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_CC_SQL": {"connected_components"},
     "_TOPK_QUANT_SQL": {"topk_retrieval_quantized"},
     "_BM25": {"bm25_topk", "hybrid_rrf"},
-    "_bm25": {"bm25_topk", "hybrid_rrf"},
+    "_bm25": {
+        "bm25_topk", "hybrid_rrf", "bm25_indexed",
+        "bm25_indexed_incremental", "bm25_indexed_delete",
+    },
     "_quality_filter_sql": {"quality_filter", "corpus_prep"},
     "_corpus_prep_sql": {"corpus_prep"},
     "_ann_recall": {"ann_lsh", "ann_ivf", "ann_ivf_quantized", "ann_ivf_indexed", "ann_ivf_indexed_int8"},

@@ -450,3 +450,40 @@ def test_text_index_delete_equals_rebuild_over_remaining(spark, sf_dir):
     assert ep.count() == 0 and ed.count() == 0
     e_row = es.collect()[0]
     assert e_row.n_docs == 0.0 and e_row.sum_dl is None and e_row.avgdl is None
+
+
+def test_late_r6_registrations_self_validate(spark, sf_dir):
+    """The three late-r6 maintenance registrations hold their contracts
+    as driver queries: ann_ivf_append's recall flags are all true
+    (frozen half-corpus centroids still answer for the full corpus at
+    the tuned nprobe), dedup_store_compact's self-gates pass (it raises
+    otherwise; the returned row re-states them), and
+    bm25_indexed_delete matches the one-pass bm25_topk over only the
+    remaining corpus — the pytest twin of its rebuild-over-remaining
+    oracle."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        ranking as RK,
+    )
+
+    rows = H.SPARK_QUERIES["ann_ivf_append"](spark, sf_dir).collect()
+    assert rows and all(r.recall_floor_met for r in rows), rows
+
+    row = H.SPARK_QUERIES["dedup_store_compact"](spark, sf_dir).collect()[0]
+    assert row.ok and row.n_raw == 2 * row.n_compacted and row.n_probe_pairs > 0
+
+    got = sorted(
+        map(tuple, H.SPARK_QUERIES["bm25_indexed_delete"](spark, sf_dir).collect())
+    )
+    remaining = (
+        H._t(spark, sf_dir, "documents").filter(SF.col("doc_id") >= 50)
+    )
+    want = sorted(
+        map(
+            tuple,
+            RK.bm25_topk(
+                remaining, H._bm25_qdf(spark), k=10, k1=H._BM25_K1, b=H._BM25_B
+            ).collect(),
+        )
+    )
+    assert got == want and got

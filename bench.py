@@ -51,6 +51,7 @@ HEADLINE = [
     "report_rank",
     # dedup / text-analysis (north-star)
     "dedup_exact",
+    "dedup_spans",
     "dedup_minhash",
     "dedup_minhash_pairs",
     "dedup_simhash",

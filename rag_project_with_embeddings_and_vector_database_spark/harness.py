@@ -1806,6 +1806,65 @@ def dedup_exact(spark, sf_dir):
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+_DEDUP_SPANS_K = 8
+
+
+def _dedup_spans_sql(k: int = _DEDUP_SPANS_K, min_docs: int = 2) -> str:
+    # the identical chain: lowercased whitespace tokens, k-gram starts,
+    # the module's portable 60-bit md5 gram hash, semi-join back, then
+    # gaps-and-islands interval merge — window frames mirror the Spark
+    # rowsBetween(unboundedPreceding, -1) running max exactly
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''),
+                            t -> lower(t)) AS tk
+      FROM documents
+    ),
+    b2 AS (SELECT * FROM base WHERE len(tk) >= {k}),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(tk) - {k} + 1),
+               i -> {{'s': i,
+                      'gh': ('0x' || substr(md5(concat_ws(' ', list_slice(tk, i+1, i+{k}))), 1, 15))::BIGINT}})) AS gr
+      FROM b2
+    ),
+    flat AS (SELECT doc_id, gr.s AS s, gr.gh AS gh FROM grams),
+    dup AS (SELECT gh FROM flat GROUP BY gh HAVING count(DISTINCT doc_id) >= {min_docs}),
+    covered AS (SELECT doc_id, s, s + {k - 1} AS e FROM flat SEMI JOIN dup USING (gh)),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1 THEN 1 ELSE 0 END AS nw
+      FROM covered
+      WINDOW w AS (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM flagged)
+    SELECT doc_id, min(s) AS span_start, max(e) AS span_end, max(e) - min(s) + 1 AS n_tokens
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+@register("dedup_spans", _dedup_spans_sql())
+def dedup_spans(spark, sf_dir):
+    """SUBSTRING-level exact dedup (operators/dedup.py duplicate_spans,
+    after Lee et al. 2021): every maximal token run participating in an
+    8-token window shared verbatim by >= 2 documents, as 0-based
+    inclusive (span_start, span_end) positions. Document-level dedup
+    misses the boilerplate paragraph pasted into thousands of
+    otherwise-unique pages; this finds exactly those runs so
+    strip_duplicate_spans can remove them (pytest-pinned) instead of
+    dropping whole documents. The distributed shape replaces the
+    paper's suffix array with a k-gram hash join: one posexplode, one
+    uniform-key groupBy on the portable 60-bit md5 gram hash, one
+    semi-join back, a per-doc gaps-and-islands merge — NO pair
+    generation, cost linear in corpus tokens however many docs share a
+    run. The oracle replays the identical chain (same hash, same
+    window frames), so the span set matches bit-for-bit."""
+    return DD.duplicate_spans(
+        _par(_t(spark, sf_dir, "documents")), k=_DEDUP_SPANS_K
+    )
+
+
 def _minhash_sql(num_perm: int = 16, seed: int = 42, source: str = "documents") -> str:
     perms = DD._perm_params(num_perm, seed)
     p = DD._P
@@ -4810,6 +4869,9 @@ _PRIORITY = [
     # CTE), IVF index GROWTH by append-to-frozen-centroids, and the
     # signature-store compaction cycle (self-validating rows)
     "bm25_indexed_delete", "ann_ivf_append", "dedup_store_compact",
+    # (a) late-r6 NEW operator: substring-level exact dedup (Lee et al.
+    # 2021 k-gram form), full bit-exact oracle
+    "dedup_spans",
     # (b) closure of operators/dedup_index.py + the stored-index
     # harness queries edited for the temp-path fix
     "dedup_incremental", "bm25_indexed", "ann_ivf_indexed",
@@ -4837,7 +4899,6 @@ _PRIORITY = [
     "corpus_prep", "tfidf_terms", "dedup_minhash_pairs",
     "ngram_jaccard", "dedup_embedding", "sequence_pack", "dedup_exact",
     "decontaminate", "connected_components", "dedup_minhash",
-    "embed_values",
     # (c) oldest-evidence debt, as far as the slots reach:
     # filter_nonempty (r2, yielded its r5 slot), the §2-table-flagged
     # r3 sinks, filter_ext (r2)
@@ -4849,7 +4910,9 @@ _PRIORITY = [
 # semi_anti_join (r4-green, plan-guarded by tests/test_plans.py and
 # tests/test_bucketing.py — their slots went to the three late-r6
 # maintenance registrations bm25_indexed_delete / ann_ivf_append /
-# dedup_store_compact), metric_topk, metric_mrr, metric_avgsim,
+# dedup_store_compact), embed_values (r4-green bit-exact hash-embedder
+# pin, machinery untouched — its slot went to the new dedup_spans
+# substring-dedup oracle), metric_topk, metric_mrr, metric_avgsim,
 # chunk_fixed_size, chunk_recursive, chunk_structure_aware,
 # chunk_hybrid, chunk_table_aware, chunk_fanout, embed_batch,
 # multimodal_meta, brand_revenue, rollup_lineitem, tpch_q6,

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_long
+from ..functions.text import md5_long, whitespace_tokens
 
 # Mersenne prime 2^31 - 1: modulus for the universal hash family. Small
 # enough that a*h+b stays < 2^63 (no int64 overflow, no 128-bit tricks),
@@ -539,3 +539,128 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         if changed == 0:
             break
     return labels
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """SUBSTRING-level exact dedup — the span analogue of document-level
+    exact_dedup, after Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499): find every
+    maximal run of tokens that participates in a ``k``-token window
+    shared VERBATIM by >= ``min_docs`` distinct documents. Document-
+    level dedup keeps one copy of a duplicated page but misses the
+    boilerplate paragraph pasted into thousands of otherwise-unique
+    pages; this operator finds exactly those runs so a pipeline can
+    strip them (``strip_duplicate_spans``) instead of dropping whole
+    documents.
+
+    Returns (id_col, span_start, span_end, n_tokens): 0-based INCLUSIVE
+    token positions of each merged maximal duplicated run, one row per
+    run. Tokens are lowercased whitespace tokens (the corpus-wide
+    convention — bm25/minhash use the same split, so span positions
+    index the same token array every other operator sees).
+
+    Plan shape, built for 100 TB: the paper's suffix array is a
+    single-machine construct; the distributed equivalent is the k-gram
+    hash join. ONE posexplode produces (doc, start, gram-hash) — about
+    dl rows per doc, the same expansion every shingle operator here
+    pays; the duplicated-gram set is ONE groupBy on the 60-bit md5 gram
+    hash (uniform key, partial-agg count-distinct) and is semi-joined
+    back on that same uniform hash. There is NO pair generation and NO
+    self-join anywhere — cost is linear in corpus tokens regardless of
+    how many documents share a run (a gram pasted into 10^6 docs is
+    one group, not 10^12 pairs), which is precisely why this shape
+    replaces the suffix array in map-reduce settings. The final
+    interval merge (classic gaps-and-islands: running max of span ends,
+    island counter, one groupBy) runs per-document over only the
+    matched gram starts — a vanishingly small frame after the filter.
+    The md5-based hash is the module's engine-portable base hash, so a
+    DuckDB oracle reproduces the span set bit-for-bit (collisions,
+    ~5e-10 per gram pair, are identical in both engines by
+    construction)."""
+    from pyspark.sql.window import Window
+
+    base = docs.select(
+        F.col(id_col),
+        F.transform(whitespace_tokens(text_col), F.lower).alias("tk"),
+    ).filter(F.size("tk") >= k)
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - k),
+                lambda i: F.concat_ws(" ", F.slice("tk", i + 1, k)),
+            )
+        ).alias("s", "_g"),
+    ).select(id_col, "s", md5_long(F.col("_g")).alias("gh"))
+    # both the dup-set groupBy and the probe side read the exploded
+    # frame — persist it once (scoped registry, same rationale and
+    # release path as the pair generators' banded frames)
+    grams = _swap_cache("duplicate_spans", grams)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gh")
+    )
+    covered = grams.join(dup, "gh").select(
+        id_col, "s", (F.col("s") + F.lit(k - 1)).alias("e")
+    )
+    win = Window.partitionBy(id_col).orderBy("s")
+    prev_end = F.max("e").over(win.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = covered.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("s") > prev_end + 1), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(win))
+    return (
+        flagged.groupBy(id_col, "_island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove the duplicated runs ``duplicate_spans`` found, keeping the
+    rest of each document: rebuilds ``text_col`` from the tokens whose
+    0-based position falls inside no span, preserving order. Documents
+    with no spans pass through verbatim (token-rejoined); a document
+    that is ONE big span comes back empty — the quality_filter stage
+    downstream drops empties, mirroring a production strip->filter
+    chain.
+
+    Scale shape: spans collapse to ONE small array-of-structs per
+    affected document (a handful of (start,end) pairs), joined back in
+    a single equi-join on the id; the strip itself is a native
+    filter-with-index lambda over the token array — no explode, no
+    Python, no second shuffle."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = whitespace_tokens(text_col)
+    keep = F.filter(
+        F.coalesce(F.col("_tk"), F.array()),
+        lambda x, i: ~F.exists(
+            F.coalesce(F.col("_spans"), F.array()),
+            lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"]),
+        ),
+    )
+    return (
+        docs.withColumn("_tk", toks)
+        .join(per_doc, id_col, "left")
+        .withColumn(text_col, F.concat_ws(" ", keep))
+        .drop("_tk", "_spans")
+    )

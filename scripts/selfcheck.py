@@ -71,6 +71,8 @@ _HARNESS_MODULE_LEVEL_DEPS = {
         "bm25_indexed_incremental", "bm25_indexed_delete",
     },
     "_quality_filter_sql": {"quality_filter", "corpus_prep"},
+    "_dedup_spans_sql": {"dedup_spans"},
+    "_DEDUP_SPANS_K": {"dedup_spans"},
     "_corpus_prep_sql": {"corpus_prep"},
     "_ann_recall": {"ann_lsh", "ann_ivf", "ann_ivf_quantized", "ann_ivf_indexed", "ann_ivf_indexed_int8"},
     "_synthetic_docs": {"chunk_fanout", "embed_batch", "embed_values", "pipeline_e2e"},

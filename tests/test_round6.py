@@ -487,3 +487,41 @@ def test_late_r6_registrations_self_validate(spark, sf_dir):
         )
     )
     assert got == want and got
+
+
+def test_duplicate_spans_and_strip(spark, sf_dir):
+    """Substring-level dedup on a hand-built corpus: a boilerplate run
+    pasted into two otherwise-distinct docs is found as one merged
+    span in each (overlapping k-grams coalesce), a doc shorter than k
+    never errors or matches, and stripping removes exactly the marked
+    tokens — after the strip, NO k-gram is shared across documents and
+    untouched docs round-trip verbatim."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup as DD,
+    )
+
+    boiler = "all rights reserved contact us for terms of service today"  # 10 toks
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta epsilon"),
+            (2, f"{boiler} zeta eta theta iota kappa xi"),
+            (3, "completely unrelated text about spark partitions and shuffles"),
+            (4, "tiny doc"),  # shorter than k
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id): (r.span_start, r.span_end, r.n_tokens)
+        for r in DD.duplicate_spans(docs, k=8).collect()
+    }
+    # the 10-token boilerplate yields three overlapping 8-gram hits
+    # that must merge into ONE maximal span per doc at its position
+    assert spans == {1: (3, 12, 10), 2: (0, 9, 10)}
+
+    stripped = DD.strip_duplicate_spans(docs, DD.duplicate_spans(docs, k=8))
+    out = {r.doc_id: r.text for r in stripped.collect()}
+    assert out[1] == "alpha beta gamma delta epsilon"
+    assert out[2] == "zeta eta theta iota kappa xi"
+    assert out[3] == "completely unrelated text about spark partitions and shuffles"
+    assert out[4] == "tiny doc"
+    assert DD.duplicate_spans(stripped, k=8).count() == 0

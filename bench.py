@@ -46,6 +46,7 @@ HEADLINE = [
     "bm25_indexed_incremental",
     "bm25_indexed_delete",
     "ann_ivf_indexed",
+    "ann_pq",
     "hybrid_rrf",
     "agg_config",
     "report_rank",

@@ -1788,6 +1788,47 @@ def ann_ivf_append(spark, sf_dir):
     return _ann_recall(spark, sf_dir, make_approx)
 
 
+@register("ann_pq")  # rows-only: seeded per-subspace KMeans not SQL-expressible
+def ann_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/retrieval.py, after Jegou et
+    al. 2011) as a STORED index: 16 per-subspace seeded-KMeans
+    codebooks (KB-scale, written beside the index like IVF centroids)
+    and one byte code per subspace per vector — 16 bytes vs 256 of
+    float32. The query path is ADC + exact rescore, and the bandwidth
+    win is structural: the stored codes table carries ONLY (id, codes),
+    so the coarse scan cannot read a float vector even by accident;
+    the float table is touched by a separate broadcast candidate fetch
+    for the top-100 rescore. Encoding itself is a pure scan-local
+    codegen projection (codebooks inline as literals — no shuffle, no
+    Python, no join), the shape a 100 TB ingest wants. Output is
+    per-query recall@10 vs exact brute force with the asserted
+    ``recall_floor_met`` flag."""
+    import os
+    import tempfile
+
+    def make_approx(q, e):
+        cb = R.build_pq_codebooks(e, num_subspaces=16, num_codes=16)
+        enc = R.pq_encode(e.select("vec_id", "embedding"), cb).select(
+            "vec_id", "pq_codes"
+        )
+        tmp = os.path.join(
+            tempfile.gettempdir(), f"spark_rag_pq_idx_p{os.getpid()}"
+        )
+        enc.write.mode("overwrite").parquet(f"{tmp}/codes")
+        cb.write.mode("overwrite").parquet(f"{tmp}/codebooks")
+        return R.knn_pq(
+            spark.read.parquet(f"{tmp}/codes"),
+            spark.read.parquet(f"{tmp}/codebooks"),
+            q,
+            10,
+            corpus=e,
+            coarse_k=100,
+            corpus_id="vec_id",
+        )
+
+    return _ann_recall(spark, sf_dir, make_approx)
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite (north-star)
 # ---------------------------------------------------------------------------
@@ -4869,9 +4910,10 @@ _PRIORITY = [
     # CTE), IVF index GROWTH by append-to-frozen-centroids, and the
     # signature-store compaction cycle (self-validating rows)
     "bm25_indexed_delete", "ann_ivf_append", "dedup_store_compact",
-    # (a) late-r6 NEW operator: substring-level exact dedup (Lee et al.
-    # 2021 k-gram form), full bit-exact oracle
-    "dedup_spans",
+    # (a) late-r6 NEW operators: substring-level exact dedup (Lee et
+    # al. 2021 k-gram form, full bit-exact oracle) and
+    # product-quantization ANN over a stored codes+codebooks index
+    "dedup_spans", "ann_pq",
     # (b) closure of operators/dedup_index.py + the stored-index
     # harness queries edited for the temp-path fix
     "dedup_incremental", "bm25_indexed", "ann_ivf_indexed",
@@ -4897,7 +4939,7 @@ _PRIORITY = [
     # the closure groups above)
     "topk_retrieval_quantized", "bm25_topk", "quality_filter",
     "corpus_prep", "tfidf_terms", "dedup_minhash_pairs",
-    "ngram_jaccard", "dedup_embedding", "sequence_pack", "dedup_exact",
+    "ngram_jaccard", "dedup_embedding", "dedup_exact",
     "decontaminate", "connected_components", "dedup_minhash",
     # (c) oldest-evidence debt, as far as the slots reach:
     # filter_nonempty (r2, yielded its r5 slot), the §2-table-flagged
@@ -4910,9 +4952,10 @@ _PRIORITY = [
 # semi_anti_join (r4-green, plan-guarded by tests/test_plans.py and
 # tests/test_bucketing.py — their slots went to the three late-r6
 # maintenance registrations bm25_indexed_delete / ann_ivf_append /
-# dedup_store_compact), embed_values (r4-green bit-exact hash-embedder
-# pin, machinery untouched — its slot went to the new dedup_spans
-# substring-dedup oracle), metric_topk, metric_mrr, metric_avgsim,
+# dedup_store_compact), embed_values and sequence_pack (r4-green,
+# machinery untouched — their slots went to the new dedup_spans
+# substring-dedup oracle and the ann_pq stored
+# product-quantization index), metric_topk, metric_mrr, metric_avgsim,
 # chunk_fixed_size, chunk_recursive, chunk_structure_aware,
 # chunk_hybrid, chunk_table_aware, chunk_fanout, embed_batch,
 # multimodal_meta, brand_revenue, rollup_lineitem, tpch_q6,

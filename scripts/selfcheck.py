@@ -74,7 +74,10 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_dedup_spans_sql": {"dedup_spans"},
     "_DEDUP_SPANS_K": {"dedup_spans"},
     "_corpus_prep_sql": {"corpus_prep"},
-    "_ann_recall": {"ann_lsh", "ann_ivf", "ann_ivf_quantized", "ann_ivf_indexed", "ann_ivf_indexed_int8"},
+    "_ann_recall": {
+        "ann_lsh", "ann_ivf", "ann_ivf_quantized", "ann_ivf_indexed",
+        "ann_ivf_indexed_int8", "ann_ivf_append", "ann_pq",
+    },
     "_synthetic_docs": {"chunk_fanout", "embed_batch", "embed_values", "pipeline_e2e"},
     "_events": {
         "asof_join", "events_hourly", "events_json", "events_percentiles",

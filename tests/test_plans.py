@@ -173,3 +173,20 @@ def test_signature_index_probe_prunes_partitions(spark, sf_dir, name, bucket_col
     plan = _plan(spark, name, sf_dir)
     assert "PartitionFilters" in plan and bucket_col in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_pq_codes_scan_reads_no_vectors(spark, sf_dir):
+    # the ADC coarse scan must answer from the stored codes table and
+    # read ONLY (vec_id, pq_codes) — the float32 vectors enter the plan
+    # solely via the separate candidate-fetch / recall joins against
+    # embeddings.parquet; no cartesian anywhere
+    plan = _plan(spark, "ann_pq", sf_dir)
+    assert "/codes" in plan and "/codebooks" not in plan  # codebooks are literals
+    assert "CartesianProduct" not in plan
+    # the codes-table scan's ReadSchema carries no embedding column:
+    # formatted plans detail each scan in its own blank-line-separated
+    # block holding Location + ReadSchema together
+    blocks = [b for b in plan.split("\n\n") if "/codes]" in b and "ReadSchema" in b]
+    assert blocks, plan
+    for blk in blocks:
+        assert "embedding" not in blk, blk

@@ -525,3 +525,32 @@ def test_duplicate_spans_and_strip(spark, sf_dir):
     assert out[3] == "completely unrelated text about spark partitions and shuffles"
     assert out[4] == "tiny doc"
     assert DD.duplicate_spans(stripped, k=8).count() == 0
+
+
+def test_pq_family_contracts(spark, sf_dir):
+    """Product quantization: codebooks are the full m x k grid, encode
+    emits one bounded tinyint per subspace as a deterministic
+    scan-local projection (re-encoding is bit-identical), and the
+    registered ann_pq query meets the recall floor on every row."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+
+    e = H._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = R.build_pq_codebooks(e, num_subspaces=16, num_codes=16)
+    grid = {(r.subspace, r.code) for r in cb.collect()}
+    assert grid == {(s, c) for s in range(16) for c in range(16)}
+    assert all(len(r.centroid) == 4 for r in cb.collect())
+
+    enc = R.pq_encode(e, cb)
+    assert dict(enc.dtypes)["pq_codes"] == "array<tinyint>"
+    first = {r.vec_id: list(r.pq_codes) for r in enc.collect()}
+    again = {r.vec_id: list(r.pq_codes) for r in R.pq_encode(e, cb).collect()}
+    assert first == again and len(first) == e.count()
+    assert all(
+        len(cs) == 16 and all(0 <= c < 16 for c in cs) for cs in first.values()
+    )
+
+    rows = H.SPARK_QUERIES["ann_pq"](spark, sf_dir).collect()
+    assert rows and all(r.recall_floor_met for r in rows), rows

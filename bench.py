@@ -72,6 +72,7 @@ HEADLINE = [
     "pii_scan",
     "quality_filter",
     "hash_split_assign",
+    "mixture_sample",
     "decontaminate",
     "chunk_sections",
     # UDF-path ops

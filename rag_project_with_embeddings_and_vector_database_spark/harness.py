@@ -2441,6 +2441,47 @@ def stratified_sample(spark, sf_dir):
     )
 
 
+_MIXTURE_WEIGHTS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+_MIXTURE_TOTAL = 200
+
+
+@register(
+    "mixture_sample",
+    f"""
+    WITH sup AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w(lang, wt) AS (VALUES {", ".join(f"('{d}', {x})" for d, x in sorted(_MIXTURE_WEIGHTS.items()))}),
+    tgt AS (
+      SELECT w.lang, least(CAST(round(wt * {_MIXTURE_TOTAL}) AS BIGINT), sup.n) AS t
+      FROM w JOIN sup USING (lang)
+    ),
+    ranked AS (
+      SELECT lang, doc_id, {_HASH_BUCKET_SQL} AS bucket,
+             row_number() OVER (PARTITION BY lang ORDER BY {_HASH_BUCKET_SQL}, doc_id) AS rn
+      FROM documents WHERE lang IN ({", ".join(f"'{d}'" for d in sorted(_MIXTURE_WEIGHTS))})
+    )
+    SELECT lang, doc_id, bucket FROM ranked JOIN tgt USING (lang) WHERE rn <= t
+    """,
+)
+def mixture_sample(spark, sf_dir):
+    """DATA MIXING (operators/sampling.py mixture_sample): sample the
+    corpus down to a target domain mixture — 50% en / 15% de / 15% fr /
+    10% es / 10% zh of a 200-doc budget over the lang column, the knob
+    every LLM data pipeline exposes. Per-domain targets clamp to
+    supply (no silent redistribution — shortfall stays visible);
+    selection is smallest-permanent-hash-bucket with id tie-break, so
+    membership is reproducible across engines, reruns, and
+    repartitionings, and the oracle replays target arithmetic AND
+    member selection bit-for-bit. The scan-local 'threshold' variant
+    (zero shuffle, approximate counts — the 100 TB default) is
+    pytest-pinned alongside."""
+    from .operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return MX.mixture_sample(
+        d, "lang", _MIXTURE_WEIGHTS, _MIXTURE_TOTAL
+    ).select("lang", "doc_id", MX.hash_bucket("doc_id").alias("bucket"))
+
+
 @register(
     "repetition_stats",
     """
@@ -4911,9 +4952,15 @@ _PRIORITY = [
     # signature-store compaction cycle (self-validating rows)
     "bm25_indexed_delete", "ann_ivf_append", "dedup_store_compact",
     # (a) late-r6 NEW operators: substring-level exact dedup (Lee et
-    # al. 2021 k-gram form, full bit-exact oracle) and
-    # product-quantization ANN over a stored codes+codebooks index
-    "dedup_spans", "ann_pq",
+    # al. 2021 k-gram form, full bit-exact oracle),
+    # product-quantization ANN over a stored codes+codebooks index,
+    # and the domain-mixture sampler (bit-exact oracle incl. the
+    # clamped target arithmetic)
+    "dedup_spans", "ann_pq", "mixture_sample",
+    # window-tool conservative span: the mixture_sample registration
+    # abuts stratified_sample's @register span, pulling it into the
+    # affected set — and its evidence was r3-old anyway
+    "stratified_sample",
     # (b) closure of operators/dedup_index.py + the stored-index
     # harness queries edited for the temp-path fix
     "dedup_incremental", "bm25_indexed", "ann_ivf_indexed",
@@ -4937,8 +4984,8 @@ _PRIORITY = [
     # (c) the recorded r6 rotation debt — the remaining 17 of the 21
     # r4-green queries the r5 window displaced (the other four sit in
     # the closure groups above)
-    "topk_retrieval_quantized", "bm25_topk", "quality_filter",
-    "corpus_prep", "tfidf_terms", "dedup_minhash_pairs",
+    "topk_retrieval_quantized", "bm25_topk",
+    "corpus_prep", "dedup_minhash_pairs",
     "ngram_jaccard", "dedup_embedding", "dedup_exact",
     "decontaminate", "connected_components", "dedup_minhash",
     # (c) oldest-evidence debt, as far as the slots reach:
@@ -4952,10 +4999,13 @@ _PRIORITY = [
 # semi_anti_join (r4-green, plan-guarded by tests/test_plans.py and
 # tests/test_bucketing.py — their slots went to the three late-r6
 # maintenance registrations bm25_indexed_delete / ann_ivf_append /
-# dedup_store_compact), embed_values and sequence_pack (r4-green,
-# machinery untouched — their slots went to the new dedup_spans
-# substring-dedup oracle and the ann_pq stored
-# product-quantization index), metric_topk, metric_mrr, metric_avgsim,
+# dedup_store_compact), embed_values, sequence_pack, and tfidf_terms
+# (r4-green, machinery untouched — their slots went to the new
+# dedup_spans substring-dedup oracle, the ann_pq stored
+# product-quantization index, and the mixture_sample domain-mixture
+# sampler), quality_filter (r4-green — its slot went to
+# stratified_sample, r3-old evidence pulled into the affected set by
+# the mixture_sample registration), metric_topk, metric_mrr, metric_avgsim,
 # chunk_fixed_size, chunk_recursive, chunk_structure_aware,
 # chunk_hybrid, chunk_table_aware, chunk_fanout, embed_batch,
 # multimodal_meta, brand_revenue, rollup_lineitem, tpch_q6,

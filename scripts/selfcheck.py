@@ -73,6 +73,8 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_quality_filter_sql": {"quality_filter", "corpus_prep"},
     "_dedup_spans_sql": {"dedup_spans"},
     "_DEDUP_SPANS_K": {"dedup_spans"},
+    "_MIXTURE_WEIGHTS": {"mixture_sample"},
+    "_MIXTURE_TOTAL": {"mixture_sample"},
     "_corpus_prep_sql": {"corpus_prep"},
     "_ann_recall": {
         "ann_lsh", "ann_ivf", "ann_ivf_quantized", "ann_ivf_indexed",

@@ -554,3 +554,39 @@ def test_pq_family_contracts(spark, sf_dir):
 
     rows = H.SPARK_QUERIES["ann_pq"](spark, sf_dir).collect()
     assert rows and all(r.recall_floor_met for r in rows), rows
+
+
+def test_mixture_sample_contracts(spark, sf_dir):
+    """Domain mixing: exact method hits the clamped per-domain targets
+    precisely; undersupplied domains yield their whole supply with no
+    silent redistribution; unweighted domains drop; the scan-local
+    threshold variant's counts land within binomial wobble of target
+    and its membership is a deterministic function of the permanent
+    hash (identical across invocations)."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        mixing as MX,
+    )
+
+    d = H._t(spark, sf_dir, "documents").select("lang", "doc_id")
+    supply = {r.lang: r.n for r in d.groupBy("lang").agg(SF.count("*").alias("n")).collect()}
+
+    # oversupplied + undersupplied + absent domains in one weights map:
+    # zh gets a target far above its supply -> clamps to supply
+    weights = {"en": 0.2, "zh": 0.8}
+    total = 400
+    out = MX.mixture_sample(d, "lang", weights, total)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(SF.count("*").alias("n")).collect()}
+    assert got == {"en": 80, "zh": min(320, supply["zh"])}
+    assert supply["zh"] < 320  # the clamp actually engaged on this corpus
+
+    th = MX.mixture_sample(d, "lang", weights, total, method="threshold")
+    c1 = sorted((r.lang, r.doc_id) for r in th.collect())
+    c2 = sorted(
+        (r.lang, r.doc_id)
+        for r in MX.mixture_sample(d, "lang", weights, total, method="threshold").collect()
+    )
+    assert c1 == c2  # permanent-hash membership, not rand()
+    n_en = sum(1 for lang, _ in c1 if lang == "en")
+    assert abs(n_en - 80) <= 25  # binomial wobble around the target
+    assert {lang for lang, _ in c1} <= {"en", "zh"}

@@ -5017,7 +5017,13 @@ _PRIORITY = [
 # text_index_delete) were PROMOTED late in r6 as the window's
 # bm25_indexed_delete / ann_ivf_append / dedup_store_compact entries,
 # paid for by the three plan-guarded r4-green displacements noted
-# above. Older long-tail
+# above. NEW r7 registration candidates (pytest-verified late r6, not
+# yet driver-registered): vector_arrival_ingest (streaming/ingest.py
+# — streaming growth of the stored IVF index, micro-batches assigned
+# to frozen centroids and appended bucket-partitioned; e2e
+# stream-vs-one-shot identity test), strip_duplicate_spans
+# (operators/dedup.py — span removal composed after dedup_spans), and
+# mixture_sample's threshold variant. Older long-tail
 # still due when slots free up: filter_ext and project_payload (r2)
 # and sink_json (r3) — their spare slots went to
 # dedup_embedding_incremental, bm25_indexed_incremental, and

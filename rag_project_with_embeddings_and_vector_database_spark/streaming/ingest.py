@@ -285,3 +285,60 @@ def windowed_event_counts(
             "avg_value",
         )
     )
+
+
+def vector_arrival_ingest(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_schema: str = "vec_id long, embedding array<float>",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store_int8: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """STREAMING growth of the stored IVF index — the ANN analogue of
+    dedup_gated_ingest's signature accumulation: each micro-batch of
+    arriving embeddings is assigned to the FROZEN stored centroids
+    (operators/retrieval.ivf_index_append — squared-euclidean argmin,
+    one broadcast of the KB-scale centroid frame per batch, never a
+    KMeans re-fit) and APPENDED into the bucket-partitioned
+    assignments table, so queries (knn_ivf_indexed) see new vectors as
+    soon as their batch commits. Re-clustering stays the offline
+    snapshot job; the documented drift trade of ivf_index_append
+    applies per batch.
+
+    Replay is handled structurally, like the signature store: an
+    append replayed after a failed commit duplicates rows that are
+    IDENTICAL by construction (same frozen centroids -> same bucket,
+    same id, same vector), so readers collapse them with
+    ``dropDuplicates([id_col])`` and which copy survives is
+    immaterial; compaction (rewrite partitioned, duplicates dropped)
+    is the same nightly OPTIMIZE the signature store gets. The
+    centroid frame is read from ``{index_path}/centroids`` INSIDE each
+    batch, so an offline re-cluster that overwrites centroids +
+    assignments takes effect at the next micro-batch without
+    restarting the stream."""
+    from ..operators.retrieval import ivf_index_append
+
+    reader = spark.readStream.schema(vec_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ss = batch_df.sparkSession
+        cdf = ss.read.parquet(f"{index_path}/centroids")
+        ivf_index_append(
+            cdf, batch_df, corpus_id=id_col, vec_col=vec_col, store_int8=store_int8
+        ).write.mode("append").partitionBy("bucket").parquet(f"{index_path}/assigned")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

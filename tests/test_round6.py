@@ -590,3 +590,54 @@ def test_mixture_sample_contracts(spark, sf_dir):
     n_en = sum(1 for lang, _ in c1 if lang == "en")
     assert abs(n_en - 80) <= 25  # binomial wobble around the target
     assert {lang for lang, _ in c1} <= {"en", "zh"}
+
+
+def test_vector_arrival_ingest_grows_stored_ivf_index(spark, sf_dir, tmp_path):
+    """Streaming IVF growth: build the index offline over half the
+    corpus, stream the other half in two micro-batches
+    (maxFilesPerTrigger=1), and the grown stored index must answer
+    queries identically to a one-shot assignment of ALL vectors to the
+    same frozen centroids — the streaming path changes delivery, never
+    results."""
+    from pyspark.sql import functions as F
+
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.streaming.ingest import (
+        vector_arrival_ingest,
+    )
+
+    e = H._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+    assigned, cdf = R.build_ivf_index(half, num_centroids=8, corpus_id="vec_id", seed=42)
+    idx = str(tmp_path / "ivf")
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(f"{idx}/assigned")
+    cdf.write.mode("overwrite").parquet(f"{idx}/centroids")
+
+    # arrivals land as two files -> two micro-batches
+    arr = str(tmp_path / "arrivals")
+    rest.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.mode("append").parquet(arr)
+    rest.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.mode("append").parquet(arr)
+    q = vector_arrival_ingest(
+        spark, arr, idx, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination()
+
+    grown = spark.read.parquet(f"{idx}/assigned").dropDuplicates(["vec_id"])
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = R.knn_ivf_indexed(
+        grown, spark.read.parquet(f"{idx}/centroids"), queries, 10,
+        nprobe=6, corpus_id="vec_id",
+    )
+    want = R.knn_ivf_indexed(
+        R.ivf_index_append(cdf, e, corpus_id="vec_id"), cdf, queries, 10,
+        nprobe=6, corpus_id="vec_id",
+    )
+    a = sorted((r.query_id, r.vec_id, r.score, r.rank) for r in got.collect())
+    b = sorted((r.query_id, r.vec_id, r.score, r.rank) for r in want.collect())
+    assert a == b and len(a) == 50

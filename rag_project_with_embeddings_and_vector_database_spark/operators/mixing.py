@@ -81,3 +81,73 @@ def mixture_sample(
         .filter(F.col("_rn") <= n_of[F.col(domain_col)])
         .drop("_rn")
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    total: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_epochs: int = 10,
+) -> DataFrame:
+    """The other half of the mixing knob: when a domain's target
+    EXCEEDS its supply, repeat documents instead of clamping — the
+    "epochs over the small domain" every published mixture runs
+    (Wikipedia at 3.4 epochs in GPT-3's table, etc.). Each domain d
+    with target t and supply n emits floor(t/n) full passes over every
+    doc plus one extra copy of the (t mod n) smallest-hash docs, so
+    the output hits t rows EXACTLY; oversupplied domains downsample
+    exactly as ``mixture_sample``. Every emitted row carries an
+    ``epoch`` column (0-based copy index) so downstream packing /
+    shuffling can distinguish copies deterministically.
+
+    Guardrail in the module's eager style: a domain needing more than
+    ``max_epochs`` passes raises instead of silently exploding the
+    corpus (a 100x repetition is almost always a weights typo, and at
+    100 TB it is also a 100x bill). Cost shape: supply counts are one
+    tiny collected aggregate; one exchange on the domain key for the
+    per-domain hash rank; the repeat itself is a narrow
+    explode(sequence(...)) — rows expand by exactly the mixture's
+    epoch factor and nothing else."""
+    from pyspark.sql import Window
+
+    supply = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    plans = {}
+    for d, wt in weights.items():
+        n = supply.get(d, 0)
+        if n == 0:
+            continue
+        t = int(round(wt * total))
+        full, rem = divmod(t, n) if t > n else (0, t)
+        if full > max_epochs:
+            raise ValueError(
+                f"domain {d!r} needs {full} epochs (target {t}, supply {n}) "
+                f"> max_epochs={max_epochs}; raise max_epochs explicitly if "
+                f"this repetition factor is intended"
+            )
+        plans[d] = (full, rem)
+    full_of = F.create_map(
+        *[x for d, (fl, _) in sorted(plans.items()) for x in (F.lit(d), F.lit(fl))]
+    )
+    rem_of = F.create_map(
+        *[x for d, (_, rem) in sorted(plans.items()) for x in (F.lit(d), F.lit(rem))]
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        hash_bucket(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    repeats = full_of[F.col(domain_col)] + F.when(
+        F.col("_rn") <= rem_of[F.col(domain_col)], 1
+    ).otherwise(0)
+    return (
+        df.filter(F.col(domain_col).isin(list(plans)))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_reps", repeats)
+        .filter(F.col("_reps") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_reps") - 1)))
+        .drop("_rn", "_reps")
+    )

@@ -1807,7 +1807,13 @@ def ann_pq(spark, sf_dir):
     import tempfile
 
     def make_approx(q, e):
-        cb = R.build_pq_codebooks(e, num_subspaces=16, num_codes=16)
+        # sample-based codebook fit: the cached training pass reads a
+        # permanent-hash HALF of the corpus (at 100 TB the fraction is
+        # whatever bounds the cache to ~100k rows; sub-quantizer
+        # quality saturates long before the corpus does)
+        cb = R.build_pq_codebooks(
+            e, num_subspaces=16, num_codes=16, id_col="vec_id", sample_fraction=0.5
+        )
         enc = R.pq_encode(e.select("vec_id", "embedding"), cb).select(
             "vec_id", "pq_codes"
         )
@@ -1816,13 +1822,19 @@ def ann_pq(spark, sf_dir):
         )
         enc.write.mode("overwrite").parquet(f"{tmp}/codes")
         cb.write.mode("overwrite").parquet(f"{tmp}/codebooks")
+        # coarse_k=300: the rescore budget is an ABSOLUTE knob (FAISS
+        # practice: some multiple of k), so its cost does not grow
+        # with the corpus; the synthetic iid-Gaussian vectors here are
+        # near worst-case for PQ (no correlated dims to exploit), so
+        # the budget sits above the floor-clearing point measured at
+        # sf0.1 rather than at the ~10*k a real embedding corpus needs
         return R.knn_pq(
             spark.read.parquet(f"{tmp}/codes"),
             spark.read.parquet(f"{tmp}/codebooks"),
             q,
             10,
             corpus=e,
-            coarse_k=100,
+            coarse_k=300,
             corpus_id="vec_id",
         )
 
@@ -1854,7 +1866,11 @@ def _dedup_spans_sql(k: int = _DEDUP_SPANS_K, min_docs: int = 2) -> str:
     # the identical chain: lowercased whitespace tokens, k-gram starts,
     # the module's portable 60-bit md5 gram hash, semi-join back, then
     # gaps-and-islands interval merge — window frames mirror the Spark
-    # rowsBetween(unboundedPreceding, -1) running max exactly
+    # rowsBetween(unboundedPreceding, -1) running max exactly.
+    # array_to_string (NOT concat_ws, which casts the list to its
+    # '[a, b, c]' display form in DuckDB) space-joins the gram exactly
+    # as Spark's concat_ws over the slice does, so both engines hash
+    # the IDENTICAL byte string — same hash, same collisions.
     return f"""
     WITH base AS (
       SELECT doc_id,
@@ -1867,7 +1883,7 @@ def _dedup_spans_sql(k: int = _DEDUP_SPANS_K, min_docs: int = 2) -> str:
       SELECT doc_id,
              unnest(list_transform(range(0, len(tk) - {k} + 1),
                i -> {{'s': i,
-                      'gh': ('0x' || substr(md5(concat_ws(' ', list_slice(tk, i+1, i+{k}))), 1, 15))::BIGINT}})) AS gr
+                      'gh': ('0x' || substr(md5(array_to_string(list_slice(tk, i+1, i+{k}), ' ')), 1, 15))::BIGINT}})) AS gr
       FROM b2
     ),
     flat AS (SELECT doc_id, gr.s AS s, gr.gh AS gh FROM grams),
@@ -2451,7 +2467,10 @@ _MIXTURE_TOTAL = 200
     WITH sup AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
     w(lang, wt) AS (VALUES {", ".join(f"('{d}', {x})" for d, x in sorted(_MIXTURE_WEIGHTS.items()))}),
     tgt AS (
-      SELECT w.lang, least(CAST(round(wt * {_MIXTURE_TOTAL}) AS BIGINT), sup.n) AS t
+      -- floor(x + 0.5): the module's pinned half-away-from-zero rule
+      -- (mixing._round_half_up) — DuckDB round() is half-away but
+      -- Python round() is banker's, so both sides spell floor(x+.5)
+      SELECT w.lang, least(CAST(floor(wt * {_MIXTURE_TOTAL} + 0.5) AS BIGINT), sup.n) AS t
       FROM w JOIN sup USING (lang)
     ),
     ranked AS (

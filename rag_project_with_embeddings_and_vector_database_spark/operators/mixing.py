@@ -8,10 +8,26 @@ repartitionings, and DuckDB oracles replay it bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .sampling import _BUCKETS, hash_bucket
+
+
+def _round_half_up(x: float) -> int:
+    """The module's ONE rounding rule for target arithmetic:
+    half-away-from-zero (for the non-negative weights*total and
+    threshold values used here, floor(x + 0.5)). Python's builtin
+    ``round`` is banker's (half-to-even) while DuckDB's ``round`` is
+    half-away-from-zero, so an oracle replaying ``round(wt * total)``
+    diverges exactly when wt*total lands on .5 (0.1625 * 200 = 32.5 ->
+    32 vs 33). Pinning the rule to floor(x + 0.5) keeps Python and the
+    SQL oracles (which spell it the same way) bit-identical for every
+    weight."""
+    return int(math.floor(x + 0.5))
+
 
 def mixture_sample(
     df: DataFrame,
@@ -21,6 +37,7 @@ def mixture_sample(
     id_col: str = "doc_id",
     seed: int = 42,
     method: str = "exact",
+    salt_partitions: int = 32,
 ) -> DataFrame:
     """DATA MIXING: sample a corpus down to a target domain mixture —
     the step that turns "we crawled what we crawled" into "the
@@ -31,13 +48,26 @@ def mixture_sample(
     undersupplied domains yield what they have (deliberately no
     silent redistribution: at 100 TB you want the shortfall visible,
     not papered over; compose a second pass if backfill is wanted).
-    Domains absent from ``weights`` are dropped.
+    Domains absent from ``weights`` are dropped. Target arithmetic is
+    pinned half-away-from-zero (``_round_half_up``) so SQL oracles
+    replay it bit-for-bit.
 
     ``method='exact'``: per-domain smallest-hash-bucket selection with
     an id tie-break (stratified_sample's machinery with per-domain n)
-    — exactly the clamped target count per domain, one exchange on the
-    domain key. ``method='threshold'``: scan-local Bernoulli via the
-    same permanent hash (keep iff bucket < target/supply of the bucket
+    — exactly the clamped target count per domain. Skew-proofed with a
+    TWO-LEVEL salted rank: a naive single window on the domain key
+    sends the entire hot domain (commonly 60%+ of a crawl) through one
+    reducer; instead rows first rank inside ``salt_partitions``
+    deterministic salt shards of each domain (pmod(hash(id), S), the
+    salted-join pattern of operators/joins.py), keep the per-shard
+    top-t, then re-rank the <= S*t survivors per domain. The global
+    per-domain top-t is always a subset of the union of per-shard
+    top-t sets, so the result is IDENTICAL to the single-rank form
+    (pinned by a 90%-skew pytest) while the hot-domain reducer touches
+    t*S rows instead of the whole domain. ``salt_partitions=1``
+    collapses to the plain single-exchange rank for tiny inputs.
+    ``method='threshold'``: scan-local Bernoulli via the same
+    permanent hash (keep iff bucket < target/supply of the bucket
     space) — ZERO shuffle, binomially-approximate counts; the form a
     100 TB job prefers when a few-per-mille count wobble is
     acceptable. Both are reproducible across engines, reruns, and
@@ -53,7 +83,8 @@ def mixture_sample(
         for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     targets = {
-        d: min(int(round(w * total)), supply.get(d, 0)) for d, w in weights.items()
+        d: min(_round_half_up(w * total), supply.get(d, 0))
+        for d, w in weights.items()
     }
     in_scope = df.filter(F.col(domain_col).isin(list(weights)))
     if method == "threshold":
@@ -63,7 +94,11 @@ def mixture_sample(
                 for d, t in sorted(targets.items())
                 for x in (
                     F.lit(d),
-                    F.lit(int(round(t / supply[d] * _BUCKETS)) if supply.get(d) else 0),
+                    F.lit(
+                        _round_half_up(t / supply[d] * _BUCKETS)
+                        if supply.get(d)
+                        else 0
+                    ),
                 )
             ]
         )
@@ -73,11 +108,24 @@ def mixture_sample(
     n_of = F.create_map(
         *[x for d, t in sorted(targets.items()) for x in (F.lit(d), F.lit(t))]
     )
-    w = Window.partitionBy(domain_col).orderBy(
-        hash_bucket(id_col, seed).asc(), F.col(id_col).asc()
-    )
+    order = [hash_bucket(id_col, seed).asc(), F.col(id_col).asc()]
+    ranked = in_scope
+    if salt_partitions > 1:
+        # level 1: rank inside deterministic salt shards of each domain
+        # (spreads a hot domain over salt_partitions reducers), keep
+        # only each shard's top-t — <= S*t survivors per domain
+        w1 = Window.partitionBy(domain_col, "_salt").orderBy(*order)
+        ranked = (
+            in_scope.withColumn(
+                "_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt_partitions))
+            )
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= n_of[F.col(domain_col)])
+            .drop("_salt", "_rn")
+        )
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
     return (
-        in_scope.withColumn("_rn", F.row_number().over(w))
+        ranked.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= n_of[F.col(domain_col)])
         .drop("_rn")
     )
@@ -122,11 +170,15 @@ def mixture_upsample(
         n = supply.get(d, 0)
         if n == 0:
             continue
-        t = int(round(wt * total))
+        t = _round_half_up(wt * total)
         full, rem = divmod(t, n) if t > n else (0, t)
-        if full > max_epochs:
+        # total passes over the domain is ceil(t/n) = full + (rem>0):
+        # guard on that, not on `full` alone, or a domain needing
+        # exactly max_epochs+1 passes (rem > 0) slips through
+        passes = full + (1 if rem else 0)
+        if passes > max_epochs:
             raise ValueError(
-                f"domain {d!r} needs {full} epochs (target {t}, supply {n}) "
+                f"domain {d!r} needs {passes} epochs (target {t}, supply {n}) "
                 f"> max_epochs={max_epochs}; raise max_epochs explicitly if "
                 f"this repetition factor is intended"
             )

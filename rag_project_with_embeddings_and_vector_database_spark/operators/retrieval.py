@@ -22,6 +22,8 @@ unspecified tie order (SURVEY.md §7 risk register).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -364,6 +366,9 @@ def build_pq_codebooks(
     num_codes: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    id_col: str | None = None,
+    sample_fraction: float | None = None,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """The PQ INDEXING job — product quantization after Jegou et al.
     2011 ("Product Quantization for Nearest Neighbor Search", IEEE
@@ -378,34 +383,118 @@ def build_pq_codebooks(
     4 bits; stored as one tinyint per subspace, a 64-dim float32
     vector compresses 256 bytes -> 8 (32x scan bandwidth), which is
     the entire point at 100 TB: the ADC scan reads codes only and the
-    float32 column is touched just for the rescore candidates."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    float32 column is touched just for the rescore candidates.
 
-    dim = len(corpus.select(vec_col).first()[0])
+    Cost shape (the r6 verdict's one weak bench row, fixed): the old
+    form ran m sequential MLlib KMeans fits — m full corpus scans plus
+    hundreds of tiny scheduler-bound Lloyd jobs, 16 of 32 bench
+    seconds at sf0.1. Sub-quantizer training does not need the corpus
+    OR the cluster: m*k centroids (128 here) saturate on a few
+    thousand training rows, so this does what FAISS's PQ trainer does
+    — draw ONE bounded sample and run seeded Lloyd iterations
+    in-driver over all m subspaces vectorized (numpy, one einsum per
+    iteration). The sample is ``sample_fraction`` of the corpus via
+    the permanent hash bucket (operators/sampling.py — reproducible,
+    never ``rand()``), hard-capped at ``max_train_rows`` by
+    smallest-bucket top-n (deterministic under repartitioning), and is
+    the ONLY data movement: one Spark job, one scan, a driver matrix
+    of at most max_train_rows*D doubles (~50 MB at D=64) — bounded
+    planning metadata in the module's sense, exactly like the IVF
+    centroid frame it sits beside."""
+    from .sampling import _BUCKETS, hash_bucket
+
+    base = corpus
+    if sample_fraction is not None:
+        if id_col is None:
+            raise ValueError("sample_fraction requires id_col")
+        thr = int(sample_fraction * _BUCKETS + 0.5)
+        base = corpus.filter(hash_bucket(id_col, seed) < F.lit(thr))
+    sel = base.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if id_col is not None:
+        # deterministic cap: the max_train_rows SMALLEST hash buckets
+        # (a TakeOrderedAndProject, not a full sort), so the training
+        # set is a pure function of ids — stable across runs, engines,
+        # and physical partitioning
+        sel = (
+            base.select(
+                hash_bucket(id_col, seed).alias("_hb"),
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
+            .orderBy(F.col("_hb").asc(), F.col("_id").asc())
+            .limit(max_train_rows)
+            .select("_v")
+        )
+    train = np.array([r._v for r in sel.collect()], dtype=np.float64)
+    if train.size == 0:
+        raise ValueError(
+            "PQ training set is empty (corpus empty or sample_fraction too small)"
+        )
+    dim = train.shape[1]
     if dim % num_subspaces != 0:
         raise ValueError(
             f"vector dim {dim} not divisible by num_subspaces={num_subspaces}"
         )
     d_sub = dim // num_subspaces
-    spark = corpus.sparkSession
+    n = train.shape[0]
+    rng = np.random.default_rng(seed)
+
+    def _kmeanspp(x: "np.ndarray", k: int) -> "np.ndarray":
+        # k-means++ seeding (Arthur & Vassilvitskii 2007): each next
+        # seed drawn proportional to squared distance from the chosen
+        # set — the quality MLlib's k-means|| approximates
+        cents = [x[rng.integers(n)]]
+        d2 = ((x - cents[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            tot = d2.sum()
+            probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+            nxt = x[rng.choice(n, p=probs)]
+            cents.append(nxt)
+            d2 = np.minimum(d2, ((x - nxt) ** 2).sum(axis=1))
+        return np.array(cents)
+
+    def _lloyd(x: "np.ndarray", cents: "np.ndarray") -> tuple["np.ndarray", float]:
+        k = len(cents)
+        x_sq = (x * x).sum(axis=1)
+        prev = cost = np.inf
+        for _ in range(25):  # Lloyd to tolerance (FAISS default niter range)
+            # ||x-c||^2 via the expanded form: an (n, k) matrix, never
+            # the (n, k, d) broadcast temp (GB-scale at the row cap)
+            d2 = x_sq[:, None] + (cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
+            assign = d2.argmin(axis=1)
+            cost = d2[np.arange(len(x)), assign].sum()
+            for c in range(k):
+                m = assign == c
+                if m.any():
+                    cents[c] = x[m].mean(axis=0)
+                else:  # re-seed an empty cluster at the worst-fit point
+                    cents[c] = x[d2.min(axis=1).argmax()]
+            if prev - cost <= 1e-6 * max(prev, 1.0):
+                break
+            prev = cost
+        return cents, float(cost)
+
     rows = []
     for sub in range(num_subspaces):
-        # m tiny fits over sliced sub-vectors: an offline indexing job
-        # (the per-subspace problems are independent; at scale each fit
-        # samples the corpus exactly as IVF re-clustering does)
-        cn = corpus.select(
-            array_to_vector(
-                F.slice(F.col(vec_col).cast("array<double>"), sub * d_sub + 1, d_sub)
-            ).alias("features")
-        )
-        km = KMeans(
-            k=num_codes, seed=seed + sub, featuresCol="features", predictionCol="_c"
-        )
-        model = km.fit(cn)
-        for code, c in enumerate(model.clusterCenters()):
-            rows.append((sub, code, [float(x) for x in c]))
-    return spark.createDataFrame(rows, "subspace int, code int, centroid array<double>")
+        x = train[:, sub * d_sub : (sub + 1) * d_sub]
+        k = min(num_codes, n)
+        # 3 seeded restarts, keep the lowest-distortion fit: Lloyd's
+        # local minima are the whole recall-variance story for PQ on
+        # hard (near-iid) vectors, and restarts on a bounded sample
+        # cost milliseconds
+        best = best_cost = None
+        for _ in range(3):
+            cents, cost = _lloyd(x, _kmeanspp(x, k))
+            if best is None or cost < best_cost:
+                best, best_cost = cents, cost
+        cents = best
+        if k < num_codes:  # degenerate tiny corpus: pad by repetition
+            cents = np.vstack([cents, cents[: num_codes - k]])
+        for code in range(num_codes):
+            rows.append((sub, code, [float(v) for v in cents[code]]))
+    return corpus.sparkSession.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )
 
 
 def _pq_literals(codebooks: DataFrame) -> list[list[list[float]]]:
@@ -422,10 +511,6 @@ def _pq_literals(codebooks: DataFrame) -> list[list[list[float]]]:
     return out
 
 
-def _lit_arr(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
-
-
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,
@@ -433,33 +518,39 @@ def pq_encode(
     codes_col: str = "pq_codes",
 ) -> DataFrame:
     """PQ ENCODE: per subspace, the squared-euclidean argmin over the
-    codebook's centroids (first-minimum tie-break via array_position,
-    deterministic). The codebooks inline as literal expressions, so
-    encoding is ONE narrow scan-local projection — pure whole-stage
-    codegen, no shuffle, no Python, no join; exactly what a 100 TB
-    ingest wants. Codes materialize as array<tinyint> (one byte per
-    subspace; values < num_codes <= 127)."""
+    codebook's centroids (first-minimum tie-break, deterministic),
+    emitted as array<tinyint> (one byte per subspace; values <
+    num_codes <= 127). Runs as ONE Arrow-vectorized pandas UDF — a
+    scan-local projection, no shuffle, no join — doing a single numpy
+    GEMM per batch per subspace against the KB-scale codebook matrix
+    closed over from the driver. The m*k-term native-expression form
+    this replaced was strictly worse on BOTH axes that matter: Spark
+    evaluates higher-order functions (aggregate/zip_with) interpreted,
+    not codegen'd, and a 256-subexpression tree costs ~10 s of
+    Catalyst analysis EVERY time the plan compiles; the batched GEMM
+    is BLAS-speed per executor and its plan is one Arrow eval node.
+    Exactly the embed-stage shape (operators/embedding.py) a 100 TB
+    ingest wants."""
+    from pyspark.sql.functions import pandas_udf
+
     cents = _pq_literals(codebooks)
-    d_sub = len(cents[0][0])
+    c_arr = np.array(cents, dtype=np.float64)  # (m, k, d_sub)
+    m, _k, d_sub = c_arr.shape
+    c_sq = (c_arr * c_arr).sum(axis=2)  # (m, k)
 
-    def sub_dists(sub: int) -> Column:
-        sv = F.slice(F.col(vec_col).cast("array<double>"), sub * d_sub + 1, d_sub)
-        return F.array(*[
-            F.aggregate(
-                F.zip_with(sv, _lit_arr(c), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in cents[sub]
-        ])
+    @pandas_udf("array<tinyint>")
+    def _enc(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)  # (b, D)
+        codes = np.empty((x.shape[0], m), dtype=np.int8)
+        for sub in range(m):
+            xs = x[:, sub * d_sub : (sub + 1) * d_sub]
+            # argmin_c ||x-c||^2 == argmin_c (||c||^2 - 2<x,c>);
+            # np.argmin is first-minimum, so ties break to the lowest
+            # code deterministically
+            codes[:, sub] = np.argmin(c_sq[sub][None, :] - 2.0 * (xs @ c_arr[sub].T), axis=1)
+        return pd.Series(list(codes))
 
-    def code_of(sub: int) -> Column:
-        d = sub_dists(sub)
-        return (F.array_position(d, F.array_min(d)) - 1).cast("tinyint")
-
-    return corpus.withColumn(
-        codes_col, F.array(*[code_of(s) for s in range(len(cents))])
-    )
+    return corpus.withColumn(codes_col, _enc(F.col(vec_col)))
 
 
 def knn_pq(
@@ -489,28 +580,29 @@ def knn_pq(
     Vectors are unit-norm so dot == cosine and PQ-IP ranking is
     recall-correct up to quantization error (the recall floor is
     asserted by the harness query)."""
-    cents = _pq_literals(codebooks)
-    n_code = len(cents[0])
-    d_sub = len(cents[0][0])
+    from pyspark.sql.functions import pandas_udf
 
-    def lut_expr(qv: Column) -> Column:
-        parts = []
-        for sub in range(len(cents)):
-            sv = F.slice(qv.cast("array<double>"), sub * d_sub + 1, d_sub)
-            for c in cents[sub]:
-                parts.append(
-                    F.aggregate(
-                        F.zip_with(sv, _lit_arr(c), lambda x, y: x * y),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                )
-        return F.array(*parts)
+    cents = _pq_literals(codebooks)
+    c_arr = np.array(cents, dtype=np.float64)  # (m, k, d_sub)
+    n_sub, n_code, d_sub = c_arr.shape
+
+    # lut[sub*k + code] = <q_sub, centroid>: one tiny GEMM per query
+    # batch on the (broadcast) query side — same Arrow-vectorized
+    # rationale as pq_encode; the flat m*k array is what the ADC
+    # expression below indexes with element_at
+    @pandas_udf("array<double>")
+    def _lut(v: pd.Series) -> pd.Series:
+        q = np.array(v.tolist(), dtype=np.float64)  # (b, D)
+        out = np.empty((q.shape[0], n_sub * n_code), dtype=np.float64)
+        for sub in range(n_sub):
+            qs = q[:, sub * d_sub : (sub + 1) * d_sub]
+            out[:, sub * n_code : (sub + 1) * n_code] = qs @ c_arr[sub].T
+        return pd.Series(list(out))
 
     q = queries.select(
         F.col(query_id).alias(f"q_{query_id}"),
         F.col(vec_col).alias("qv"),
-        lut_expr(F.col(vec_col)).alias("_lut"),
+        _lut(F.col(vec_col)).alias("_lut"),
     )
     adc = F.aggregate(
         F.zip_with(

@@ -342,3 +342,25 @@ def vector_arrival_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The documented READ path for an IVF index grown by
+    ``vector_arrival_ingest`` — the replay-duplicate contract lives
+    HERE, in code, not only in a docstring: a foreachBatch append
+    replayed after a failed checkpoint commit duplicates rows that are
+    identical by construction (frozen centroids -> same bucket, same
+    id, same vector), so this reader collapses them with
+    ``dropDuplicates([id_col])`` before any query sees them. Returns
+    ``(assigned, centroids)`` ready for knn_ivf_indexed. The dedup is
+    one exchange on the id key over the (possibly partition-pruned)
+    scan; compaction (rewrite-partitioned, duplicates dropped) remains
+    the nightly OPTIMIZE that makes steady-state reads dedup-free."""
+    return (
+        spark.read.parquet(f"{index_path}/assigned").dropDuplicates([id_col]),
+        spark.read.parquet(f"{index_path}/centroids"),
+    )

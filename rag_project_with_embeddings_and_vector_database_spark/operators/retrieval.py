@@ -553,6 +553,42 @@ def pq_encode(
     return corpus.withColumn(codes_col, _enc(F.col(vec_col)))
 
 
+def _pq_lut_udf(c_arr: "np.ndarray"):
+    """lut[sub*k + code] = <q_sub, centroid>: one tiny GEMM per query
+    batch on the (broadcast) query side — same Arrow-vectorized
+    rationale as pq_encode; the flat m*k array is what ``_adc_expr``
+    indexes with element_at. Shared by knn_pq and knn_ivf_pq."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_sub, n_code, d_sub = c_arr.shape
+
+    @pandas_udf("array<double>")
+    def _lut(v: pd.Series) -> pd.Series:
+        q = np.array(v.tolist(), dtype=np.float64)  # (b, D)
+        out = np.empty((q.shape[0], n_sub * n_code), dtype=np.float64)
+        for sub in range(n_sub):
+            qs = q[:, sub * d_sub : (sub + 1) * d_sub]
+            out[:, sub * n_code : (sub + 1) * n_code] = qs @ c_arr[sub].T
+        return pd.Series(list(out))
+
+    return _lut
+
+
+def _adc_expr(codes_col: str, n_sub: int, n_code: int) -> Column:
+    """Sum of m table lookups indexed by the stored byte codes — the
+    ADC inner loop as one small native expression over the `_lut`
+    column (m terms, nothing like the m*k training-side trees)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(codes_col).cast("array<int>"),
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda c, i: F.element_at(F.col("_lut"), i * n_code + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def knn_pq(
     encoded: DataFrame,
     codebooks: DataFrame,
@@ -580,39 +616,15 @@ def knn_pq(
     Vectors are unit-norm so dot == cosine and PQ-IP ranking is
     recall-correct up to quantization error (the recall floor is
     asserted by the harness query)."""
-    from pyspark.sql.functions import pandas_udf
-
-    cents = _pq_literals(codebooks)
-    c_arr = np.array(cents, dtype=np.float64)  # (m, k, d_sub)
-    n_sub, n_code, d_sub = c_arr.shape
-
-    # lut[sub*k + code] = <q_sub, centroid>: one tiny GEMM per query
-    # batch on the (broadcast) query side — same Arrow-vectorized
-    # rationale as pq_encode; the flat m*k array is what the ADC
-    # expression below indexes with element_at
-    @pandas_udf("array<double>")
-    def _lut(v: pd.Series) -> pd.Series:
-        q = np.array(v.tolist(), dtype=np.float64)  # (b, D)
-        out = np.empty((q.shape[0], n_sub * n_code), dtype=np.float64)
-        for sub in range(n_sub):
-            qs = q[:, sub * d_sub : (sub + 1) * d_sub]
-            out[:, sub * n_code : (sub + 1) * n_code] = qs @ c_arr[sub].T
-        return pd.Series(list(out))
+    c_arr = np.array(_pq_literals(codebooks), dtype=np.float64)  # (m, k, d_sub)
+    n_sub, n_code, _d_sub = c_arr.shape
 
     q = queries.select(
         F.col(query_id).alias(f"q_{query_id}"),
         F.col(vec_col).alias("qv"),
-        _lut(F.col(vec_col)).alias("_lut"),
+        _pq_lut_udf(c_arr)(F.col(vec_col)).alias("_lut"),
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col(codes_col).cast("array<int>"),
-            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-            lambda c, i: F.element_at(F.col("_lut"), i * n_code + c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _adc_expr(codes_col, n_sub, n_code)
     coarse = (
         encoded.select(corpus_id, codes_col)
         .join(F.broadcast(q.select(f"q_{query_id}", "_lut")), F.lit(True))
@@ -629,6 +641,130 @@ def knn_pq(
     )
     scored = fetched.join(
         F.broadcast(q.select(f"q_{query_id}", "qv")), f"q_{query_id}"
+    ).withColumn("score", V.dot("qv", vec_col))
+    out = topk(scored, [f"q_{query_id}"], k, tiebreak_col=corpus_id)
+    return out.select(
+        F.col(f"q_{query_id}").alias(query_id),
+        F.col(corpus_id),
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_train_rows: int = 100_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """IVFADC INDEXING — the actual composed system of Jegou et al.
+    2011 §V (IVF coarse quantizer + PQ on the RESIDUALS), closing the
+    quantization family: ``build_ivf_index`` partitions the space into
+    ``num_centroids`` Voronoi cells, and each vector stores only the
+    PQ codes of its residual x - c(x) — residuals have far lower
+    variance than raw vectors, so the same code budget quantizes them
+    markedly tighter (the reason the paper composes them). Returns
+    ``(encoded, centroids, codebooks)``: ``encoded`` is
+    (corpus_id, bucket, pq_codes) — write it
+    ``partitionBy('bucket')`` and a query's nprobe pruning and PQ's
+    16-byte rows COMPOUND: a probed partition is scanned as codes
+    only, nothing anywhere reads a float vector until the rescore
+    fetch. Residual computation is one broadcast join against the
+    KB-scale centroid frame + a zip_with — scan-local, no shuffle
+    beyond build_ivf_index's own KMeans; codebook training rides
+    build_pq_codebooks' bounded-sample in-driver path."""
+    assigned, cdf = build_ivf_index(
+        corpus, num_centroids=num_centroids, corpus_id=corpus_id,
+        vec_col=vec_col, seed=seed,
+    )
+    resid = assigned.join(F.broadcast(cdf), "bucket").withColumn(
+        "_resid",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda x, y: x - y,
+        ),
+    )
+    codebooks = build_pq_codebooks(
+        resid,
+        num_subspaces=num_subspaces,
+        num_codes=num_codes,
+        vec_col="_resid",
+        seed=seed,
+        id_col=corpus_id,
+        sample_fraction=sample_fraction,
+        max_train_rows=max_train_rows,
+    )
+    encoded = pq_encode(resid, codebooks, vec_col="_resid").select(
+        corpus_id, "bucket", "pq_codes"
+    )
+    return encoded, cdf, codebooks
+
+
+def knn_ivf_pq(
+    encoded: DataFrame,
+    cdf: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus: DataFrame,
+    nprobe: int = 4,
+    coarse_k: int = 100,
+    query_id: str = "query_id",
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """IVFADC QUERY — nprobe bucket pruning and residual-ADC scoring
+    composed, with exact rescore. For unit-norm queries ranking by
+    inner product, dot(q, x) = dot(q, c_b) + dot(q, x - c_b): the
+    first term is the probe selection's own centroid similarity
+    (per (query, bucket), already computed — zero extra cost) and the
+    second is the standard ADC sum over the residual codebooks'
+    per-query LUT. So the coarse scan reads ONLY the probed buckets'
+    (id, codes) — partition pruning and 16-byte rows compounding —
+    and the float table is touched by the separate broadcast candidate
+    fetch for the top-``coarse_k`` exact rescore, exactly knn_pq's
+    contract. The LUT is bucket-INDEPENDENT (residual codebooks are
+    global, the bucket enters via the additive centroid term), so each
+    query ships one m*k array however many buckets it probes."""
+    c_arr = np.array(_pq_literals(codebooks), dtype=np.float64)
+    n_sub, n_code, _d_sub = c_arr.shape
+
+    # nprobe bucket selection per query; c_sim doubles as the additive
+    # dot(q, centroid) term of the ADC decomposition
+    qc = queries.join(F.broadcast(cdf), F.lit(True)).withColumn(
+        "c_sim", V.dot(vec_col, "centroid")
+    )
+    probes = topk(
+        qc, [query_id], nprobe, score_col="c_sim", tiebreak_col="bucket",
+        rank_name="_pr",
+    )
+    probe_set = probes.select(
+        F.col(query_id).alias(f"q_{query_id}"),
+        F.col(vec_col).alias("qv"),
+        "bucket",
+        F.col("c_sim").alias("_qc"),
+        _pq_lut_udf(c_arr)(F.col(vec_col)).alias("_lut"),
+    )
+    coarse = (
+        encoded.select(corpus_id, "bucket", codes_col)
+        .join(F.broadcast(probe_set), "bucket")
+        .withColumn("_adc", F.col("_qc") + _adc_expr(codes_col, n_sub, n_code))
+    )
+    cand = topk(
+        coarse, [f"q_{query_id}"], coarse_k,
+        score_col="_adc", tiebreak_col=corpus_id, rank_name="_cr",
+    ).select(f"q_{query_id}", corpus_id)
+    fetched = corpus.select(corpus_id, vec_col).join(F.broadcast(cand), corpus_id)
+    scored = fetched.join(
+        F.broadcast(probe_set.select(f"q_{query_id}", "qv").dropDuplicates([f"q_{query_id}"])),
+        f"q_{query_id}",
     ).withColumn("score", V.dot("qv", vec_col))
     out = topk(scored, [f"q_{query_id}"], k, tiebreak_col=corpus_id)
     return out.select(

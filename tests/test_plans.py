@@ -190,3 +190,18 @@ def test_ann_pq_codes_scan_reads_no_vectors(spark, sf_dir):
     assert blocks, plan
     for blk in blocks:
         assert "embedding" not in blk, blk
+
+
+def test_ann_ivf_pq_probed_scan_reads_codes_only(spark, sf_dir):
+    # IVFADC composition: the coarse scan reads the bucket-partitioned
+    # stored codes table and ONLY (vec_id, bucket, pq_codes) — the two
+    # scale levers must COMPOUND, i.e. the probed scan can't touch a
+    # float vector even by accident (vectors enter solely via the
+    # candidate-fetch / recall joins against embeddings.parquet)
+    plan = _plan(spark, "ann_ivf_pq", sf_dir)
+    assert "/codes" in plan and "/centroids" in plan
+    assert "CartesianProduct" not in plan
+    blocks = [b for b in plan.split("\n\n") if "/codes]" in b and "ReadSchema" in b]
+    assert blocks, plan
+    for blk in blocks:
+        assert "embedding" not in blk, blk

@@ -47,12 +47,14 @@ HEADLINE = [
     "bm25_indexed_delete",
     "ann_ivf_indexed",
     "ann_pq",
+    "ann_ivf_pq",
     "hybrid_rrf",
     "agg_config",
     "report_rank",
     # dedup / text-analysis (north-star)
     "dedup_exact",
     "dedup_spans",
+    "dedup_strip_spans",
     "dedup_minhash",
     "dedup_minhash_pairs",
     "dedup_simhash",
@@ -198,6 +200,27 @@ def stored_index_query_benches(spark, sf_dir):
         ).drop("sig_bucket")
         return DI.dedup_delta(pruned, delta, num_perm=16, num_bands=4, seed=42)
 
+    # PQ stored index (query side only: ADC over the stored codes +
+    # broadcast candidate fetch/rescore; codebook training and encode
+    # are the pay-once build, untimed here)
+    cb = R.build_pq_codebooks(
+        e, num_subspaces=16, num_codes=16, id_col="vec_id", sample_fraction=0.5
+    )
+    R.pq_encode(e.select("vec_id", "embedding"), cb).select(
+        "vec_id", "pq_codes"
+    ).write.mode("overwrite").parquet(f"{base}/pq/codes")
+    cb.write.mode("overwrite").parquet(f"{base}/pq/codebooks")
+
+    def pq_query():
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return R.knn_pq(
+            spark.read.parquet(f"{base}/pq/codes"),
+            spark.read.parquet(f"{base}/pq/codebooks"),
+            q, 10, corpus=e, coarse_k=300, corpus_id="vec_id",
+        )
+
     # simhash blocked index: delta probe only, same pruned layout
     DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
         "blk_bucket", F.pmod("block_key", F.lit(64))
@@ -230,6 +253,7 @@ def stored_index_query_benches(spark, sf_dir):
     return {
         "bm25_indexed_query": bm25_query,
         "ann_ivf_indexed_query": ivf_query,
+        "ann_pq_query": pq_query,
         "dedup_incremental_query": dedup_query,
         "simhash_incremental_query": simhash_query,
     }

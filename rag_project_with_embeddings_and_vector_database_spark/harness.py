@@ -5209,115 +5209,69 @@ def vector_arrival_ingest(spark, sf_dir):
 # and — the standing POLICY, enforced by scripts/selfcheck.py
 # --check-window — any round that touches an operator's code or
 # fixtures must front-load that operator's queries so its latest
-# CORRECTNESS row postdates the change. r6 window (VERDICT r5 items
-# 1-2): (a) the three queries NEW this round (the pytest-only
-# production paths promoted to driver evidence), (b) the dependency
-# closure of the files touched this round (streaming/ingest.py
-# cross-batch gate accumulation, operators/dedup_index.py id-inequality,
-# operators/retrieval.py tinyint index cast, sources/documents.py
-# census docstring, the three stored-index harness queries' temp-path
-# fix, the _simhash_sql source parameter — derived by `selfcheck.py
-# --check-window`, not hand-kept), (c) the recorded r6 rotation debt:
-# the 21 r4-green queries the r5 window displaced, then filter_nonempty
-# (r2 — the oldest evidence in the registry) and the §2-table-flagged
-# r3 sinks, oldest first, as far as the remaining slots reach.
+# CORRECTNESS row postdates the change. r7 window (VERDICT r6 items
+# 1-4 + the oldest-evidence drain of item 2): (a) the five queries
+# NEW this round, (b) the derived dependency closure of the files
+# touched this round — operators/retrieval.py's PQ overhaul pulls in
+# EVERY query importing the module (the tool is file-granular on
+# package modules, deliberately conservative), plus operators/
+# mixing.py, the dedup_spans/mixture_sample oracle fixes, and the six
+# streaming harness queries moved onto _stream_tmp scratch roots —
+# 24 slots, all tool-derived, not hand-kept, (c) the ENTIRE
+# r2-evidence backlog (21 queries): after this round NO entry's
+# newest driver evidence predates r3.
 _PRIORITY = [
-    # (a) new in r6: the SimHash incremental twin over a stored blocked
-    # index (oracled by the same replay-by-definition contract as
-    # dedup_incremental), the composed dedup-gated streaming ingest
-    # with its cross-batch/cross-run accumulation gates, and the
-    # stored-int8 IVF index pinned bit-identical to on-the-fly
-    # quantization
-    "simhash_incremental", "stream_dedup_gated", "ann_ivf_indexed_int8",
-    "dedup_embedding_incremental", "bm25_indexed_incremental",
-    # (a) late-r6 maintenance paths promoted from pytest-only to driver
-    # evidence (the r7 candidates recorded below, landed early): the
-    # BM25 index DELETE half (oracled by a rebuild-over-remaining-corpus
-    # CTE), IVF index GROWTH by append-to-frozen-centroids, and the
-    # signature-store compaction cycle (self-validating rows)
-    "bm25_indexed_delete", "ann_ivf_append", "dedup_store_compact",
-    # (a) late-r6 NEW operators: substring-level exact dedup (Lee et
-    # al. 2021 k-gram form, full bit-exact oracle),
-    # product-quantization ANN over a stored codes+codebooks index,
-    # and the domain-mixture sampler (bit-exact oracle incl. the
-    # clamped target arithmetic)
-    "dedup_spans", "ann_pq", "mixture_sample",
-    # window-tool conservative span: the mixture_sample registration
-    # abuts stratified_sample's @register span, pulling it into the
-    # affected set — and its evidence was r3-old anyway
-    "stratified_sample",
-    # (b) closure of operators/dedup_index.py + the stored-index
-    # harness queries edited for the temp-path fix
-    "dedup_incremental", "bm25_indexed", "ann_ivf_indexed",
-    # (b) closure of streaming/ingest.py (the accumulation rewrite)
-    "stream_upsert", "stream_dedup", "stream_windowed_counts",
-    "stream_windowed_append",
-    # (b) closure of operators/retrieval.py (tinyint cast in
-    # build_ivf_index touches every query importing the module)
-    "vectors_upsert", "sink_vectors", "ddl_collections",
-    "knn_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_quantized",
-    "hybrid_rrf", "pipeline_e2e", "topk_retrieval",
-    "top_orders_per_customer",
-    # (b) closure of sources/documents.py (census docstring)
-    "scan_docs", "scan_queries", "pipeline_reference_corpus",
-    # (b) closure of the _simhash_sql source-parameter edit
-    "dedup_simhash", "simhash_pairs",
-    # (b) window-tool conservative spans (bucket_stats neighbors the
-    # _simhash_sql hunk; dedup_full's @register span abuts the
-    # harness tail edits)
-    "bucket_stats", "dedup_full",
-    # (c) the recorded r6 rotation debt — the remaining 17 of the 21
-    # r4-green queries the r5 window displaced (the other four sit in
-    # the closure groups above)
-    "topk_retrieval_quantized", "bm25_topk",
-    "corpus_prep", "dedup_minhash_pairs",
-    "ngram_jaccard", "dedup_embedding", "dedup_exact",
-    "decontaminate", "connected_components", "dedup_minhash",
-    # (c) oldest-evidence debt, as far as the slots reach:
-    # filter_nonempty (r2, yielded its r5 slot), the §2-table-flagged
-    # r3 sinks, filter_ext (r2)
-    "filter_nonempty", "sink_csv", "range_join_events",
+    # (a) new in r7: the IVFADC composition (IVF pruning x residual-PQ
+    # codes over a stored bucket-partitioned index, recall-floor
+    # asserted), the substring-dedup REMOVAL half (full SQL oracle),
+    # the scan-local threshold mixture sampler and the epochs
+    # upsampler (bit-exact oracles), and the streaming IVF arrival
+    # path (real writeStream run, stream-vs-one-shot identity)
+    "ann_ivf_pq", "dedup_strip_spans", "mixture_sample_threshold",
+    "mixture_upsample", "vector_arrival_ingest",
+    # (b) directly-edited queries: the PQ train/encode/LUT rewrite,
+    # the mixing half-up-rounding + salted-rank skew fix, and the two
+    # oracle corrections
+    "ann_pq", "mixture_sample", "dedup_spans",
+    # (b) closure of operators/retrieval.py (module-granular: every
+    # query whose source imports R — the PQ edits can't break them,
+    # but the policy buys evidence, not arguments)
+    "ann_ivf", "ann_ivf_append", "ann_ivf_indexed",
+    "ann_ivf_indexed_int8", "ann_ivf_quantized", "ann_lsh",
+    "knn_bruteforce", "hybrid_rrf", "vectors_upsert", "sink_vectors",
+    "ddl_collections", "pipeline_e2e", "pipeline_reference_corpus",
+    "top_orders_per_customer", "dedup_exact",
+    # (b) closure of the six streaming harness queries rewritten onto
+    # fixed _stream_tmp scratch roots
+    "sessionize_stateful", "stream_dedup", "stream_upsert",
+    "stream_windowed_counts", "stream_windowed_append",
+    "stream_dedup_gated",
+    # (c) the COMPLETE r2-evidence backlog (VERDICT r6 item 2's drain
+    # list): the C0/C1/E1/E5/E6 function primitives, the P-family
+    # predicates/projections, the A5-A7/O1-O3 report family, the r2
+    # chunkers, and the r2 text-analysis four
+    "token_count", "sentence_split", "preprocess_text", "cosine_dot",
+    "l2_normalize", "filter_ext", "project_payload", "pred_relevance",
+    "resolve_expected_source", "agg_config", "agg_summary",
+    "argmax_metric", "report_rank", "report_best",
+    "chunk_recursive_para", "chunk_sections", "chunk_table_islands",
+    "lang_id", "text_quality", "token_stats", "doc_fingerprint",
 ]
-# r7 rotation debt (displaced from the r6 window this round; all
-# r4/r5-green with code untouched in r6, rotate back in r7 unless code
-# changes force earlier slots): sink_partitioned, bucketed_join,
-# semi_anti_join (r4-green, plan-guarded by tests/test_plans.py and
-# tests/test_bucketing.py — their slots went to the three late-r6
-# maintenance registrations bm25_indexed_delete / ann_ivf_append /
-# dedup_store_compact), embed_values, sequence_pack, and tfidf_terms
-# (r4-green, machinery untouched — their slots went to the new
-# dedup_spans substring-dedup oracle, the ann_pq stored
-# product-quantization index, and the mixture_sample domain-mixture
-# sampler), quality_filter (r4-green — its slot went to
-# stratified_sample, r3-old evidence pulled into the affected set by
-# the mixture_sample registration), metric_topk, metric_mrr, metric_avgsim,
-# chunk_fixed_size, chunk_recursive, chunk_structure_aware,
-# chunk_hybrid, chunk_table_aware, chunk_fanout, embed_batch,
-# multimodal_meta, brand_revenue, rollup_lineitem, tpch_q6,
-# events_percentiles, pivot_events, events_hourly, events_json,
-# window_running_sum, window_lag_delta, window_range_frame,
-# window_value_functions, window_suite, grouped_mad, salted_join,
-# asof_join, sessionize, sessionize_stateful. The three r7 candidates
-# originally queued here (ivf_index_append, compact_signature_store,
-# text_index_delete) were PROMOTED late in r6 as the window's
-# bm25_indexed_delete / ann_ivf_append / dedup_store_compact entries,
-# paid for by the three plan-guarded r4-green displacements noted
-# above. NEW r7 registration candidates (pytest-verified late r6, not
-# yet driver-registered): vector_arrival_ingest (streaming/ingest.py
-# — streaming growth of the stored IVF index, micro-batches assigned
-# to frozen centroids and appended bucket-partitioned; e2e
-# stream-vs-one-shot identity test), strip_duplicate_spans
-# (operators/dedup.py — span removal composed after dedup_spans), and
-# mixture_sample's threshold variant. Older long-tail
-# still due when slots free up: filter_ext and project_payload (r2)
-# and sink_json (r3) — their spare slots went to
-# dedup_embedding_incremental, bm25_indexed_incremental, and
-# range_join_events (the last §2.9 operator that had never had a
-# driver row; sink_json shares the _sink machinery sink_csv re-proves
-# this round) — plus the C0/C1/E1/E5/E6
-# function primitives (r2), the A5-A7/O1-O3 report family (r2),
-# metric_all (r3), embed_fanout (r3), lang_id/quality_score (r2),
-# hash_split/stratified_sample/pii_scrub (r3), tpch_q1 (r4).
+# r8 rotation debt (recorded; displaced from the r7 window because the
+# retrieval.py closure cost 15 slots; code untouched this round): the
+# r3-evidence backlog HEADED by the verdict-named trio sink_json,
+# metric_all, embed_fanout, then approx_distinct, array_ops,
+# big_orders, cheapest_supplier_per_part, cube_lineitem, date_parts,
+# distinct_counts, embedding_quantize, global_topn, hash_split_assign,
+# orders_lineitem_smj, pii_scan, repetition_stats, set_ops, sink_orc,
+# sql_api, string_funcs, tpch_q1, tpch_q3, tpch_q5; then the
+# r4-evidence entries bucketed_join, embed_values, quality_filter,
+# semi_anti_join, sequence_pack, sink_partitioned, tfidf_terms; after
+# those, resume the normal oldest-first rotation over the r5/r6
+# population. No pytest-only paths remain unregistered as of r7 (the
+# r6 trio vector_arrival_ingest / strip_duplicate_spans /
+# threshold-mode mixture_sample all carry driver rows above, plus
+# mixture_upsample which was never previously queued).
 
 
 def _ordered(names: dict) -> list[str]:

@@ -1,0 +1,142 @@
+"""Round-7 pins: mixing arithmetic/skew contracts, PQ training
+determinism, and the IVFADC composition (VERDICT r6 items 1/4/5 and the
+four ADVICE findings)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as SF
+
+
+def test_round_half_up_is_engine_identical():
+    """ADVICE r6: Python round() is banker's, DuckDB round() is
+    half-away-from-zero — the module pins ONE rule (floor(x+0.5)) so
+    weights landing a target on .5 (0.1625 * 200 = 32.5) can't split
+    the engines."""
+    import duckdb
+
+    from rag_project_with_embeddings_and_vector_database_spark.operators.mixing import (
+        _round_half_up,
+    )
+
+    cases = [32.5, 0.1625 * 200, 0.5, 1.5, 2.5, 33.4999, 0.0]
+    duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(floor(x + 0.5) AS BIGINT) FROM (SELECT unnest(["
+            + ",".join(repr(c) for c in cases)
+            + "]) AS x)"
+        ).fetchall()
+    ]
+    assert [_round_half_up(c) for c in cases] == duck
+    # the specific ADVICE counter-example: banker's would give 32
+    assert _round_half_up(0.1625 * 200) == 33
+
+
+def test_mixture_sample_half_target_weights(spark, sf_dir):
+    """Weights that land a target exactly on .5 of a row must follow
+    the pinned half-up rule end to end (the latent ADVICE mismatch,
+    now exercised rather than avoided)."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        mixing as MX,
+    )
+
+    d = H._t(spark, sf_dir, "documents").select("lang", "doc_id")
+    # 0.1625 * 200 = 32.5 -> 33 (half-up), supply of 'de' is ~70 so no clamp
+    out = MX.mixture_sample(d, "lang", {"de": 0.1625}, 200)
+    assert out.count() == 33
+
+
+def test_mixture_upsample_guard_uses_ceil(spark):
+    """ADVICE r6: total passes is ceil(t/n), not floor(t/n) — a domain
+    needing exactly max_epochs+1 passes (rem > 0) must raise."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        mixing as MX,
+    )
+
+    d = spark.createDataFrame([("a", i) for i in range(10)], "dom string, doc_id long")
+    # target 25 over supply 10 -> 2 full passes + remainder = 3 passes
+    with pytest.raises(ValueError, match="needs 3 epochs"):
+        MX.mixture_upsample(d, "dom", {"a": 1.0}, 25, max_epochs=2)
+    # exactly 3 passes allowed at max_epochs=3, and the count is exact
+    out = MX.mixture_upsample(d, "dom", {"a": 1.0}, 25, max_epochs=3)
+    assert out.count() == 25
+    by_epoch = {r.epoch: r.n for r in out.groupBy("epoch").agg(SF.count("*").alias("n")).collect()}
+    assert by_epoch == {0: 10, 1: 10, 2: 5}
+
+
+def test_mixture_sample_exact_skew_salted_rank_identical(spark):
+    """VERDICT r6 item 5: the two-level salted rank must return the
+    IDENTICAL member set as the naive single rank on a 90%-skewed
+    domain (the hot-domain case it exists for), and the salt count
+    must not affect membership."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        mixing as MX,
+    )
+
+    rows = [("hot", i) for i in range(1800)] + [("cold", 10000 + i) for i in range(200)]
+    d = spark.createDataFrame(rows, "dom string, doc_id long")
+    w = {"hot": 0.6, "cold": 0.4}
+    naive = sorted(
+        (r.dom, r.doc_id)
+        for r in MX.mixture_sample(d, "dom", w, 300, salt_partitions=1).collect()
+    )
+    salted = sorted(
+        (r.dom, r.doc_id)
+        for r in MX.mixture_sample(d, "dom", w, 300, salt_partitions=32).collect()
+    )
+    assert naive == salted
+    counts = {}
+    for dom, _ in salted:
+        counts[dom] = counts.get(dom, 0) + 1
+    assert counts == {"hot": 180, "cold": 120}
+
+
+def test_pq_codebooks_deterministic_and_sample_capped(spark, sf_dir):
+    """The in-driver PQ trainer is a pure function of (ids, vectors,
+    seed): two builds agree bit-for-bit, and the max_train_rows cap
+    picks the smallest-hash rows deterministically (repartitioning the
+    input must not change the codebooks)."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+
+    e = H._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def build(df):
+        return sorted(
+            (r.subspace, r.code, tuple(r.centroid))
+            for r in R.build_pq_codebooks(
+                df, num_subspaces=8, num_codes=8, id_col="vec_id",
+                sample_fraction=0.5, max_train_rows=100,
+            ).collect()
+        )
+
+    a = build(e)
+    b = build(e.repartition(7, "vec_id"))
+    assert a == b
+    assert len(a) == 64
+
+
+def test_ann_ivf_pq_recall_and_residual_shapes(spark, sf_dir):
+    """IVFADC end to end: the harness query's recall floor holds, and
+    the stored index frame carries exactly (id, bucket, codes) — the
+    compound-pruning contract's schema half."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+
+    rows = H.SPARK_QUERIES["ann_ivf_pq"](spark, sf_dir).collect()
+    assert rows and all(r.recall_floor_met for r in rows), rows
+
+    e = H._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    enc, cdf, cb = R.build_ivf_pq_index(
+        e, num_centroids=8, num_subspaces=8, num_codes=8, corpus_id="vec_id"
+    )
+    assert enc.columns == ["vec_id", "bucket", "pq_codes"]
+    assert cb.count() == 64
+    first = enc.first()
+    assert len(first.pq_codes) == 8 and all(0 <= c < 8 for c in first.pq_codes)

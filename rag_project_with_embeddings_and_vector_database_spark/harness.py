@@ -2706,6 +2706,124 @@ def mixture_upsample(spark, sf_dir):
     ).select("lang", "doc_id", MX.hash_bucket("doc_id").alias("bucket"), "epoch")
 
 
+_TOKEN_MIX_WEIGHTS = {"en": 0.45, "es": 0.3, "de": 0.15, "fr": 0.1}
+_TOKEN_MIX_TOTAL = 16000
+
+
+@register(
+    "mixture_sample_tokens",
+    f"""
+    WITH w(lang, wt) AS (VALUES {", ".join(f"('{d}', {x})" for d, x in sorted(_TOKEN_MIX_WEIGHTS.items()))}),
+    t AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))::BIGINT AS n_tokens,
+             {_HASH_BUCKET_SQL} AS bucket
+      FROM documents WHERE lang IN ({", ".join(f"'{d}'" for d in sorted(_TOKEN_MIX_WEIGHTS))})
+    ),
+    c AS (
+      -- the greedy token prefix in hash order: keep while the
+      -- cumulative tokens of PRECEDING kept docs < the domain budget
+      -- (floor(x+0.5) target arithmetic, mixing._round_half_up)
+      SELECT t.lang, t.doc_id, t.n_tokens, t.bucket,
+             CAST(floor(w.wt * {_TOKEN_MIX_TOTAL} + 0.5) AS BIGINT) AS budget,
+             sum(t.n_tokens) OVER (PARTITION BY t.lang ORDER BY t.bucket, t.doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - t.n_tokens AS prev
+      FROM t JOIN w ON t.lang = w.lang
+    )
+    SELECT lang, doc_id, n_tokens, bucket FROM c WHERE prev < budget
+    """,
+)
+def mixture_sample_tokens(spark, sf_dir):
+    """TOKEN-budget mixture (operators/mixing.py mixture_sample_tokens):
+    published LLM mixtures weight domains by TOKENS, not documents, so
+    each lang gets round(weight * 16000) training tokens — a greedy
+    hash-ordered doc prefix per domain (overshoot < 1 doc). The es
+    weight deliberately EXCEEDS supply at small SFs (whole domain kept,
+    the no-boundary sentinel) and sits inside supply at sf0.1 — both
+    planner paths earn driver evidence across the SF sweep. The Spark
+    side is the TWO-PHASE form (bucket-quota planning metadata + a
+    scan-local prefix filter + a boundary-bucket-only window, ~1/4096
+    of the hot domain through a reducer instead of all of it); the
+    oracle replays the mathematically-identical single-window prefix
+    rule bit-for-bit."""
+    from .operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(TX.whitespace_tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return MX.mixture_sample_tokens(
+        d, "lang", _TOKEN_MIX_WEIGHTS, _TOKEN_MIX_TOTAL, token_col="n_tokens"
+    ).select("lang", "doc_id", "n_tokens", MX.hash_bucket("doc_id").alias("bucket"))
+
+
+@register(
+    "leakage_safe_split",
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 1000, 'copy ' || text FROM documents WHERE doc_id < 30
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                           i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS gs
+      FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+            FROM corpus)
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.gs, b.gs)) / greatest(len(list_distinct(a.gs || b.gs)), 1), 6) >= 0.6
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    withc AS (
+      SELECT c.doc_id, coalesce(m.component, c.doc_id) AS cluster
+      FROM corpus c LEFT JOIN comp m ON m.id = c.doc_id
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN ('0x' || substr(md5(cluster::VARCHAR || chr(31) || '42'), 1, 15))::BIGINT % 1000000 < 800000
+                THEN 'train' ELSE 'test' END AS split
+    FROM withc
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/test split (operators/splits.py
+    leakage_safe_split): the split key is the DUPLICATE-CLUSTER id
+    (min-label connected components over ngram-Jaccard pairs; singleton
+    docs fall back to their own id), so two near-duplicates can never
+    straddle the boundary — the train/test leak a per-doc hash_split
+    cannot prevent. Fixture: docs < 30 plus planted near-copies
+    (id + 1000), so every {i, i+1000} cluster must land whole in one
+    split at every SF; the oracle replays components (recursive CTE),
+    the singleton fallback, and the portable-md5 80/20 threshold
+    bit-for-bit."""
+    from .operators import splits as SP
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", "text"
+    )
+    planted = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("copy "), F.col("text")).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    pairs = DD.ngram_jaccard_pairs(corpus, n=3, threshold=0.6)
+    return SP.leakage_safe_split(
+        corpus.select("doc_id"), pairs, weights={"train": 0.8, "test": 0.2}
+    ).select("doc_id", "cluster", "split")
+
+
 @register(
     "repetition_stats",
     """
@@ -5229,6 +5347,13 @@ _PRIORITY = [
     # path (real writeStream run, stream-vs-one-shot identity)
     "ann_ivf_pq", "dedup_strip_spans", "mixture_sample_threshold",
     "mixture_upsample", "vector_arrival_ingest",
+    # (a) new mid-r7: the token-budget mixture (two-phase bucket-quota
+    # planner, single-window oracle) and the dup-cluster-keyed split
+    # (new operators/splits.py — recursive-CTE + md5-threshold oracle);
+    # their 2 slots displace token_stats/doc_fingerprint to the r8
+    # debt head (both are single-scan projections additionally
+    # re-measured by bench.py every round)
+    "mixture_sample_tokens", "leakage_safe_split",
     # (b) directly-edited queries: the PQ train/encode/LUT rewrite,
     # the mixing half-up-rounding + salted-rank skew fix, and the two
     # oracle corrections
@@ -5255,10 +5380,13 @@ _PRIORITY = [
     "resolve_expected_source", "agg_config", "agg_summary",
     "argmax_metric", "report_rank", "report_best",
     "chunk_recursive_para", "chunk_sections", "chunk_table_islands",
-    "lang_id", "text_quality", "token_stats", "doc_fingerprint",
+    "lang_id", "text_quality",
 ]
 # r8 rotation debt (recorded; displaced from the r7 window because the
-# retrieval.py closure cost 15 slots; code untouched this round): the
+# retrieval.py closure cost 15 slots and the two mid-r7 registrations
+# cost 2 more; code untouched this round): FIRST the two r2-evidence
+# stragglers token_stats and doc_fingerprint (displaced by the mid-r7
+# additions above), then the
 # r3-evidence backlog HEADED by the verdict-named trio sink_json,
 # metric_all, embed_fanout, then approx_distinct, array_ops,
 # big_orders, cheapest_supplier_per_part, cube_lineitem, date_parts,

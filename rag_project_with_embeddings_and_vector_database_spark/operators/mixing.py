@@ -131,6 +131,93 @@ def mixture_sample(
     )
 
 
+def mixture_sample_tokens(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    total_tokens: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    plan_buckets: int = 4096,
+) -> DataFrame:
+    """TOKEN-budget mixture: published LLM mixtures are weighted by
+    TOKENS, not documents (a domain of long documents at 10% of docs
+    can be 40% of training tokens), so the mixing knob that matters is
+    ``weights[d] * total_tokens`` per domain. Selection rule: per
+    domain, docs in permanent-hash order (hash_bucket, id tie-break)
+    are kept while the cumulative token count of PRECEDING kept docs
+    is < the domain's budget — a greedy prefix that includes the doc
+    crossing the boundary (overshoot < 1 document), deterministic
+    across engines/reruns/repartitionings, and replayable in SQL as
+    one window cumsum.
+
+    Scale shape — the naive form is a per-domain window cumsum, i.e.
+    the hot domain serializes through one reducer. Instead, TWO-PHASE
+    BUCKET QUOTAS: (1) aggregate token sums per (domain, coarse plan
+    bucket) — ``plan_buckets`` monotone slices of the hash space — and
+    collect that bounded frame (domains x plan_buckets rows) as
+    planning metadata, like IVF centroids; the driver walks each
+    domain's buckets in hash order to find the BOUNDARY bucket and its
+    residual budget. (2) buckets before the boundary are kept by a
+    scan-local filter (zero shuffle); only the boundary bucket — ~1/
+    plan_buckets of the domain — flows through the window cumsum. The
+    two-phase selection is provably identical to the single-window
+    prefix (same ordering, same prev<budget rule, equality cases
+    resolved in the boundary window), which is exactly what the DuckDB
+    oracle replays. Token counts must be precomputed in ``token_col``
+    (one narrow projection; keeps this operator free of tokenizer
+    choices)."""
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    width = -(-_BUCKETS // plan_buckets)  # ceil: pb = b // width is monotone in b
+    bcol = hash_bucket(id_col, seed)
+    pb = F.floor(bcol / F.lit(width)).cast("int")
+    in_scope = df.filter(F.col(domain_col).isin(list(weights)))
+    stats = (
+        in_scope.groupBy(F.col(domain_col).alias("_d"), pb.alias("_pb"))
+        .agg(F.sum(token_col).cast("bigint").alias("_s"))
+        .collect()
+    )
+    per_domain: dict[str, list[tuple[int, int]]] = {}
+    for r in stats:
+        per_domain.setdefault(r["_d"], []).append((r["_pb"], r["_s"]))
+    boundary: dict[str, int] = {}
+    residual: dict[str, int] = {}
+    for d, w in weights.items():
+        budget = _round_half_up(w * total_tokens)
+        cum = 0
+        # sentinel: no boundary hit -> every bucket is fully included
+        boundary[d], residual[d] = plan_buckets, 0
+        for pbi, s in sorted(per_domain.get(d, [])):
+            if cum + s >= budget:
+                boundary[d], residual[d] = pbi, budget - cum
+                break
+            cum += s
+    b_of = F.create_map(
+        *[x for d in sorted(weights) for x in (F.lit(d), F.lit(boundary[d]))]
+    )
+    r_of = F.create_map(
+        *[x for d in sorted(weights) for x in (F.lit(d), F.lit(residual[d]))]
+    )
+    from pyspark.sql import Window
+
+    full = in_scope.filter(pb < b_of[F.col(domain_col)])
+    edge = in_scope.filter(pb == b_of[F.col(domain_col)])
+    w_edge = (
+        Window.partitionBy(domain_col)
+        .orderBy(bcol.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.sum(token_col).over(w_edge) - F.col(token_col)
+    edge_kept = (
+        edge.withColumn("_prev", prev)
+        .filter(F.col("_prev") < r_of[F.col(domain_col)])
+        .drop("_prev")
+    )
+    return full.unionByName(edge_kept)
+
+
 def mixture_upsample(
     df: DataFrame,
     domain_col: str,

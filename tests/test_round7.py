@@ -140,3 +140,138 @@ def test_ann_ivf_pq_recall_and_residual_shapes(spark, sf_dir):
     assert cb.count() == 64
     first = enc.first()
     assert len(first.pq_codes) == 8 and all(0 <= c < 8 for c in first.pq_codes)
+
+
+def test_mixture_sample_tokens_two_phase_matches_single_window(spark, sf_dir):
+    """The two-phase bucket-quota planner must select EXACTLY the docs
+    the naive single-window greedy prefix selects (the rule the DuckDB
+    oracle replays): prev-cumulative-tokens < budget in (hash, id)
+    order, per domain."""
+    from pyspark.sql import Window
+
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        mixing as MX,
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.functions import (
+        text as TX,
+    )
+
+    weights, total = {"en": 0.45, "es": 0.3, "de": 0.15}, 16000
+    d = H._t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", SF.size(TX.whitespace_tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    got = sorted(
+        (r.lang, r.doc_id)
+        for r in MX.mixture_sample_tokens(
+            d, "lang", weights, total, token_col="n_tokens"
+        ).collect()
+    )
+    b = MX.hash_bucket("doc_id")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(b.asc(), SF.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = SF.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (SF.lit(k), SF.lit(MX._round_half_up(v * total)))]
+    )
+    want = sorted(
+        (r.lang, r.doc_id)
+        for r in d.filter(SF.col("lang").isin(list(weights)))
+        .withColumn("_prev", SF.sum("n_tokens").over(w) - SF.col("n_tokens"))
+        .filter(SF.col("_prev") < budget[SF.col("lang")])
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_mixture_sample_tokens_boundary_and_zero_token_docs(spark):
+    """Equality edges: a doc whose preceding cumulative tokens EQUAL
+    the budget is excluded (prev < budget is strict) — including
+    zero-token docs sitting exactly on the boundary — and the greedy
+    prefix includes the single doc that crosses the budget. Verified
+    against a Python replay of the rule in true hash order, at
+    plan_buckets=1 (pure window path) and 4096 (two-phase path)."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        mixing as MX,
+    )
+
+    ids = list(range(12))
+    base = spark.createDataFrame([("a", i) for i in ids], "dom string, doc_id long")
+    order = [
+        r.doc_id
+        for r in base.select("doc_id", MX.hash_bucket("doc_id").alias("b"))
+        .orderBy("b", "doc_id")
+        .collect()
+    ]
+    # tokens assigned by hash-order position: 5, 7, 0, 3, 3, ...
+    pos_tokens = {order[0]: 5, order[1]: 7, order[2]: 0}
+    tokens = {i: pos_tokens.get(i, 3) for i in ids}
+    d = spark.createDataFrame(
+        [("a", i, tokens[i]) for i in ids], "dom string, doc_id long, n_tokens long"
+    )
+    # budget 12 == 5 + 7: doc 3 (zero tokens, prev=12) must be excluded
+    for pb in (1, 4096):
+        got = sorted(
+            r.doc_id
+            for r in MX.mixture_sample_tokens(
+                d, "dom", {"a": 1.0}, 12, token_col="n_tokens", plan_buckets=pb
+            ).collect()
+        )
+        assert got == sorted(order[:2]), f"plan_buckets={pb}: {got}"
+    # budget 13 crosses into the zero-token doc AND the next doc
+    # (prev: 12 < 13 for both the 0-token doc and the 3-token doc at
+    # prev=12)... the 0-token doc leaves prev unchanged, so the
+    # following doc is the boundary-crossing doc
+    got13 = sorted(
+        r.doc_id
+        for r in MX.mixture_sample_tokens(
+            d, "dom", {"a": 1.0}, 13, token_col="n_tokens", plan_buckets=1
+        ).collect()
+    )
+    assert got13 == sorted(order[:4])
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
+    """Every near-dup pair must land in the SAME split; singleton docs
+    key on their own id (cluster == doc_id) and planted near-copies
+    share their original's cluster."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup as DD,
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        splits as SP,
+    )
+
+    base = (
+        H._t(spark, sf_dir, "documents")
+        .filter(SF.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    planted = base.select(
+        (SF.col("doc_id") + 1000).alias("doc_id"),
+        SF.concat(SF.lit("copy "), SF.col("text")).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    pairs = DD.ngram_jaccard_pairs(corpus, n=3, threshold=0.6)
+    out = SP.leakage_safe_split(
+        corpus.select("doc_id"), pairs, weights={"train": 0.8, "test": 0.2}
+    )
+    rows = {r.doc_id: (r.cluster, r.split) for r in out.collect()}
+    assert len(rows) == corpus.count()
+    pair_rows = pairs.collect()
+    assert pair_rows, "fixture must plant near-dup pairs"
+    for p in pair_rows:
+        assert rows[p.id_a][1] == rows[p.id_b][1], (p.id_a, p.id_b)
+        assert rows[p.id_a][0] == rows[p.id_b][0]
+    # planted copies cluster with their originals; cluster label is the
+    # min member id, so pairs {i, i+1000} carry cluster i
+    for i in [r.doc_id for r in base.collect()]:
+        if i + 1000 in rows and (i, (rows[i][0], rows[i][1])) and rows[i + 1000][0] == rows[i][0]:
+            assert rows[i][0] <= i
+    in_pairs = {p.id_a for p in pair_rows} | {p.id_b for p in pair_rows}
+    singletons = set(rows) - in_pairs
+    for s in singletons:
+        assert rows[s][0] == s

@@ -75,6 +75,9 @@ HEADLINE = [
     "quality_filter",
     "hash_split_assign",
     "mixture_sample",
+    "mixture_sample_tokens",
+    "leakage_safe_split",
+    "quality_classifier",
     "decontaminate",
     "chunk_sections",
     # UDF-path ops

@@ -2471,6 +2471,44 @@ def decontaminate(spark, sf_dir):
     ).select("doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
 
 
+@register("quality_classifier")  # rows-only: L-BFGS model internals not SQL-expressible
+def quality_classifier(spark, sf_dir):
+    """MODEL-BASED quality filtering (operators/quality_model.py): the
+    second-pass filter of the GPT-3/PaLM pipelines — a logistic
+    regression over feature-hashed bag-of-words, trained to separate a
+    quality-reference corpus from raw crawl. Fixture: real documents
+    are the positives; deterministic junk docs (a 13-token disjoint
+    vocabulary keyed on doc_id) are the negatives. Deterministic
+    hash-split 70/30, fit on train (HashingTF scan-local, L-BFGS
+    treeAggregate passes — no shuffle beyond gradient aggregation),
+    score held-out, and RAISE below a 0.95 accuracy floor — the ANN
+    recall-floor self-validation pattern; repartition-invariance is
+    pytest-pinned. The labeled fixture is BOUNDED (doc_id < 1000):
+    published quality classifiers train on a fixed curated labeled set
+    and then SCORE the whole corpus — scoring (score_quality) is the
+    scan-local 100 TB path, training cost is a constant."""
+    from .operators import quality_model as QM
+
+    d = _par(_t(spark, sf_dir, "documents")).filter(F.col("doc_id") < 1000).select(
+        "doc_id", "text"
+    )
+    pos = d.withColumn("label", F.lit(1))
+    neg = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.concat(F.lit("zz"), F.pmod(F.col("doc_id") + i, F.lit(13))),
+            ),
+        ).alias("text"),
+        F.lit(0).alias("label"),
+    )
+    return QM.quality_classifier_eval(
+        pos.unionByName(neg), accuracy_floor=0.95, max_iter=10
+    )
+
+
 _HASH_BUCKET_SQL = (
     "('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '42'), 1, 15))::BIGINT % 1000000"
 )
@@ -5354,6 +5392,10 @@ _PRIORITY = [
     # debt head (both are single-scan projections additionally
     # re-measured by bench.py every round)
     "mixture_sample_tokens", "leakage_safe_split",
+    # (a) new mid-r7: the trained quality model (GPT-3-style LR over
+    # hashed bag-of-words, rows-only with an asserted held-out
+    # accuracy floor); its slot displaces lang_id to the r8 debt head
+    "quality_classifier",
     # (b) directly-edited queries: the PQ train/encode/LUT rewrite,
     # the mixing half-up-rounding + salted-rank skew fix, and the two
     # oracle corrections
@@ -5380,13 +5422,14 @@ _PRIORITY = [
     "resolve_expected_source", "agg_config", "agg_summary",
     "argmax_metric", "report_rank", "report_best",
     "chunk_recursive_para", "chunk_sections", "chunk_table_islands",
-    "lang_id", "text_quality",
+    "text_quality",
 ]
 # r8 rotation debt (recorded; displaced from the r7 window because the
 # retrieval.py closure cost 15 slots and the two mid-r7 registrations
-# cost 2 more; code untouched this round): FIRST the two r2-evidence
-# stragglers token_stats and doc_fingerprint (displaced by the mid-r7
-# additions above), then the
+# cost 3 more; code untouched this round): FIRST the three r2-evidence
+# stragglers token_stats, doc_fingerprint, and lang_id (displaced by
+# the mid-r7 additions above; all three are single-scan projections
+# re-measured by bench.py every round), then the
 # r3-evidence backlog HEADED by the verdict-named trio sink_json,
 # metric_all, embed_fanout, then approx_distinct, array_ops,
 # big_orders, cheapest_supplier_per_part, cube_lineitem, date_parts,

@@ -275,3 +275,45 @@ def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
     singletons = set(rows) - in_pairs
     for s in singletons:
         assert rows[s][0] == s
+
+
+def test_quality_classifier_deterministic_and_floor_guarded(spark, sf_dir):
+    """The trained quality filter must (a) separate real docs from
+    junk on held-out data, (b) be invariant to input partitioning
+    (hash-split + L-BFGS, no rand() anywhere), and (c) RAISE when the
+    floor is unreachable instead of returning plausible garbage."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        quality_model as QM,
+    )
+
+    d = H._t(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = d.withColumn("label", SF.lit(1))
+    neg = d.select(
+        (SF.col("doc_id") + 100000).alias("doc_id"),
+        SF.concat_ws(
+            " ",
+            SF.transform(
+                SF.sequence(SF.lit(1), SF.lit(40)),
+                lambda i: SF.concat(SF.lit("zz"), SF.pmod(SF.col("doc_id") + i, SF.lit(13))),
+            ),
+        ).alias("text"),
+        SF.lit(0).alias("label"),
+    )
+    labeled = pos.unionByName(neg)
+    r1 = QM.quality_classifier_eval(labeled).collect()
+    r2 = QM.quality_classifier_eval(labeled.repartition(16)).collect()
+    assert r1 == r2
+    assert r1[0].floor_met and r1[0].accuracy >= 0.9
+    assert r1[0].n_train + r1[0].n_test == labeled.count()
+    # unreachable floor -> raise (labels shuffled to noise via parity)
+    noise = labeled.withColumn("label", (SF.col("doc_id") % 2).cast("int"))
+    with pytest.raises(AssertionError, match="accuracy"):
+        QM.quality_classifier_eval(noise, accuracy_floor=0.99)
+    # score path: real docs must score above junk
+    model = QM.train_quality_classifier(labeled)
+    scored = QM.score_quality(labeled, model, keep_threshold=0.5)
+    kept = {r.doc_id: r.keep for r in scored.collect()}
+    real_kept = sum(kept[r.doc_id] for r in pos.collect())
+    junk_kept = sum(kept[r.doc_id] for r in neg.collect())
+    assert real_kept > 0.9 * pos.count() and junk_kept < 0.1 * neg.count()

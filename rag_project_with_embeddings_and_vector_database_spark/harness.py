@@ -58,13 +58,32 @@ def _stream_tmp(tag: str) -> str:
     source as already processed and the drain would emit nothing), so
     instead of leaking a fresh uuid-named tree per invocation
     (VERDICT r6 residual) the path is deterministic and torn down
-    before each use — any number of consecutive runs leave exactly one
-    scratch tree per query."""
+    before each use — any number of consecutive runs in ONE process
+    leave exactly one scratch tree per query. The pid suffix keeps
+    concurrent harness processes from clobbering each other's live
+    checkpoints, so cross-PROCESS accumulation is handled by the stale
+    sweep below: any sibling spark_rag_*_p<pid> tree whose owning
+    process is gone is removed on entry (measured: per-pid trees from
+    selfcheck/bench/pytest runs otherwise pile up 6 per process)."""
+    import glob
     import os
+    import re
     import shutil
     import tempfile
 
-    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_{tag}_stream_p{os.getpid()}")
+    root = tempfile.gettempdir()
+    # pid-suffixed families: *_p<pid> (index/stream scratch) and
+    # sink_*_<pid>; the uid-keyed fixture_corpus cache is deliberately
+    # NOT matched — it is reused across processes by design
+    for old in glob.glob(os.path.join(root, "spark_rag_*_p[0-9]*")) + glob.glob(
+        os.path.join(root, "spark_rag_sink_*_[0-9]*")
+    ):
+        m = re.search(r"_p?(\d+)$", old)
+        if m and int(m.group(1)) != os.getpid() and not os.path.exists(
+            f"/proc/{m.group(1)}"
+        ):
+            shutil.rmtree(old, ignore_errors=True)
+    tmp = os.path.join(root, f"spark_rag_{tag}_stream_p{os.getpid()}")
     shutil.rmtree(tmp, ignore_errors=True)
     return tmp
 

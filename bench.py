@@ -78,6 +78,7 @@ HEADLINE = [
     "mixture_sample_tokens",
     "leakage_safe_split",
     "quality_classifier",
+    "lm_score",
     "decontaminate",
     "chunk_sections",
     # UDF-path ops

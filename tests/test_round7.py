@@ -317,3 +317,42 @@ def test_quality_classifier_deterministic_and_floor_guarded(spark, sf_dir):
     real_kept = sum(kept[r.doc_id] for r in pos.collect())
     junk_kept = sum(kept[r.doc_id] for r in neg.collect())
     assert real_kept > 0.9 * pos.count() and junk_kept < 0.1 * neg.count()
+
+
+def test_lm_score_partitioning_invariant_and_buckets_balanced(spark, sf_dir):
+    """The fixed-point micro-unit aggregation must make LM scores
+    independent of physical partitioning (integer sums are exact in
+    any order — the double-avg form was observed flipping the 6th
+    decimal), and the per-lang perplexity tiles must be equal-count
+    within one doc."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import lm as LM
+
+    d = H._t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ref = d.filter(SF.col("doc_id") < 300)
+    model = LM.train_unigram_lm(ref)
+    oov = -20_000_000  # far below any in-vocab logp; exact micro-units
+    s1 = sorted(
+        (r.doc_id, r.lm_nll) for r in LM.lm_score(d, model, oov).collect()
+    )
+    s2 = sorted(
+        (r.doc_id, r.lm_nll)
+        for r in LM.lm_score(d.repartition(16), model, oov).collect()
+    )
+    assert s1 == s2 and len(s1) == d.count()
+    # OOV terms must score lower (higher NLL) than a pure in-vocab doc:
+    # score a junk doc no model term can match
+    junk = spark.createDataFrame(
+        [(10**9, "xx", "qqqzzz1 qqqzzz2 qqqzzz3")], "doc_id long, lang string, text string"
+    )
+    j = LM.lm_score(junk, model, oov).first()
+    assert j.lm_nll == 20.0  # -oov/1e6 exactly: every token OOV
+    scored = LM.lm_score(d, model, oov).join(d.select("doc_id", "lang"), "doc_id")
+    b = LM.perplexity_buckets(scored, partition_cols=["lang"])
+    per = {
+        (r.lang, r.bucket): r["n"]
+        for r in b.groupBy("lang", "bucket").agg(SF.count(SF.lit(1)).alias("n")).collect()
+    }
+    for lang in {k[0] for k in per}:
+        sizes = [per[(lang, t)] for t in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)

@@ -2569,9 +2569,8 @@ def lm_score(spark, sf_dir):
         )
         .first()["lpm"]
     )
-    scored = LM.lm_score(d, model, oov_logp_micro=oov)
-    with_lang = scored.join(d.select("doc_id", "lang"), "doc_id")
-    return LM.perplexity_buckets(with_lang, partition_cols=["lang"]).select(
+    scored = LM.lm_score(d, model, oov_logp_micro=oov)  # carries lang through
+    return LM.perplexity_buckets(scored, partition_cols=["lang"]).select(
         "doc_id", "lang", "lm_nll", "n_tokens", "bucket"
     )
 

@@ -82,8 +82,11 @@ def lm_score(
     and divides once, so the 6-decimal score is engine- and
     partitioning-independent. Token-less documents score NULL (no
     tokens to judge — the caller routes them to the length filters
-    instead). Join is term-keyed and broadcastable while the vocab is
-    bounded."""
+    instead). The model join is term-keyed and broadcastable while the
+    vocab is bounded; the score rejoins the doc spine on the id key
+    (one doc-keyed SMJ at scale), carrying every non-text column of
+    ``docs`` through so callers don't pay a second spine join for
+    grouping keys like lang."""
     toks = docs.select(F.col(id_col), _tokens(docs, text_col))
     msum = F.sum(F.coalesce(F.col("logp_micro"), F.lit(int(oov_logp_micro))))
     cnt = F.count(F.lit(1))
@@ -95,7 +98,7 @@ def lm_score(
             cnt.cast("bigint").alias("n_tokens"),
         )
     )
-    return docs.select(id_col).join(scored, id_col, "left")
+    return docs.drop(text_col).join(scored, id_col, "left")
 
 
 def perplexity_buckets(

@@ -205,3 +205,24 @@ def test_ann_ivf_pq_probed_scan_reads_codes_only(spark, sf_dir):
     assert blocks, plan
     for blk in blocks:
         assert "embedding" not in blk, blk
+
+
+def test_mixture_tokens_only_boundary_bucket_windows(spark, sf_dir):
+    """The token-budget mixture must keep the full-bucket prefix
+    scan-local: exactly ONE window node (the boundary bucket), a union
+    with the windowless filtered branch, and no join anywhere — the
+    per-domain quotas are map-literal lookups, not a planning join."""
+    plan = _plan(spark, "mixture_sample_tokens", sf_dir)
+    assert plan.count("Window") == 2  # one node: tree line + detail header
+    assert "Union" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_lm_score_model_broadcast_spine_smj(spark, sf_dir):
+    """The unigram model must reach the token stream as a BROADCAST
+    join (vocab-bounded side), while the doc-spine rejoin stays a
+    doc-keyed shuffle join (both sides corpus-sized at scale); never a
+    cartesian."""
+    plan = _plan(spark, "lm_score", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan

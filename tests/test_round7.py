@@ -347,7 +347,7 @@ def test_lm_score_partitioning_invariant_and_buckets_balanced(spark, sf_dir):
     )
     j = LM.lm_score(junk, model, oov).first()
     assert j.lm_nll == 20.0  # -oov/1e6 exactly: every token OOV
-    scored = LM.lm_score(d, model, oov).join(d.select("doc_id", "lang"), "doc_id")
+    scored = LM.lm_score(d, model, oov)  # lang carried through the spine
     b = LM.perplexity_buckets(scored, partition_cols=["lang"])
     per = {
         (r.lang, r.bucket): r["n"]

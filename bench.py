@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_incremental",
     "simhash_incremental",
     "dedup_embedding_incremental",
+    "corpus_overlap",
     "ngram_jaccard",
     "doc_fingerprint",
     "lang_id",

@@ -4894,6 +4894,78 @@ def _dedup_full_sql(threshold: float = 0.5, max_bucket_size: int = 1000) -> str:
     """
 
 
+def _overlap_sql(threshold: float = 0.5, max_bucket_size: int = 1000) -> str:
+    # the A-probe-B shape: B's banded signatures equi-join A's on
+    # (band, band_hash); confirm by signature-agreement Jaccard
+    def _bands(src: str) -> str:
+        exprs = []
+        for band in range(4):
+            cols = " || '_' || ".join(f"sig[{band * 4 + r + 1}]::VARCHAR" for r in range(4))
+            exprs.append(
+                f"SELECT doc_id, sig, {band} AS band, ('0x' || substr(md5({cols}), 1, 15))::BIGINT AS band_hash FROM {src}"
+            )
+        return " UNION ALL ".join(exprs)
+
+    return f"""
+    WITH corpus_a AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+    corpus_b AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 40 AND doc_id < 70
+      UNION ALL
+      SELECT doc_id + 2000, 'copy ' || text FROM documents WHERE doc_id < 10
+    ),
+    sigs_a AS ({_minhash_sql(source="corpus_a")}),
+    sigs_b AS ({_minhash_sql(source="corpus_b")}),
+    banded_a AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, band_hash) AS _n
+        FROM ({_bands("sigs_a")})
+      ) WHERE _n <= {max_bucket_size}
+    ),
+    banded_b AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, band_hash) AS _n
+        FROM ({_bands("sigs_b")})
+      ) WHERE _n <= {max_bucket_size}
+    ),
+    m AS (
+      SELECT DISTINCT b.doc_id
+      FROM banded_b b JOIN banded_a a
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0::DOUBLE, 6) >= {threshold}
+    )
+    SELECT c.doc_id, (m.doc_id IS NOT NULL) AS matched
+    FROM corpus_b c LEFT JOIN m ON m.doc_id = c.doc_id
+    """
+
+
+@register("corpus_overlap", _overlap_sql())
+def corpus_overlap(spark, sf_dir):
+    """Cross-corpus overlap estimation (operators/overlap.py): the
+    acquisition-time question — how much of candidate corpus B do we
+    already hold in A? — answered per B-doc with the banded-MinHash
+    probe join (the dedup_delta shape: bucket-keyed equi-join, never
+    |A|x|B|). Fixture: A = docs < 40; B = docs 40-69 plus planted
+    near-copies of docs 0-9 (id + 2000), so the expected overlap is
+    exactly the planted fraction at every SF. The oracle replays
+    signatures, banding, the bucket guard windows, the agreement
+    threshold, and each per-doc verdict bit-for-bit."""
+    from .operators import overlap as OV
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    b = (
+        d.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 70))
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 2000).alias("doc_id"),
+                F.concat(F.lit("copy "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    return OV.corpus_overlap(_par(a), _par(b), threshold=0.5)
+
+
 @register("dedup_full", _dedup_full_sql())
 def dedup_full(spark, sf_dir):
     """The operation a 100 TB pipeline actually runs, composed end to
@@ -5503,6 +5575,13 @@ _PRIORITY = [
     # filter_ext to the r8 debt head (filter_ext's routing logic also
     # carries r6 evidence through scan_docs)
     "quality_classifier", "lm_score",
+    # (a) new mid-r7: the cross-corpus overlap probe (banded-minhash
+    # A-probe-B join, full SQL oracle); its slot displaces
+    # chunk_table_islands (its operator code shares the r5-rows-green
+    # chunk_table_aware path) to the r8 debt head; the tool also
+    # pulls connected_components into this closure (displacing
+    # chunk_sections, same chunking.py r5-rows argument)
+    "corpus_overlap", "connected_components",
     # (b) directly-edited queries: the PQ train/encode/LUT rewrite,
     # the mixing half-up-rounding + salted-rank skew fix, and the two
     # oracle corrections
@@ -5530,16 +5609,18 @@ _PRIORITY = [
     # (filter_ext displaced mid-r7 — see the quality_classifier/
     # lm_score note above)
     "argmax_metric", "report_rank", "report_best",
-    "chunk_recursive_para", "chunk_sections", "chunk_table_islands",
+    "chunk_recursive_para",
     "text_quality",
 ]
 # r8 rotation debt (recorded; displaced from the r7 window because the
 # retrieval.py closure cost 15 slots and the two mid-r7 registrations
-# cost 4 more; code untouched this round): FIRST the four r2-evidence
-# stragglers token_stats, doc_fingerprint, lang_id, and filter_ext
-# (displaced by the mid-r7 additions above; the first three are
-# single-scan projections re-measured by bench.py every round, and
-# filter_ext's routing also carries r6 evidence via scan_docs), then the
+# cost 5 more; code untouched this round): FIRST the five r2-evidence
+# stragglers token_stats, doc_fingerprint, lang_id, filter_ext,
+# chunk_table_islands, and chunk_sections (displaced by the mid-r7 additions above; the
+# first three are single-scan projections re-measured by bench.py every
+# round, filter_ext's routing also carries r6 evidence via scan_docs,
+# and chunk_table_islands shares operator code with the r5-green
+# chunk_table_aware rows check), then the
 # r3-evidence backlog HEADED by the verdict-named trio sink_json,
 # metric_all, embed_fanout, then approx_distinct, array_ops,
 # big_orders, cheapest_supplier_per_part, cube_lineitem, date_parts,

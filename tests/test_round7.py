@@ -356,3 +356,34 @@ def test_lm_score_partitioning_invariant_and_buckets_balanced(spark, sf_dir):
     for lang in {k[0] for k in per}:
         sizes = [per[(lang, t)] for t in (1, 2, 3)]
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+
+def test_corpus_overlap_finds_planted_docs_only(spark, sf_dir):
+    """Every planted near-copy of an A-doc must probe as matched; the
+    genuine B docs (disjoint id range, distinct synthetic content)
+    must overwhelmingly not match; output covers every B doc exactly
+    once."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        overlap as OV,
+    )
+
+    d = H._t(spark, sf_dir, "documents")
+    a = d.filter(SF.col("doc_id") < 40).select("doc_id", "text")
+    b = (
+        d.filter((SF.col("doc_id") >= 40) & (SF.col("doc_id") < 70))
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter(SF.col("doc_id") < 10).select(
+                (SF.col("doc_id") + 2000).alias("doc_id"),
+                SF.concat(SF.lit("copy "), SF.col("text")).alias("text"),
+            )
+        )
+    )
+    rows = {r.doc_id: r.matched for r in OV.corpus_overlap(a, b).collect()}
+    assert len(rows) == b.count()
+    planted = [i + 2000 for i in range(10)]
+    assert all(rows[p] for p in planted), [p for p in planted if not rows[p]]
+    genuine = [k for k in rows if k < 2000]
+    false_hits = sum(rows[k] for k in genuine)
+    assert false_hits <= len(genuine) // 5, f"{false_hits}/{len(genuine)} false hits"

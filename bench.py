@@ -78,6 +78,7 @@ HEADLINE = [
     "mixture_sample",
     "mixture_sample_tokens",
     "leakage_safe_split",
+    "diversity_sample",
     "quality_classifier",
     "lm_score",
     "decontaminate",

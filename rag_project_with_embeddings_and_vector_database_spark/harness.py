@@ -4894,6 +4894,23 @@ def _dedup_full_sql(threshold: float = 0.5, max_bucket_size: int = 1000) -> str:
     """
 
 
+@register("diversity_sample")  # rows-only: seeded KMeans assignment inside
+def diversity_sample(spark, sf_dir):
+    """Semantic-diversity sampling (operators/diversity.py): cluster
+    the embedding corpus with the IVF coarse quantizer, then take an
+    equal per-cluster quota by permanent-hash rank — the
+    cluster-balanced sample instruction-data and eval-set curation
+    pipelines use to undo topic skew. Self-validating quota contract
+    (any over-quota bucket raises); per-cluster coverage is
+    pytest-pinned."""
+    from .operators import diversity as DV
+
+    e = _par(_t(spark, sf_dir, "embeddings"))
+    return DV.cluster_balanced_sample(
+        e, n_per_cluster=10, num_clusters=8, corpus_id="vec_id"
+    ).orderBy("bucket", "vec_id")
+
+
 def _overlap_sql(threshold: float = 0.5, max_bucket_size: int = 1000) -> str:
     # the A-probe-B shape: B's banded signatures equi-join A's on
     # (band, band_hash); confirm by signature-agreement Jaccard
@@ -5582,6 +5599,11 @@ _PRIORITY = [
     # pulls connected_components into this closure (displacing
     # chunk_sections, same chunking.py r5-rows argument)
     "corpus_overlap", "connected_components",
+    # (a) new mid-r7: cluster-balanced diversity sampling (IVF
+    # quantizer + per-cluster hash quota, rows-only self-validating);
+    # displaces chunk_recursive_para (chunking.py shares the r5-green
+    # chunker rows checks) to the r8 debt head
+    "diversity_sample",
     # (b) directly-edited queries: the PQ train/encode/LUT rewrite,
     # the mixing half-up-rounding + salted-rank skew fix, and the two
     # oracle corrections
@@ -5609,14 +5631,14 @@ _PRIORITY = [
     # (filter_ext displaced mid-r7 — see the quality_classifier/
     # lm_score note above)
     "argmax_metric", "report_rank", "report_best",
-    "chunk_recursive_para",
     "text_quality",
 ]
 # r8 rotation debt (recorded; displaced from the r7 window because the
 # retrieval.py closure cost 15 slots and the two mid-r7 registrations
 # cost 5 more; code untouched this round): FIRST the five r2-evidence
 # stragglers token_stats, doc_fingerprint, lang_id, filter_ext,
-# chunk_table_islands, and chunk_sections (displaced by the mid-r7 additions above; the
+# chunk_table_islands, chunk_sections, and chunk_recursive_para
+# (displaced by the mid-r7 additions above; the
 # first three are single-scan projections re-measured by bench.py every
 # round, filter_ext's routing also carries r6 evidence via scan_docs,
 # and chunk_table_islands shares operator code with the r5-green

@@ -387,3 +387,35 @@ def test_corpus_overlap_finds_planted_docs_only(spark, sf_dir):
     genuine = [k for k in rows if k < 2000]
     false_hits = sum(rows[k] for k in genuine)
     assert false_hits <= len(genuine) // 5, f"{false_hits}/{len(genuine)} false hits"
+
+
+def test_diversity_sample_covers_every_cluster(spark, sf_dir):
+    """The cluster-balanced sample must draw from EVERY non-empty
+    embedding cluster (min(quota, cluster size) rows each) and be
+    reproducible across runs."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        diversity as DV,
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+
+    e = H._par(H._t(spark, sf_dir, "embeddings"))
+    got = DV.cluster_balanced_sample(e, n_per_cluster=5, num_clusters=4, corpus_id="vec_id")
+    rows = sorted((r.bucket, r.vec_id) for r in got.collect())
+    # reproducible
+    rows2 = sorted(
+        (r.bucket, r.vec_id)
+        for r in DV.cluster_balanced_sample(
+            e, n_per_cluster=5, num_clusters=4, corpus_id="vec_id"
+        ).collect()
+    )
+    assert rows == rows2
+    assigned, _ = R.build_ivf_index(e, num_centroids=4, corpus_id="vec_id")
+    sizes = {r.bucket: r["n"] for r in assigned.groupBy("bucket").agg(SF.count(SF.lit(1)).alias("n")).collect()}
+    per = {}
+    for b, _v in rows:
+        per[b] = per.get(b, 0) + 1
+    for b, size in sizes.items():
+        assert per.get(b, 0) == min(5, size), (b, size, per.get(b))

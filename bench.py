@@ -227,6 +227,27 @@ def stored_index_query_benches(spark, sf_dir):
             q, 10, corpus=e, coarse_k=300, corpus_id="vec_id",
         )
 
+    # IVFADC stored index (query side only: nprobe-pruned codes scan +
+    # residual ADC + broadcast rescore; both quantizer fits untimed)
+    enc, ivfpq_cdf, ivfpq_cb = R.build_ivf_pq_index(
+        e, num_centroids=8, num_subspaces=8, num_codes=16,
+        corpus_id="vec_id", sample_fraction=0.5,
+    )
+    enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{base}/ivfpq/codes")
+    ivfpq_cdf.write.mode("overwrite").parquet(f"{base}/ivfpq/centroids")
+    ivfpq_cb.write.mode("overwrite").parquet(f"{base}/ivfpq/codebooks")
+
+    def ivfpq_query():
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return R.knn_ivf_pq(
+            spark.read.parquet(f"{base}/ivfpq/codes"),
+            spark.read.parquet(f"{base}/ivfpq/centroids"),
+            spark.read.parquet(f"{base}/ivfpq/codebooks"),
+            q, 10, corpus=e, nprobe=4, coarse_k=100, corpus_id="vec_id",
+        )
+
     # simhash blocked index: delta probe only, same pruned layout
     DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
         "blk_bucket", F.pmod("block_key", F.lit(64))
@@ -260,6 +281,7 @@ def stored_index_query_benches(spark, sf_dir):
         "bm25_indexed_query": bm25_query,
         "ann_ivf_indexed_query": ivf_query,
         "ann_pq_query": pq_query,
+        "ann_ivf_pq_query": ivfpq_query,
         "dedup_incremental_query": dedup_query,
         "simhash_incremental_query": simhash_query,
     }

@@ -81,6 +81,7 @@ HEADLINE = [
     "diversity_sample",
     "quality_classifier",
     "lm_score",
+    "corpus_prep_lm",
     "decontaminate",
     "chunk_sections",
     # UDF-path ops

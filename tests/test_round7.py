@@ -419,3 +419,27 @@ def test_diversity_sample_covers_every_cluster(spark, sf_dir):
         per[b] = per.get(b, 0) + 1
     for b, size in sizes.items():
         assert per.get(b, 0) == min(5, size), (b, size, per.get(b))
+
+
+def test_corpus_prep_lm_composition_flags_consistent(spark, sf_dir):
+    """The capstone's verdicts must compose: kept implies both gates
+    passed; among survivors, exactly one keeper per distinct text; a
+    doc failing either gate is never kept."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+
+    out = {r.doc_id: r for r in H.SPARK_QUERIES["corpus_prep_lm"](spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in H._t(spark, sf_dir, "documents").select("doc_id", "text").collect()}
+    assert set(out) == set(docs)
+    kept_texts = {}
+    for i, r in out.items():
+        if r.kept:
+            assert r.kept_lm and r.kept_quality
+        if r.kept_lm and r.kept_quality:
+            kept_texts.setdefault(docs[i], []).append((i, r.kept))
+    assert kept_texts, "fixture must have survivors"
+    for text, members in kept_texts.items():
+        keepers = [i for i, k in members if k]
+        assert len(keepers) == 1 and keepers[0] == min(i for i, _ in members)
+    # both gates must actually cut something at every SF
+    assert any(not r.kept_lm for r in out.values())
+    assert any(not r.kept_quality for r in out.values())

@@ -30,6 +30,7 @@ from .operators import dedup_index as DI
 from .operators import joins as J
 from .operators import metrics as M
 from .operators import ranking as RK
+from .operators import rerank as RR
 from .operators import retrieval as R
 from .operators.embedding import embed
 
@@ -1530,6 +1531,95 @@ def hybrid_rrf(spark, sf_dir):
         "query_id", F.col("vec_id").alias("doc_id"), "rank"
     )
     return RK.rrf_fuse(lex, vec, k=10, c=60)
+
+
+def _mmr_sql(n: int, k_cand: int, lam: float, n_queries: int) -> str:
+    """Unrolled greedy-MMR oracle: the selection loop is a FIXED number
+    of steps (n), so instead of a recursive CTE each step is a plain
+    CTE stage — argmax over the not-yet-selected candidates of
+    lam*rel - (1-lam)*max(sim to selected). The penalty constant is
+    written as (1.0 - lam) IN SQL so both engines compute the identical
+    IEEE double (1.0 - 0.7 != literal 0.3 in the last ulp); rel and sim
+    come from list_dot_product over DOUBLE[] — the same accumulation
+    the Spark plan does natively — so every comparison the greedy makes
+    is over bit-identical floats."""
+    stages = [
+        f"""acc1 AS MATERIALIZED (
+      SELECT query_id, vec_id, {lam}::DOUBLE * rel AS mmr, 1 AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY {lam}::DOUBLE * rel DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )"""
+    ]
+    for k in range(2, n + 1):
+        stages.append(f"""msim{k} AS (
+      SELECT p.query_id, p.va AS vec_id, max(p.sim) AS ms
+      FROM pair p JOIN acc{k - 1} s ON s.query_id = p.query_id AND s.vec_id = p.vb
+      GROUP BY p.query_id, p.va
+    ),
+    sel{k} AS (
+      SELECT query_id, vec_id, mmr, {k} AS rank FROM (
+        SELECT c.query_id, c.vec_id,
+               {lam}::DOUBLE * c.rel - (1.0::DOUBLE - {lam}::DOUBLE) * m.ms AS mmr,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY {lam}::DOUBLE * c.rel - (1.0::DOUBLE - {lam}::DOUBLE) * m.ms DESC, c.vec_id
+               ) AS rn
+        FROM cand c JOIN msim{k} m ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM acc{k - 1} s WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id
+        )
+      ) WHERE rn = 1
+    ),
+    acc{k} AS MATERIALIZED (SELECT * FROM acc{k - 1} UNION ALL SELECT * FROM sel{k})""")
+    chain = ",\n    ".join(stages)
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    s AS (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(c.embedding::DOUBLE[], q.qv) AS rel,
+             c.embedding::DOUBLE[] AS cv
+      FROM embeddings c, q
+    ),
+    cand AS MATERIALIZED (
+      SELECT query_id, vec_id, rel, cv FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn FROM s
+      ) WHERE rn <= {k_cand}
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+             list_dot_product(a.cv, b.cv) AS sim
+      FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+    ),
+    {chain}
+    SELECT query_id, vec_id, round(mmr, 6) AS mmr_score, rank::INT AS rank
+    FROM acc{n}
+    """
+
+
+@register("mmr_rerank", _mmr_sql(n=8, k_cand=20, lam=0.7, n_queries=4))
+def mmr_rerank(spark, sf_dir):
+    """MMR-diversified retrieval (operators/rerank.py): exact top-20
+    relevance candidates per query, then greedy Maximal Marginal
+    Relevance picks 8 — the standard RAG fix for near-duplicate
+    neighborhoods that a plain cosine top-k (the reference's
+    vector_db.py search shape) returns verbatim. All float work (rel
+    and the candidate-candidate sim matrix) is native codegen'd
+    float64; only the k^2-bounded greedy loop is Python (applyInPandas
+    per query group, never corpus-proportional). FULL hash oracle: the
+    greedy loop unrolls into 8 plain SQL stages over the identical
+    bit-exact dot products, so even the selection ORDER replays."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return RR.mmr_rerank(
+        q, e, n=8, k_candidates=20, lam=0.7,
+        query_id="query_id", corpus_id="vec_id", normalized=True,
+    )
 
 
 @register("bm25_indexed", f"WITH {_bm25_ctes()} SELECT query_id, doc_id, score, rank FROM lexical")
@@ -5709,6 +5799,14 @@ _PRIORITY = [
     # inside this capstone's oracle, so its logic still earns fresh
     # r7 evidence
     "corpus_prep_lm",
+    # (a) new late-r7: the MMR diversified re-ranker (operators/
+    # rerank.py — greedy Maximal Marginal Relevance over exact top-20
+    # candidates, FULL hash oracle via an unrolled 8-stage greedy SQL
+    # twin over the same bit-exact dot products); its slot displaces
+    # token_count to the r8 debt head (C0 is a one-expression
+    # projection whose whitespace tokenization is replayed inside the
+    # in-window bm25/lm_score oracles)
+    "mmr_rerank",
     # (b) tool-derived closure: the quality_classifier insertion sits
     # inside decontaminate's diff span; front-loaded per policy
     # (displacing report_best — its one-row logic is report_rank's
@@ -5747,7 +5845,7 @@ _PRIORITY = [
     # list): the C0/C1/E1/E5/E6 function primitives, the P-family
     # predicates/projections, the A5-A7/O1-O3 report family, the r2
     # chunkers, and the r2 text-analysis four
-    "token_count", "sentence_split", "preprocess_text", "cosine_dot",
+    "sentence_split", "preprocess_text", "cosine_dot",
     "l2_normalize", "project_payload", "pred_relevance",
     "resolve_expected_source", "agg_config", "agg_summary",
     # (filter_ext displaced mid-r7 — see the quality_classifier/

@@ -4921,6 +4921,89 @@ def embed_values(spark, sf_dir):
     )
 
 
+_EMBED_CACHED_SQL = """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    cache_keys AS (
+      SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 100
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+      FROM corpus
+    ),
+    t AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 384 AS idx,
+             CASE WHEN ('0x' || substr(md5(tok), 9, 2))::BIGINT & 1 = 1 THEN 1 ELSE -1 END AS sign
+      FROM t
+    ),
+    b AS (SELECT doc_id, idx, sum(sign)::DOUBLE AS v FROM h GROUP BY doc_id, idx),
+    grid AS (
+      SELECT d.doc_id, r.range AS i, coalesce(b.v, 0.0::DOUBLE) AS v
+      FROM (SELECT DISTINCT doc_id FROM b) d
+      CROSS JOIN range(0, 384) r
+      LEFT JOIN b ON b.doc_id = d.doc_id AND b.idx = r.range
+    ),
+    n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM grid GROUP BY doc_id),
+    vecs AS (
+      SELECT grid.doc_id,
+             array_to_string(list_transform(list(grid.v ORDER BY grid.i),
+                            x -> (round((CASE WHEN n.nrm > 0 THEN x / n.nrm ELSE x END)::FLOAT::DOUBLE * 1000000))::BIGINT), ',') AS embedding_micros
+      FROM grid JOIN n ON grid.doc_id = n.doc_id
+      GROUP BY grid.doc_id, n.nrm
+    )
+    SELECT c.doc_id,
+           (ck.content_hash IS NOT NULL) AS reused,
+           v.embedding_micros
+    FROM corpus c
+    JOIN vecs v ON v.doc_id = c.doc_id
+    LEFT JOIN cache_keys ck ON ck.content_hash = md5(c.text)
+    """
+
+
+@register("embed_cached", _EMBED_CACHED_SQL)
+def embed_cached(spark, sf_dir):
+    """Content-addressed incremental embedding (operators/embedding.py
+    embed_incremental): docs 0-99 are embedded once and WRITTEN as the
+    cache store, then the full 0-199 corpus runs through the
+    incremental path — cache hits resolve by one md5-content-hash
+    equi-join (the only shuffle; at scale the store is hash-prefix
+    partitioned), and the embedder runs over the anti-join misses only,
+    so day-2 inference cost tracks NEW content, not corpus size. FULL
+    value oracle: both the reused flag (hash membership) and every
+    returned vector (cache round-trip AND fresh inference, micros-
+    quantized like embed_values) are replayed in SQL — a stale or
+    corrupted cache hit cannot slip past the hash compare."""
+    import os
+    import tempfile
+
+    from .operators.embedding import embed_incremental
+
+    d = _par(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+            "doc_id", F.col("text").alias("content")
+        )
+    )
+    old = d.filter(F.col("doc_id") < 100)
+    store = os.path.join(tempfile.gettempdir(), f"spark_rag_embed_cache_p{os.getpid()}")
+    embed_incremental(old, None, "all-MiniLM-L6-v2", text_col="content").select(
+        "content_hash", "embedding"
+    ).write.mode("overwrite").parquet(store)
+    cache = spark.read.parquet(store)
+    out = embed_incremental(d, cache, "all-MiniLM-L6-v2", text_col="content")
+    return out.select(
+        "doc_id",
+        "reused",
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("embedding_micros"),
+    )
+
+
 _CC_SQL = """
     WITH RECURSIVE corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id < 30
@@ -5807,6 +5890,19 @@ _PRIORITY = [
     # projection whose whitespace tokenization is replayed inside the
     # in-window bm25/lm_score oracles)
     "mmr_rerank",
+    # (a) new late-r7: content-addressed incremental embedding
+    # (operators/embedding.py embed_incremental — md5-keyed cache
+    # store, inference over anti-join misses only, FULL value oracle
+    # incl. the cache round-trip); its slot displaces sentence_split
+    # to the r8 debt head (C1 is a one-expression split whose regex
+    # feeds the r5-rows-green chunker family)
+    "embed_cached",
+    # (b) closure of operators/embedding.py (embed_incremental landed
+    # there): embed_values is the module's only out-of-window oracle
+    # query — front-loading it also drains its r4-evidence debt a
+    # round early; its slot displaces preprocess_text (E1 is a
+    # one-expression regex projection) to the r8 debt head
+    "embed_values",
     # (b) tool-derived closure: the quality_classifier insertion sits
     # inside decontaminate's diff span; front-loaded per policy
     # (displacing report_best — its one-row logic is report_rank's
@@ -5845,7 +5941,7 @@ _PRIORITY = [
     # list): the C0/C1/E1/E5/E6 function primitives, the P-family
     # predicates/projections, the A5-A7/O1-O3 report family, the r2
     # chunkers, and the r2 text-analysis four
-    "sentence_split", "preprocess_text", "cosine_dot",
+    "cosine_dot",
     "l2_normalize", "project_payload", "pred_relevance",
     "resolve_expected_source", "agg_config", "agg_summary",
     # (filter_ext displaced mid-r7 — see the quality_classifier/
@@ -5854,10 +5950,15 @@ _PRIORITY = [
 ]
 # r8 rotation debt (recorded; displaced from the r7 window because the
 # retrieval.py closure cost 15 slots and the two mid-r7 registrations
-# cost 5 more; code untouched this round): FIRST the five r2-evidence
+# cost 5 more; code untouched this round): FIRST the r2-evidence
 # stragglers token_stats, doc_fingerprint, lang_id, filter_ext,
 # chunk_table_islands, chunk_sections, chunk_recursive_para,
-# text_quality, and report_best (displaced by the mid-r7 additions above — text_quality's
+# text_quality, report_best, and the three late-r7 displacements
+# token_count, sentence_split, preprocess_text (one-expression C0/C1/E1
+# primitives — their tokenize/split/clean regexes are replayed inside
+# in-window bm25/lm_score oracles and the r5 chunker rows checks;
+# displaced by mmr_rerank, embed_cached, and the embed_values
+# front-load above) (note on the earlier displacements — text_quality's
 # quality_score arithmetic is replayed verbatim inside corpus_prep_lm's
 # r7-green oracle; the
 # first three are single-scan projections re-measured by bench.py every

@@ -180,3 +180,62 @@ def embed_fanout(
             )
 
     return jobs
+
+
+def embed_incremental(
+    corpus: DataFrame,
+    cache: DataFrame | None,
+    model: str,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+    vec_col: str = "embedding",
+    backend: str = "hash",
+) -> DataFrame:
+    """Content-addressed incremental embedding: re-embed ONLY texts
+    whose content hash is absent from the stored cache.
+
+    At 100 TB the embedding model is the single most expensive stage of
+    the pipeline (GPU-hours, not shuffle-seconds), and day-2 corpora
+    are overwhelmingly unchanged — so production pipelines key
+    embeddings by a hash of the text and reuse every hit. This is that
+    operator:
+
+      * ``content_hash`` = md5 of the raw text (any collision-resistant
+        digest works; md5 is used so the harness oracle can replay the
+        key cross-engine) computed scan-locally;
+      * cache hits resolve by one equi-join on the hash — the ONLY
+        shuffle in the plan, and a bucketed/bucket-pruned one when the
+        cache table is written partitioned by a hash prefix;
+      * the model runs over the anti-join misses only, so inference
+        cost is proportional to NEW content, not corpus size.
+
+    ``cache`` holds (hash_col, vec_col) rows — typically
+    ``spark.read.parquet(store)`` of a previous run's output; ``None``
+    means a cold start (everything embeds). Returns the corpus columns
+    plus (hash_col, vec_col, reused) where ``reused`` marks rows served
+    from the cache. Same-content rows WITHIN the new corpus still embed
+    once per row (the embedder is deterministic, so their vectors are
+    identical by construction; deduplicating before embedding is the
+    dedup family's job, not this operator's)."""
+    hashed = corpus.withColumn(hash_col, F.md5(F.col(text_col)))
+    if cache is None:
+        return embed(
+            hashed, model, text_col=text_col, out_col=vec_col, backend=backend
+        ).withColumn("reused", F.lit(False))
+
+    c = cache.select(
+        F.col(hash_col), F.col(vec_col).alias("_cached_vec")
+    ).dropDuplicates([hash_col])
+    joined = hashed.join(c, hash_col, "left")
+    hits = joined.filter(F.col("_cached_vec").isNotNull()).select(
+        *corpus.columns, hash_col,
+        F.col("_cached_vec").alias(vec_col),
+    ).withColumn("reused", F.lit(True))
+    misses = joined.filter(F.col("_cached_vec").isNull()).select(
+        *corpus.columns, hash_col
+    )
+    fresh = embed(
+        misses, model, text_col=text_col, out_col=vec_col, backend=backend
+    ).withColumn("reused", F.lit(False))
+    return hits.unionByName(fresh)

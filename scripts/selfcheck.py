@@ -77,6 +77,7 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_MIXTURE_TOTAL": {"mixture_sample"},
     "_corpus_prep_sql": {"corpus_prep"},
     "_mmr_sql": {"mmr_rerank"},
+    "_EMBED_CACHED_SQL": {"embed_cached"},
     "_ann_recall": {
         "ann_lsh", "ann_ivf", "ann_ivf_quantized", "ann_ivf_indexed",
         "ann_ivf_indexed_int8", "ann_ivf_append", "ann_pq",

@@ -52,20 +52,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _stream_tmp(tag: str) -> str:
-    """Fixed per-process scratch root for the streaming harness
-    queries, CLEARED on entry. A streaming checkpoint cannot be reused
-    across runs (its committed file log would mark the re-written
-    source as already processed and the drain would emit nothing), so
-    instead of leaking a fresh uuid-named tree per invocation
-    (VERDICT r6 residual) the path is deterministic and torn down
-    before each use — any number of consecutive runs in ONE process
-    leave exactly one scratch tree per query. The pid suffix keeps
-    concurrent harness processes from clobbering each other's live
-    checkpoints, so cross-PROCESS accumulation is handled by the stale
-    sweep below: any sibling spark_rag_*_p<pid> tree whose owning
-    process is gone is removed on entry (measured: per-pid trees from
-    selfcheck/bench/pytest runs otherwise pile up 6 per process)."""
+def _sweep_stale_tmp() -> None:
+    """Remove pid-suffixed scratch trees whose owning process is gone.
+    Shared by every harness path that writes a per-process store
+    (streaming checkpoints AND non-streaming stores like the
+    embed-cache parquet), so orphan cleanup does not depend on a
+    streaming query happening to run in the same process (ADVICE r7)."""
     import glob
     import os
     import re
@@ -84,9 +76,37 @@ def _stream_tmp(tag: str) -> str:
             f"/proc/{m.group(1)}"
         ):
             shutil.rmtree(old, ignore_errors=True)
-    tmp = os.path.join(root, f"spark_rag_{tag}_stream_p{os.getpid()}")
+
+
+def _proc_tmp(tag: str) -> str:
+    """Deterministic per-process scratch path, torn down on entry,
+    with the stale-sibling sweep run first. Consecutive runs in one
+    process reuse (and reset) ONE tree; trees from dead processes are
+    reaped by whichever harness process runs next."""
+    import os
+    import shutil
+    import tempfile
+
+    _sweep_stale_tmp()
+    tmp = os.path.join(tempfile.gettempdir(), f"spark_rag_{tag}_p{os.getpid()}")
     shutil.rmtree(tmp, ignore_errors=True)
     return tmp
+
+
+def _stream_tmp(tag: str) -> str:
+    """Fixed per-process scratch root for the streaming harness
+    queries, CLEARED on entry. A streaming checkpoint cannot be reused
+    across runs (its committed file log would mark the re-written
+    source as already processed and the drain would emit nothing), so
+    instead of leaking a fresh uuid-named tree per invocation
+    (VERDICT r6 residual) the path is deterministic and torn down
+    before each use — any number of consecutive runs in ONE process
+    leave exactly one scratch tree per query. The pid suffix keeps
+    concurrent harness processes from clobbering each other's live
+    checkpoints; cross-PROCESS accumulation is handled by
+    _sweep_stale_tmp (measured: per-pid trees from selfcheck/bench/
+    pytest runs otherwise pile up 6 per process)."""
+    return _proc_tmp(f"{tag}_stream")
 
 
 def _par(df: DataFrame) -> DataFrame:
@@ -4922,9 +4942,13 @@ def embed_values(spark, sf_dir):
 
 
 _EMBED_CACHED_SQL = """
-    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 200 AND regexp_matches(text, '\\S')
+    ),
     cache_keys AS (
-      SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 100
+      SELECT DISTINCT md5(text) AS content_hash FROM documents
+      WHERE doc_id < 100 AND regexp_matches(text, '\\S')
     ),
     toks AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
@@ -4973,19 +4997,21 @@ def embed_cached(spark, sf_dir):
     value oracle: both the reused flag (hash membership) and every
     returned vector (cache round-trip AND fresh inference, micros-
     quantized like embed_values) are replayed in SQL — a stale or
-    corrupted cache hit cannot slip past the hash compare."""
-    import os
-    import tempfile
-
+    corrupted cache hit cannot slip past the hash compare. The `\\S`
+    guard mirrors embed_fanout: without it an all-whitespace doc would
+    be dropped by the oracle's token grid but kept (zero vector) by
+    the Spark path — a latent rows mismatch (ADVICE r7). The store
+    lives in a _proc_tmp tree so orphans from dead processes are swept
+    here too, not only when a streaming query runs (ADVICE r7)."""
     from .operators.embedding import embed_incremental
 
     d = _par(
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
-            "doc_id", F.col("text").alias("content")
-        )
+        _t(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") < 200) & F.col("text").rlike(r"\S")
+        ).select("doc_id", F.col("text").alias("content"))
     )
     old = d.filter(F.col("doc_id") < 100)
-    store = os.path.join(tempfile.gettempdir(), f"spark_rag_embed_cache_p{os.getpid()}")
+    store = _proc_tmp("embed_cache")
     embed_incremental(old, None, "all-MiniLM-L6-v2", text_col="content").select(
         "content_hash", "embedding"
     ).write.mode("overwrite").parquet(store)

@@ -99,6 +99,19 @@ def dedup_delta(
     delta_banded = build_dedup_index(
         delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
     )
+    return _probe_minhash(index, delta_banded, id_col, num_perm, max_bucket_size)
+
+
+def _probe_minhash(
+    index: DataFrame,
+    delta_banded: DataFrame,
+    id_col: str,
+    num_perm: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """The probe-join core of ``dedup_delta`` over an ALREADY-banded
+    delta — split out so ``probe_dedup_index`` can shingle the delta
+    exactly once (bucket discovery and the probe share the frame)."""
     unioned = index.withColumn("_new", F.lit(False)).unionByName(
         delta_banded.withColumn("_new", F.lit(True))
     )
@@ -212,6 +225,18 @@ def simhash_delta(
     blocks) fingerprinting plus one pruned probe join — the corpus is
     never re-fingerprinted."""
     delta_blocked = build_simhash_index(delta, content_col, id_col, bits, num_blocks)
+    return _probe_simhash(index, delta_blocked, id_col, max_hamming, max_bucket_size)
+
+
+def _probe_simhash(
+    index: DataFrame,
+    delta_blocked: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """The probe-join core of ``simhash_delta`` over an ALREADY-blocked
+    delta (see ``_probe_minhash``)."""
     unioned = index.withColumn("_new", F.lit(False)).unionByName(
         delta_blocked.withColumn("_new", F.lit(True))
     )
@@ -244,6 +269,113 @@ def simhash_delta(
         new_old.unionByName(new_new)
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def probe_dedup_index(
+    spark,
+    path: str,
+    delta: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+    num_buckets: int = 64,
+    bucket_col: str = "sig_bucket",
+) -> DataFrame:
+    """The STEADY-STATE daily probe against a stored minhash signature
+    index written ``partitionBy(band, sig_bucket)`` (the
+    ``compact_signature_store`` layout, pmod-``num_buckets`` of
+    band_hash): shingle/band the delta EXACTLY ONCE (localCheckpoint —
+    bounded at |delta| x bands rows), collect its distinct partition
+    keys (a |delta|-bounded driver list, never corpus-proportional),
+    read ONLY the matched store partitions, and run the probe join.
+    This packages the discover-prune-probe recipe the bench twin and
+    VERDICT r5-r7 used inline, so the pruning contract lives in code —
+    and costs one delta pass instead of two. Output contract ==
+    ``dedup_delta`` against the full index."""
+    import functools
+    import operator
+
+    banded = build_dedup_index(
+        delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
+    ).localCheckpoint()
+    keys = sorted(
+        {
+            (r.band, r.sb)
+            for r in banded.select(
+                "band", F.pmod("band_hash", F.lit(num_buckets)).alias("sb")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    pruned = spark.read.parquet(path)
+    pruned = pruned.filter(
+        functools.reduce(
+            operator.or_,
+            [
+                (F.col("band") == b) & (F.col(bucket_col) == sb)
+                for b, sb in keys
+            ],
+        )
+    )
+    drop = [c for c in (bucket_col,) if c in pruned.columns]
+    return _probe_minhash(
+        pruned.drop(*drop), banded, id_col, num_perm, max_bucket_size
+    )
+
+
+def probe_simhash_index(
+    spark,
+    path: str,
+    delta: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    num_blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+    num_buckets: int = 64,
+    bucket_col: str = "blk_bucket",
+) -> DataFrame:
+    """``probe_dedup_index`` for the SimHash family: one fingerprint
+    pass over the delta, partition-pruned read of a store written
+    ``partitionBy(block_id, blk_bucket)``, then the blocked Hamming
+    probe. Output contract == ``simhash_delta`` against the full
+    index."""
+    import functools
+    import operator
+
+    blocked = build_simhash_index(
+        delta, content_col, id_col, bits, num_blocks
+    ).localCheckpoint()
+    keys = sorted(
+        {
+            (r.block_id, r.bb)
+            for r in blocked.select(
+                "block_id", F.pmod("block_key", F.lit(num_buckets)).alias("bb")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    pruned = spark.read.parquet(path)
+    pruned = pruned.filter(
+        functools.reduce(
+            operator.or_,
+            [
+                (F.col("block_id") == b) & (F.col(bucket_col) == bb)
+                for b, bb in keys
+            ],
+        )
+    )
+    drop = [c for c in (bucket_col,) if c in pruned.columns]
+    return _probe_simhash(
+        pruned.drop(*drop), blocked, id_col, max_hamming, max_bucket_size
     )
 
 

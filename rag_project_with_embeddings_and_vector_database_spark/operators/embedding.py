@@ -224,9 +224,16 @@ def embed_incremental(
             hashed, model, text_col=text_col, out_col=vec_col, backend=backend
         ).withColumn("reused", F.lit(False))
 
-    c = cache.select(
-        F.col(hash_col), F.col(vec_col).alias("_cached_vec")
-    ).dropDuplicates([hash_col])
+    # One row per hash, picked DETERMINISTICALLY (min over the vector's
+    # natural array ordering) rather than dropDuplicates' arbitrary
+    # first-seen row: a corrupted or mixed-model store with conflicting
+    # vectors for one hash then serves a stable (and oracle-checkable)
+    # answer instead of a partitioning-dependent one. Well-formed
+    # single-model stores have one distinct vector per hash, for which
+    # min() is the identity.
+    c = cache.groupBy(hash_col).agg(
+        F.min(F.col(vec_col)).alias("_cached_vec")
+    )
     joined = hashed.join(c, hash_col, "left")
     hits = joined.filter(F.col("_cached_vec").isNotNull()).select(
         *corpus.columns, hash_col,

@@ -65,12 +65,15 @@ def _greedy_mmr(lam: float, n: int):
             best = None
             best_score = None
             for c in remaining:
-                ms = 0.0
+                # true max over selected (can be negative for
+                # anti-similar candidates); only the empty-selected
+                # first pick has no penalty term at all
+                ms = None
                 for s in selected:
                     v = sim[(c, s)]
-                    if v > ms:
+                    if ms is None or v > ms:
                         ms = v
-                score = lam * rel[c] - one_minus * ms
+                score = lam * rel[c] - one_minus * ms if ms is not None else lam * rel[c]
                 # strict > keeps the lowest id on exact ties (remaining
                 # is id-ascending) — matching the oracle's ORDER BY
                 # mmr DESC, vec_id ASC

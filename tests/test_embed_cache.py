@@ -71,3 +71,20 @@ def test_miss_cost_is_proportional_to_new_content(spark):
     out = embed_incremental(new, cache, MODEL, text_col="content")
     counts = {r["reused"]: r["n"] for r in out.groupBy("reused").agg(SF.count("*").alias("n")).collect()}
     assert counts == {True: 20, False: 5}
+
+
+def test_conflicting_cache_rows_resolve_deterministically(spark):
+    """A corrupted / mixed-model store holding two DIFFERENT vectors for
+    one hash must serve a stable answer — the array-ordering min — not a
+    partitioning-dependent arbitrary row (ADVICE r7)."""
+    new = _corpus(spark, [(9, "same text")])
+    h = new.select(SF.md5("content").alias("h")).first()["h"]
+    lo = [0.1] * 4
+    hi = [0.9] * 4
+    for order in ([(h, hi), (h, lo)], [(h, lo), (h, hi)]):
+        cache = spark.createDataFrame(
+            order, "content_hash string, embedding array<double>"
+        ).repartition(4)
+        out = embed_incremental(new, cache, MODEL, text_col="content").collect()
+        assert len(out) == 1 and out[0]["reused"]
+        assert [round(x, 6) for x in out[0]["embedding"]] == lo

@@ -84,6 +84,33 @@ def test_mmr_single_candidate_query_survives(spark, planted):
     assert len(out) == 1 and out[0]["vec_id"] == 42 and out[0]["rank"] == 1
 
 
+def test_mmr_negative_sim_penalty_is_true_max(spark):
+    """Anti-similar candidates (negative max-sim to the selected set)
+    must be PENALIZED BY the negative max — i.e. boosted — exactly as
+    the documented formula and the unrolled-SQL oracle compute it. A
+    zero-floored penalty (the pre-round-8 bug) would score D at
+    lam*rel = 0.05 and wrongly pick E second; the true max gives D
+    0.5*0.1 - 0.5*(-0.34) ~ 0.22 and D must win rank 2."""
+    q = spark.createDataFrame(
+        [(0, _unit(1.0, 0.0, 0.0, 0.0))], "query_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, _unit(0.90, 0.436, 0.0, 0.0)),     # A: rel ~0.90, picked first
+            (13, _unit(0.10, -0.995, 0.0, 0.0)),    # D: rel 0.10, sim(A,D) ~ -0.34
+            (14, _unit(0.40, -0.367, 0.840, 0.0)),  # E: rel 0.40, sim(A,E) ~ +0.20
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = RR.mmr_rerank(
+        q, corpus, n=2, k_candidates=3, lam=0.5,
+        corpus_id="vec_id", normalized=True,
+    ).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [10, 13]
+    # rank-2 score must include the NEGATIVE max-sim term
+    assert out[1]["mmr_score"] == pytest.approx(0.222, abs=5e-3)
+
+
 def test_mmr_argument_validation(spark, planted):
     q, corpus = planted
     with pytest.raises(ValueError):

@@ -108,10 +108,10 @@ HEADLINE = [
 # the regression tripwire VERDICT r7 item 8 asked for. Targets are
 # min-of-3 measurements on a quiet machine, rounded UP generously.
 SLA = {
-    "bm25_indexed_query": 3.0,
-    "ann_ivf_indexed_query": 2.0,
-    "ann_pq_query": 2.5,
-    "ann_ivf_pq_query": 2.5,
+    "bm25_indexed_query": 2.0,
+    "ann_ivf_indexed_query": 1.0,
+    "ann_pq_query": 1.5,
+    "ann_ivf_pq_query": 1.5,
     "dedup_incremental_query": 2.0,
     "simhash_incremental_query": 2.0,
 }
@@ -210,8 +210,13 @@ def stored_index_query_benches(spark, sf_dir):
         "band", "sig_bucket"
     ).parquet(f"{base}/dedupidx")
 
+    # the delta reads the RAW scan (not the _par round-robin repartition
+    # of the full table, which blocks predicate pushdown and re-shuffles
+    # 100%% of the corpus to yield 25 rows — measured ~0.8 s/probe)
+    raw_docs = H._t(spark, sf_dir, "documents")
+
     def dedup_query():
-        delta = docs.filter(F.col("doc_id") < 25).select(
+        delta = raw_docs.filter(F.col("doc_id") < 25).select(
             (F.col("doc_id") + 1000000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" incremental delta revision")).alias("text"),
         )
@@ -270,7 +275,7 @@ def stored_index_query_benches(spark, sf_dir):
     ).parquet(f"{base}/simhashidx")
 
     def simhash_query():
-        delta = docs.filter(F.col("doc_id") < 25).select(
+        delta = raw_docs.filter(F.col("doc_id") < 25).select(
             (F.col("doc_id") + 1000000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" rev")).alias("text"),
         )

@@ -2628,10 +2628,11 @@ def _lm_oov_micro(ref, text_col: str = "text", alpha: float = 0.5) -> int:
 
 
 
-@register(
-    "lm_score",
-    """
-    WITH toks AS (
+# Shared LM-scoring CTE chain (train on doc_id < 300, score everything,
+# rejoin the doc spine as `j`) — used by lm_score and lm_buckets so the
+# two oracles cannot drift
+_LM_SC_CTES = """
+    toks AS (
       SELECT doc_id, lang,
              unnest(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''),
                     t -> lower(t))) AS term
@@ -2662,7 +2663,13 @@ def _lm_oov_micro(ref, text_col: str = "text", alpha: float = 0.5) -> int:
     j AS (
       SELECT d.doc_id, d.lang, sc.lm_nll, sc.n_tokens
       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-    )
+    )"""
+
+
+@register(
+    "lm_score",
+    f"""
+    WITH {_LM_SC_CTES}
     SELECT doc_id, lang, lm_nll, n_tokens,
            CAST(ntile(3) OVER (PARTITION BY lang ORDER BY lm_nll ASC NULLS LAST, doc_id)
                 AS INTEGER) AS bucket
@@ -2691,6 +2698,36 @@ def lm_score(spark, sf_dir):
     return LM.perplexity_buckets(scored, partition_cols=["lang"]).select(
         "doc_id", "lang", "lm_nll", "n_tokens", "bucket"
     )
+
+
+@register(
+    "lm_buckets",
+    f"""
+    WITH {_LM_SC_CTES}
+    SELECT doc_id, lang,
+           CAST(ntile(5) OVER (PARTITION BY lang ORDER BY lm_nll ASC NULLS LAST, doc_id)
+                AS INTEGER) AS bucket
+    FROM j
+    """,
+)
+def lm_buckets(spark, sf_dir):
+    """The partitioned perplexity_buckets contract (operators/lm.py
+    :104-123) pinned DIRECTLY, independent of lm_score's 3-tile default
+    and of the corpus_prep_lm capstone (VERDICT r7 item 6): 5-way
+    per-language ntile over the LM score with the (score NULLS LAST,
+    doc_id) tie-break — uneven-remainder tile boundaries, NULL-score
+    routing, and the per-shard sort shape all replay bit-for-bit
+    against DuckDB's ntile. Shares _LM_SC_CTES with lm_score so the
+    score being tiled is the same proven quantity."""
+    from .operators import lm as LM
+
+    d = _par(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
+    ref = d.filter(F.col("doc_id") < 300)
+    model = LM.train_unigram_lm(ref, alpha=0.5)
+    scored = LM.lm_score(d, model, oov_logp_micro=_lm_oov_micro(ref))
+    return LM.perplexity_buckets(
+        scored, n_buckets=5, partition_cols=["lang"]
+    ).select("doc_id", "lang", "bucket")
 
 
 def _corpus_prep_lm_sql(quality_floor: float = 0.4) -> str:
@@ -5210,14 +5247,15 @@ def diversity_sample(spark, sf_dir):
     the embedding corpus with the IVF coarse quantizer, then take an
     equal per-cluster quota by permanent-hash rank — the
     cluster-balanced sample instruction-data and eval-set curation
-    pipelines use to undo topic skew. Self-validating quota contract
-    (any over-quota bucket raises); per-cluster coverage is
+    pipelines use to undo topic skew. The harness opts into the quota
+    self-check (validate=True — any over-quota bucket raises; the
+    operator is lazy by default since r8); per-cluster coverage is
     pytest-pinned."""
     from .operators import diversity as DV
 
     e = _par(_t(spark, sf_dir, "embeddings"))
     return DV.cluster_balanced_sample(
-        e, n_per_cluster=10, num_clusters=8, corpus_id="vec_id"
+        e, n_per_cluster=10, num_clusters=8, corpus_id="vec_id", validate=True
     ).orderBy("bucket", "vec_id")
 
 

@@ -30,16 +30,22 @@ def cluster_balanced_sample(
     corpus_id: str = "id",
     vec_col: str = "embedding",
     seed: int = 42,
+    validate: bool = False,
 ) -> DataFrame:
     """Equal-count sample per embedding cluster: returns
     (id, bucket) rows — at most ``n_per_cluster`` per bucket, chosen by
     the permanent salted hash with id tie-break (reproducible across
-    reruns/repartitionings given the same cluster assignment). Eagerly
-    SELF-VALIDATES the quota contract — any bucket exceeding its quota,
-    or a sampled id not present in the corpus, raises instead of
-    returning a plausible-but-wrong sample (the module's recall-floor
-    discipline); the check is one tiny aggregate over the <= 
-    num_clusters * n_per_cluster output rows."""
+    reruns/repartitionings given the same cluster assignment).
+
+    LAZY by default like every other operator here (the KMeans fit
+    inside build_ivf_index still runs at call time — that is the
+    quantizer's documented cost, not a hidden materialization of the
+    sample). ``validate=True`` additionally runs the quota self-check
+    the harness uses — one eager tiny aggregate over the <=
+    num_clusters * n_per_cluster output rows; any bucket over quota
+    raises instead of returning a plausible-but-wrong sample (the
+    module's recall-floor discipline, opt-in since VERDICT r7 flagged
+    the hidden job for library callers)."""
     assigned, _ = build_ivf_index(
         corpus, num_centroids=num_clusters, corpus_id=corpus_id,
         vec_col=vec_col, seed=seed,
@@ -51,8 +57,11 @@ def cluster_balanced_sample(
         id_col=corpus_id,
         seed=seed,
     )
-    per_bucket = sample.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-    over = [(r["bucket"], r["n"]) for r in per_bucket if r["n"] > n_per_cluster]
-    if over:
-        raise AssertionError(f"cluster quotas exceeded: {over}")
+    if validate:
+        per_bucket = (
+            sample.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        over = [(r["bucket"], r["n"]) for r in per_bucket if r["n"] > n_per_cluster]
+        if over:
+            raise AssertionError(f"cluster quotas exceeded: {over}")
     return sample

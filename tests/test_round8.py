@@ -67,15 +67,51 @@ def test_probe_simhash_index_matches_full_index_probe(spark, corpus, delta, tmp_
     assert got, "fixture must produce at least one near-dup pair"
 
 
-def test_probe_dedup_index_prunes_partitions(spark, corpus, delta, tmp_path):
-    """The store read must carry the (band, sig_bucket) partition
-    filters — the pruning that makes the probe O(delta) at 100 TB."""
+def test_read_matched_partitions_prunes_and_survives_missing_keys(
+    spark, corpus, tmp_path
+):
+    """The matched-partition reader must touch ONLY the named
+    directories (the pruning that makes the probe O(delta) at 100 TB),
+    tolerate keys whose directory does not exist, and fall back to an
+    empty frame when nothing matches."""
     store = os.path.join(str(tmp_path), "dedupidx")
-    DI.build_dedup_index(corpus, num_perm=16, num_bands=4, seed=42).withColumn(
-        "sig_bucket", F.pmod("band_hash", F.lit(64))
-    ).write.mode("overwrite").partitionBy("band", "sig_bucket").parquet(store)
-    out = DI.probe_dedup_index(spark, store, delta, num_perm=16, num_bands=4, seed=42)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan
-    # the filter actually references the partition columns
-    assert "band" in plan and "sig_bucket" in plan
+    idx = DI.build_dedup_index(corpus, num_perm=16, num_bands=4, seed=42)
+    idx.withColumn("sig_bucket", F.pmod("band_hash", F.lit(64))).write.mode(
+        "overwrite"
+    ).partitionBy("band", "sig_bucket").parquet(store)
+    existing = sorted(
+        {
+            (r.band, r.sb)
+            for r in idx.select(
+                "band", F.pmod("band_hash", F.lit(64)).alias("sb")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    assert len(existing) > 3
+    pick = existing[:2]
+    keys = [(("band", b), ("sig_bucket", sb)) for b, sb in pick]
+    # a key with no directory must be skipped, not crash the read
+    keys.append((("band", 0), ("sig_bucket", 10_000)))
+    got = DI._read_matched_partitions(spark, store, keys, empty_like=idx)
+    files = got.inputFiles()
+    assert files, "matched read must see files"
+    want_prefixes = tuple(f"{store}/band={b}/sig_bucket={sb}" for b, sb in pick)
+    for f in files:
+        assert f.replace("file://", "").startswith(want_prefixes)
+    # value identity with a plain filtered read
+    import functools
+    import operator
+
+    cond = functools.reduce(
+        operator.or_,
+        [(F.col("band") == b) & (F.col("sig_bucket") == sb) for b, sb in pick],
+    )
+    want = spark.read.parquet(store).filter(cond)
+    assert got.count() == want.count() > 0
+    # nothing matches -> empty frame with the index columns
+    none = DI._read_matched_partitions(
+        spark, store, [(("band", 0), ("sig_bucket", 10_000))], empty_like=idx
+    )
+    assert none.count() == 0 and set(none.columns) == set(idx.columns)

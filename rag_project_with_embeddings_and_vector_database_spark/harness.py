@@ -5419,24 +5419,22 @@ def dedup_incremental(spark, sf_dir):
     the contract by definition: the one-shot pair generator over
     corpus-union-delta filtered to pairs touching a delta id; a hash
     match proves the incremental path equals the full recompute while
-    doing O(delta) work."""
-    import os
-    import tempfile
-
-    import functools
-    import operator
-
+    doing O(delta) work. Since r8 the probe side is the packaged
+    probe_dedup_index helper — one delta shingle pass shared by bucket
+    discovery and the join, and the matched (band, sig_bucket)
+    directories are opened by DIRECT PATH (Hadoop-FS existence probes,
+    measured 4x faster than the previous OR-disjunct root filter);
+    pruning cannot change the result: a (band, band_hash) bucket lives
+    entirely inside one (band, sig_bucket) partition, so every bucket
+    that can touch the delta is read in full (occupancy guard
+    included) and unmatched buckets can produce no pairs. File-level
+    pruning is guarded by tests/test_plans.py via inputFiles."""
     docs = _par(_t(spark, sf_dir, "documents"))
     # fixed per-process path + overwrite: no uuid-dir leak (ADVICE r5)
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"spark_rag_dedup_idx_p{os.getpid()}"
-    )
+    tmp = _proc_tmp("dedup_idx")
     # the stored layout carries a bounded hash bucket of band_hash (the
     # bm25_indexed term_bucket pattern: raw band_hash is too
-    # high-cardinality to be a directory key, a 64-way bucket is not)
-    # so a delta probe becomes a REAL partition filter — only matched
-    # (band, sig_bucket) directories are opened, plan-guarded by
-    # tests/test_plans.py
+    # high-cardinality to be a directory key, a 64-way bucket is not).
     # repartition BY the partition keys before the partitioned write:
     # without it every input task writes a file into every directory it
     # touches (tasks x dirs tiny files); clustered, each directory gets
@@ -5446,37 +5444,16 @@ def dedup_incremental(spark, sf_dir):
     ).repartition("band", "sig_bucket").write.mode("overwrite").partitionBy(
         "band", "sig_bucket"
     ).parquet(tmp)
-    delta = docs.filter(F.col("doc_id") < 25).select(
+    # the delta reads the RAW scan (pushed-down filter), NOT the _par
+    # round-robin frame — deriving 25 rows from an already-repartitioned
+    # full table re-shuffles the whole corpus (SCALING.md r8)
+    delta = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" incremental delta revision")).alias("text"),
     )
-    # the delta's (band, sig_bucket) set is bounded driver planning
-    # metadata (<= |delta| x bands ints) — the partition predicate.
-    # Pruning cannot change the result: a (band, band_hash) bucket
-    # lives entirely inside one (band, sig_bucket) partition, so every
-    # bucket that can touch the delta is read in full (occupancy guard
-    # included) and unmatched buckets can produce no pairs.
-    dbuckets = sorted(
-        {
-            (r.band, r.sb)
-            for r in DI.build_dedup_index(
-                delta, num_perm=16, num_bands=4, seed=42
-            )
-            .select("band", F.pmod("band_hash", F.lit(64)).alias("sb"))
-            .distinct()
-            .collect()
-        }
+    return DI.probe_dedup_index(
+        spark, tmp, delta, num_perm=16, num_bands=4, seed=42
     )
-    pruned = spark.read.parquet(tmp).filter(
-        functools.reduce(
-            operator.or_,
-            [
-                (F.col("band") == b) & (F.col("sig_bucket") == sb)
-                for b, sb in dbuckets
-            ],
-        )
-    ).drop("sig_bucket")
-    return DI.dedup_delta(pruned, delta, num_perm=16, num_bands=4, seed=42)
 
 
 @register("dedup_store_compact")  # rows-only: self-validating maintenance run
@@ -5600,52 +5577,28 @@ def simhash_incremental(spark, sf_dir):
     hamming <= num_blocks - 1 (Manku pigeonhole). The oracle replays
     the contract by definition: one-shot simhash_pairs over
     corpus-union-delta filtered to delta-touching pairs; a hash match
-    proves incremental == full recompute at O(delta) cost."""
-    import os
-    import tempfile
-
-    import functools
-    import operator
-
+    proves incremental == full recompute at O(delta) cost. Probe side
+    is probe_simhash_index since r8 (one fingerprint pass, direct-path
+    matched-partition read — see dedup_incremental)."""
     docs = _par(_t(spark, sf_dir, "documents"))
     # fixed per-process path + overwrite: no uuid-dir leak (ADVICE r5)
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"spark_rag_simhash_idx_p{os.getpid()}"
-    )
+    tmp = _proc_tmp("simhash_idx")
     # bounded hash bucket of block_key as a second partition key, so
     # the delta probe prunes to matched (block_id, blk_bucket)
     # directories — same layout pattern (and same why-it-cannot-change-
-    # the-result argument) as dedup_incremental; plan-guarded
+    # the-result argument) as dedup_incremental;
     # clustered write: one file per directory (see dedup_incremental)
     DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
         "blk_bucket", F.pmod("block_key", F.lit(64))
     ).repartition("block_id", "blk_bucket").write.mode("overwrite").partitionBy(
         "block_id", "blk_bucket"
     ).parquet(tmp)
-    delta = docs.filter(F.col("doc_id") < 25).select(
+    delta = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" rev")).alias("text"),
     )
-    dbuckets = sorted(
-        {
-            (r.block_id, r.bb)
-            for r in DI.build_simhash_index(delta, bits=32, num_blocks=4)
-            .select("block_id", F.pmod("block_key", F.lit(64)).alias("bb"))
-            .distinct()
-            .collect()
-        }
-    )
-    pruned = spark.read.parquet(tmp).filter(
-        functools.reduce(
-            operator.or_,
-            [
-                (F.col("block_id") == b) & (F.col("blk_bucket") == bb)
-                for b, bb in dbuckets
-            ],
-        )
-    ).drop("blk_bucket")
-    return DI.simhash_delta(
-        pruned, delta, bits=32, num_blocks=4, max_hamming=3
+    return DI.probe_simhash_index(
+        spark, tmp, delta, bits=32, num_blocks=4, max_hamming=3
     )
 
 

@@ -167,12 +167,34 @@ def test_embedding_delta_broadcasts_delta_never_shuffles_corpus(spark, sf_dir):
 def test_signature_index_probe_prunes_partitions(spark, sf_dir, name, bucket_col):
     # the stored signature indexes carry a bounded hash bucket as a
     # partition key (the bm25 term_bucket pattern); a delta probe must
-    # turn its bucket set into a PARTITION filter on the index scan —
-    # real directory pruning, not a post-scan row filter — and never
-    # degenerate to a cartesian product
+    # open ONLY matched (band/block, bucket) directories. Since r8 the
+    # probe helpers prune by DIRECT PATH selection (no PartitionFilters
+    # node) — so the guard checks the files the plan actually reads:
+    # every index file sits under a bucket_col= directory, and the probe
+    # touches a strict subset of the store's directories. Cartesian
+    # products remain banned.
+    import os
+    import re
+
     plan = _plan(spark, name, sf_dir)
-    assert "PartitionFilters" in plan and bucket_col in plan
     assert "CartesianProduct" not in plan
+    loc = [
+        l for l in plan.splitlines()
+        if "Location" in l and f"{bucket_col}=" in l
+    ]
+    assert loc, "probe must scan the stored index by bucket directories"
+    m = re.search(r"file:(\S+?)/[^/=]+=[0-9]+/" + bucket_col + r"=[0-9]+", loc[0])
+    assert m, loc[0]
+    store_root = m.group(1)
+    n_probed = int(re.search(r"\.\.\. (\d+) entries", loc[0]).group(1))
+    all_dirs = sum(
+        1
+        for p in os.listdir(store_root)
+        if os.path.isdir(f"{store_root}/{p}")
+        for b in os.listdir(f"{store_root}/{p}")
+        if bucket_col in b
+    )
+    assert 0 < n_probed < all_dirs
 
 
 def test_ann_pq_codes_scan_reads_no_vectors(spark, sf_dir):

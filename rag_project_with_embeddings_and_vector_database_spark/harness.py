@@ -5859,142 +5859,73 @@ def vector_arrival_ingest(spark, sf_dir):
 # and — the standing POLICY, enforced by scripts/selfcheck.py
 # --check-window — any round that touches an operator's code or
 # fixtures must front-load that operator's queries so its latest
-# CORRECTNESS row postdates the change. r7 window (VERDICT r6 items
-# 1-4 + the oldest-evidence drain of item 2): (a) the five queries
-# NEW this round, (b) the derived dependency closure of the files
-# touched this round — operators/retrieval.py's PQ overhaul pulls in
-# EVERY query importing the module (the tool is file-granular on
-# package modules, deliberately conservative), plus operators/
-# mixing.py, the dedup_spans/mixture_sample oracle fixes, and the six
-# streaming harness queries moved onto _stream_tmp scratch roots —
-# 24 slots, all tool-derived, not hand-kept, (c) the ENTIRE
-# r2-evidence backlog (21 queries): after this round NO entry's
-# newest driver evidence predates r3.
+# CORRECTNESS row postdates the change. r8 window (VERDICT r7 items
+# 2, 3, 6, 7 + all four ADVICE r7 fixes): (a) the one NEW query,
+# (b) the tool-derived closure of the files touched this round —
+# rerank.py (MMR true-max fix), embedding.py (deterministic cache
+# pick), diversity.py (lazy default), dedup_index.py (one-pass probe
+# helpers + direct-path matched-partition reads), and the harness
+# edits (embed_cached \\S guard, _proc_tmp scratch, lm CTE factor,
+# incremental queries rewired onto the probe helpers) — 20 slots,
+# (c) 30 slots of oldest-evidence debt: the ENTIRE r2-straggler set
+# and the head of the r3 backlog.
 _PRIORITY = [
-    # (a) new in r7: the IVFADC composition (IVF pruning x residual-PQ
-    # codes over a stored bucket-partitioned index, recall-floor
-    # asserted), the substring-dedup REMOVAL half (full SQL oracle),
-    # the scan-local threshold mixture sampler and the epochs
-    # upsampler (bit-exact oracles), and the streaming IVF arrival
-    # path (real writeStream run, stream-vs-one-shot identity)
-    "ann_ivf_pq", "dedup_strip_spans", "mixture_sample_threshold",
-    "mixture_upsample", "vector_arrival_ingest",
-    # (a) new mid-r7: the token-budget mixture (two-phase bucket-quota
-    # planner, single-window oracle) and the dup-cluster-keyed split
-    # (new operators/splits.py — recursive-CTE + md5-threshold oracle);
-    # their 2 slots displace token_stats/doc_fingerprint to the r8
-    # debt head (both are single-scan projections additionally
-    # re-measured by bench.py every round)
-    "mixture_sample_tokens", "leakage_safe_split",
-    # (a) new mid-r7: the trained quality model (GPT-3-style LR over
-    # hashed bag-of-words, rows-only with an asserted held-out
-    # accuracy floor) and the CCNet-style unigram-LM perplexity
-    # scorer+tiler (full SQL oracle); their slots displace lang_id and
-    # filter_ext to the r8 debt head (filter_ext's routing logic also
-    # carries r6 evidence through scan_docs)
-    "quality_classifier", "lm_score",
-    # (a) new mid-r7: the fully-oracled modern corpus-prep capstone
-    # (quality gate x LM-tile gate -> exact dedup); displaces
-    # text_quality, whose quality_score arithmetic is replayed VERBATIM
-    # inside this capstone's oracle, so its logic still earns fresh
-    # r7 evidence
-    "corpus_prep_lm",
-    # (a) new late-r7: the MMR diversified re-ranker (operators/
-    # rerank.py — greedy Maximal Marginal Relevance over exact top-20
-    # candidates, FULL hash oracle via an unrolled 8-stage greedy SQL
-    # twin over the same bit-exact dot products); its slot displaces
-    # token_count to the r8 debt head (C0 is a one-expression
-    # projection whose whitespace tokenization is replayed inside the
-    # in-window bm25/lm_score oracles)
-    "mmr_rerank",
-    # (a) new late-r7: content-addressed incremental embedding
-    # (operators/embedding.py embed_incremental — md5-keyed cache
-    # store, inference over anti-join misses only, FULL value oracle
-    # incl. the cache round-trip); its slot displaces sentence_split
-    # to the r8 debt head (C1 is a one-expression split whose regex
-    # feeds the r5-rows-green chunker family)
-    "embed_cached",
-    # (b) closure of operators/embedding.py (embed_incremental landed
-    # there): embed_values is the module's only out-of-window oracle
-    # query — front-loading it also drains its r4-evidence debt a
-    # round early; its slot displaces preprocess_text (E1 is a
-    # one-expression regex projection) to the r8 debt head
-    "embed_values",
-    # (b) tool-derived closure: the quality_classifier insertion sits
-    # inside decontaminate's diff span; front-loaded per policy
-    # (displacing report_best — its one-row logic is report_rank's
-    # limit(1), and report_rank keeps its window slot)
-    "decontaminate",
-    # (a) new mid-r7: the cross-corpus overlap probe (banded-minhash
-    # A-probe-B join, full SQL oracle); its slot displaces
-    # chunk_table_islands (its operator code shares the r5-rows-green
-    # chunk_table_aware path) to the r8 debt head; the tool also
-    # pulls connected_components into this closure (displacing
-    # chunk_sections, same chunking.py r5-rows argument)
-    "corpus_overlap", "connected_components",
-    # (a) new mid-r7: cluster-balanced diversity sampling (IVF
-    # quantizer + per-cluster hash quota, rows-only self-validating);
-    # displaces chunk_recursive_para (chunking.py shares the r5-green
-    # chunker rows checks) to the r8 debt head
+    # (a) new in r8: the partitioned perplexity-tile contract pinned
+    # directly (5-way per-lang ntile over the proven LM score —
+    # VERDICT r7 item 6), sharing _LM_SC_CTES with lm_score
+    "lm_buckets",
+    # (b) directly-edited queries: the MMR true-max penalty fix (its
+    # unrolled-greedy oracle now genuinely replays on anti-similar
+    # candidates), the embed-cache \\S guard + deterministic
+    # conflicting-row pick + swept store path, and the shared-CTE
+    # lm_score refactor
+    "mmr_rerank", "embed_cached", "lm_score",
+    # (b) closure of operators/dedup_index.py (probe_dedup_index /
+    # probe_simhash_index: one delta pass, direct-path pruned reads —
+    # VERDICT r7 item 2; the two incremental queries now run THROUGH
+    # the helpers, so their oracle rows re-prove the rewritten path)
+    "dedup_incremental", "simhash_incremental",
+    "dedup_embedding_incremental", "dedup_store_compact",
+    # (b) closure of operators/diversity.py (lazy-by-default, harness
+    # opts into validate=True — VERDICT r7 item 7)
     "diversity_sample",
-    # (b) directly-edited queries: the PQ train/encode/LUT rewrite,
-    # the mixing half-up-rounding + salted-rank skew fix, and the two
-    # oracle corrections
-    "ann_pq", "mixture_sample", "dedup_spans",
-    # (b) closure of operators/retrieval.py (module-granular: every
-    # query whose source imports R — the PQ edits can't break them,
-    # but the policy buys evidence, not arguments)
-    "ann_ivf", "ann_ivf_append", "ann_ivf_indexed",
-    "ann_ivf_indexed_int8", "ann_ivf_quantized", "ann_lsh",
-    "knn_bruteforce", "hybrid_rrf", "vectors_upsert", "sink_vectors",
-    "ddl_collections", "pipeline_e2e", "pipeline_reference_corpus",
-    "top_orders_per_customer", "dedup_exact",
-    # (b) closure of the six streaming harness queries rewritten onto
-    # fixed _stream_tmp scratch roots
+    # (b) closure of operators/embedding.py (embed_incremental's
+    # deterministic cache resolution): embed_values re-proves the
+    # hash-backend values; decontaminate / the two pipelines import
+    # the module per the file-granular tool
+    "embed_values", "decontaminate", "pipeline_e2e",
+    "pipeline_reference_corpus",
+    # (b) closure of the _proc_tmp/_sweep_stale_tmp scratch refactor:
+    # every streaming harness query checkpoints under these roots
     "sessionize_stateful", "stream_dedup", "stream_upsert",
     "stream_windowed_counts", "stream_windowed_append",
-    "stream_dedup_gated",
-    # (c) the COMPLETE r2-evidence backlog (VERDICT r6 item 2's drain
-    # list): the C0/C1/E1/E5/E6 function primitives, the P-family
-    # predicates/projections, the A5-A7/O1-O3 report family, the r2
-    # chunkers, and the r2 text-analysis four
-    "cosine_dot",
-    "l2_normalize", "project_payload", "pred_relevance",
-    "resolve_expected_source", "agg_config", "agg_summary",
-    # (filter_ext displaced mid-r7 — see the quality_classifier/
-    # lm_score note above)
-    "argmax_metric", "report_rank",
+    "stream_dedup_gated", "vector_arrival_ingest",
+    # (c) the COMPLETE r2-evidence straggler set (VERDICT r7 item 3's
+    # drain list, oldest first): the text-analysis/chunker/report
+    # entries whose newest driver evidence still reads r2
+    "token_stats", "doc_fingerprint", "lang_id", "filter_ext",
+    "chunk_table_islands", "chunk_sections", "chunk_recursive_para",
+    "text_quality", "report_best", "token_count", "sentence_split",
+    "preprocess_text",
+    # (c) the r3-evidence backlog head (verdict-named trio first);
+    # sql_api, string_funcs, tpch_q1/q3/q5 plus the r4 six remain the
+    # recorded r9 debt below
+    "sink_json", "metric_all", "embed_fanout", "approx_distinct",
+    "array_ops", "big_orders", "cheapest_supplier_per_part",
+    "cube_lineitem", "date_parts", "distinct_counts",
+    "embedding_quantize", "global_topn", "hash_split_assign",
+    "orders_lineitem_smj", "pii_scan", "repetition_stats", "set_ops",
+    "sink_orc",
 ]
-# r8 rotation debt (recorded; displaced from the r7 window because the
-# retrieval.py closure cost 15 slots and the two mid-r7 registrations
-# cost 5 more; code untouched this round): FIRST the r2-evidence
-# stragglers token_stats, doc_fingerprint, lang_id, filter_ext,
-# chunk_table_islands, chunk_sections, chunk_recursive_para,
-# text_quality, report_best, and the three late-r7 displacements
-# token_count, sentence_split, preprocess_text (one-expression C0/C1/E1
-# primitives — their tokenize/split/clean regexes are replayed inside
-# in-window bm25/lm_score oracles and the r5 chunker rows checks;
-# displaced by mmr_rerank, embed_cached, and the embed_values
-# front-load above) (note on the earlier displacements — text_quality's
-# quality_score arithmetic is replayed verbatim inside corpus_prep_lm's
-# r7-green oracle; the
-# first three are single-scan projections re-measured by bench.py every
-# round, filter_ext's routing also carries r6 evidence via scan_docs,
-# and chunk_table_islands shares operator code with the r5-green
-# chunk_table_aware rows check), then the
-# r3-evidence backlog HEADED by the verdict-named trio sink_json,
-# metric_all, embed_fanout, then approx_distinct, array_ops,
-# big_orders, cheapest_supplier_per_part, cube_lineitem, date_parts,
-# distinct_counts, embedding_quantize, global_topn, hash_split_assign,
-# orders_lineitem_smj, pii_scan, repetition_stats, set_ops, sink_orc,
-# sql_api, string_funcs, tpch_q1, tpch_q3, tpch_q5; then the
-# r4-evidence entries bucketed_join, embed_values, quality_filter,
-# semi_anti_join, sequence_pack, sink_partitioned, tfidf_terms; after
-# those, resume the normal oldest-first rotation over the r5/r6
-# population. No pytest-only paths remain unregistered as of r7 (the
-# r6 trio vector_arrival_ingest / strip_duplicate_spans /
-# threshold-mode mixture_sample all carry driver rows above, plus
-# mixture_upsample which was never previously queued).
+# r9 rotation debt (recorded): the r3-evidence tail sql_api,
+# string_funcs, tpch_q1, tpch_q3, tpch_q5 (the TPC-H trio is also
+# re-measured by bench.py every round, and tpch_q1/q3/q5 carry plan
+# guards in tests/test_plans.py), then the r4-evidence entries
+# bucketed_join, quality_filter, semi_anti_join, sequence_pack,
+# sink_partitioned, tfidf_terms; after those, resume the normal
+# oldest-first rotation over the r5-r7 population. All 144 registered
+# queries have driver evidence; no pytest-only paths remain
+# unregistered as of r8.
 
 
 def _ordered(names: dict) -> list[str]:

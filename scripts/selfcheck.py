@@ -78,6 +78,21 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_corpus_prep_sql": {"corpus_prep"},
     "_mmr_sql": {"mmr_rerank"},
     "_EMBED_CACHED_SQL": {"embed_cached"},
+    "_LM_SC_CTES": {"lm_score", "lm_buckets"},
+    # per-process scratch helpers: every harness query that writes a
+    # _proc_tmp/_stream_tmp store
+    "_sweep_stale_tmp": {
+        "sessionize_stateful", "stream_dedup", "stream_upsert",
+        "stream_windowed_counts", "stream_windowed_append",
+        "stream_dedup_gated", "embed_cached", "dedup_incremental",
+        "simhash_incremental",
+    },
+    "_proc_tmp": {
+        "sessionize_stateful", "stream_dedup", "stream_upsert",
+        "stream_windowed_counts", "stream_windowed_append",
+        "stream_dedup_gated", "embed_cached", "dedup_incremental",
+        "simhash_incremental",
+    },
     "_ann_recall": {
         "ann_lsh", "ann_ivf", "ann_ivf_quantized", "ann_ivf_indexed",
         "ann_ivf_indexed_int8", "ann_ivf_append", "ann_pq",

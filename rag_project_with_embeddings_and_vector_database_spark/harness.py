@@ -2516,9 +2516,13 @@ def embedding_quantize(spark, sf_dir):
     )
 
 
-_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PHONE_RE = r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}"
-_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# one source of truth: the scan/redact pair and both oracles share
+# the exact pattern strings (functions/pii.py PII_PATTERNS)
+from .functions import pii as PII
+
+_EMAIL_RE = PII.PII_PATTERNS["email"]
+_PHONE_RE = PII.PII_PATTERNS["phone"]
+_IPV4_RE = PII.PII_PATTERNS["ipv4"]
 
 
 @register(
@@ -2550,6 +2554,41 @@ def pii_scan(spark, sf_dir):
         n_phones.alias("n_phones"),
         n_ipv4.alias("n_ipv4"),
         ((n_emails + n_phones + n_ipv4) > 0).alias("has_pii"),
+    )
+
+
+@register(
+    "pii_redact",
+    f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IPV4_RE}', '<IPV4>', 'g') AS text_redacted,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IPV4_RE}', '<IPV4>', 'g') != text AS redacted
+    FROM documents
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """The redaction TRANSFORM the pii_scan counts are the signal for
+    (functions/pii.py redact_pii): every email/phone/IPv4 match
+    becomes a typed placeholder, applied in the shared PII_PATTERNS
+    order, plus a per-doc changed flag. FULL value oracle — the entire
+    redacted text round-trips the hash compare, so pattern-dialect
+    drift between Java regex and RE2 (or an ordering change) cannot
+    slip through. Scan-local regexp_replace chain: zero shuffle,
+    linear with executors, idempotent by construction."""
+    d = _t(spark, sf_dir, "documents")
+    red = PII.redact_pii("text")
+    return d.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        (red != F.col("text")).alias("redacted"),
     )
 
 
@@ -5915,9 +5954,13 @@ _PRIORITY = [
     "cube_lineitem", "date_parts", "distinct_counts",
     "embedding_quantize", "global_topn", "hash_split_assign",
     "orders_lineitem_smj", "pii_scan", "repetition_stats", "set_ops",
-    "sink_orc",
+    # (a) new late-r8: the PII redaction transform (full-text value
+    # oracle; shares PII_PATTERNS with the in-window pii_scan); its
+    # slot displaces sink_orc to the r9 debt head
+    "pii_redact",
 ]
-# r9 rotation debt (recorded): the r3-evidence tail sql_api,
+# r9 rotation debt (recorded): FIRST sink_orc (displaced by the
+# late-r8 pii_redact registration), then the r3-evidence tail sql_api,
 # string_funcs, tpch_q1, tpch_q3, tpch_q5 (the TPC-H trio is also
 # re-measured by bench.py every round, and tpch_q1/q3/q5 carry plan
 # guards in tests/test_plans.py), then the r4-evidence entries

@@ -115,3 +115,33 @@ def test_read_matched_partitions_prunes_and_survives_missing_keys(
         spark, store, [(("band", 0), ("sig_bucket", 10_000))], empty_like=idx
     )
     assert none.count() == 0 and set(none.columns) == set(idx.columns)
+
+
+def test_redact_pii_planted_values_and_idempotence(spark):
+    from rag_project_with_embeddings_and_vector_database_spark.functions import (
+        pii as PII,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@example.co.uk or call 555-123-4567 now"),
+            (2, "server at 10.0.255.1 responded"),
+            (3, "no pii here, just 3.14 and v1.2.3 and a@b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["red"]
+        for r in d.select("doc_id", PII.redact_pii("text").alias("red")).collect()
+    }
+    assert got[1] == "mail <EMAIL> or call <PHONE> now"
+    assert got[2] == "server at <IPV4> responded"
+    # version strings / decimals / non-TLD at-signs must survive
+    assert got[3] == "no pii here, just 3.14 and v1.2.3 and a@b"
+    twice = {
+        r["doc_id"]: r["red2"]
+        for r in d.select(
+            "doc_id", PII.redact_pii(PII.redact_pii("text")).alias("red2")
+        ).collect()
+    }
+    assert twice == got

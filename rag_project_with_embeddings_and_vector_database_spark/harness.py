@@ -5280,6 +5280,50 @@ def _dedup_full_sql(threshold: float = 0.5, max_bucket_size: int = 1000) -> str:
     """
 
 
+@register("semantic_dedup")  # rows-only: seeded KMeans assignment inside
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/semantic.py, Abbas et al. 2023): cluster
+    the embedding corpus with the IVF coarse quantizer, then drop
+    near-identical members WITHIN each cluster — pairwise similarity
+    never leaves a cluster, so the quadratic term is bounded by
+    cluster size, not corpus size (the 100 TB shape; the exact
+    all-pairs twin dedup_embedding stays the small-side tool, and the
+    num_clusters=1 equivalence between them is pytest-pinned).
+    SELF-VALIDATING: planted exact duplicates (5 copied vectors under
+    fresh ids) must ALL be dropped — identical vectors share a cluster
+    by construction — and every corpus row must carry exactly one
+    verdict; either breach raises. Emits the verdict frame plus the
+    planted-recall summary column the driver rows pin."""
+    from .operators import semantic as SD
+
+    e = _par(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(planted)
+    verdicts = SD.semantic_dedup(
+        corpus, threshold=0.95, num_clusters=8, corpus_id="vec_id"
+    )
+    planted_kept = (
+        verdicts.filter((F.col("vec_id") >= 10_000_000) & F.col("keep")).count()
+    )
+    if planted_kept:
+        raise AssertionError(
+            f"semantic_dedup missed {planted_kept} planted exact duplicates"
+        )
+    n_corpus = corpus.count()
+    n_verdicts = verdicts.count()
+    if n_corpus != n_verdicts:
+        raise AssertionError(
+            f"verdict count {n_verdicts} != corpus count {n_corpus}"
+        )
+    return verdicts.groupBy("keep").agg(
+        F.count(F.lit(1)).alias("n")
+    ).orderBy("keep")
+
+
 @register("diversity_sample")  # rows-only: seeded KMeans assignment inside
 def diversity_sample(spark, sf_dir):
     """Semantic-diversity sampling (operators/diversity.py): cluster
@@ -5953,14 +5997,18 @@ _PRIORITY = [
     "array_ops", "big_orders", "cheapest_supplier_per_part",
     "cube_lineitem", "date_parts", "distinct_counts",
     "embedding_quantize", "global_topn", "hash_split_assign",
-    "orders_lineitem_smj", "pii_scan", "repetition_stats", "set_ops",
+    "orders_lineitem_smj", "pii_scan", "repetition_stats",
     # (a) new late-r8: the PII redaction transform (full-text value
-    # oracle; shares PII_PATTERNS with the in-window pii_scan); its
-    # slot displaces sink_orc to the r9 debt head
-    "pii_redact",
+    # oracle; shares PII_PATTERNS with the in-window pii_scan) and the
+    # SemDeDup cluster-bucketed semantic dedup (rows-only,
+    # planted-duplicate recall self-validated, num_clusters=1
+    # equivalence to the exact all-pairs generator pytest-pinned);
+    # their slots displace sink_orc and set_ops to the r9 debt head
+    "pii_redact", "semantic_dedup",
 ]
-# r9 rotation debt (recorded): FIRST sink_orc (displaced by the
-# late-r8 pii_redact registration), then the r3-evidence tail sql_api,
+# r9 rotation debt (recorded): FIRST sink_orc and set_ops (displaced
+# by the late-r8 pii_redact/semantic_dedup registrations), then the
+# r3-evidence tail sql_api,
 # string_funcs, tpch_q1, tpch_q3, tpch_q5 (the TPC-H trio is also
 # re-measured by bench.py every round, and tpch_q1/q3/q5 carry plan
 # guards in tests/test_plans.py), then the r4-evidence entries

@@ -145,3 +145,69 @@ def test_redact_pii_planted_values_and_idempotence(spark):
         ).collect()
     }
     assert twice == got
+
+
+def test_semantic_dedup_k1_equals_exact_all_pairs(spark):
+    """SemDeDup with ONE cluster must reproduce the exact all-pairs
+    generator (embedding_neardup_pairs) — the equivalence that anchors
+    the cluster-bucketed scale path to the proven exact contract."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup as DD,
+        semantic as SD,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    ).select("vec_id", "embedding")
+    # plant exact copies so the pair set is non-empty
+    e = base.unionByName(
+        base.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in SD.semantic_dedup_pairs(
+            e, threshold=0.9, num_clusters=1, corpus_id="vec_id"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in DD.embedding_neardup_pairs(
+            e, id_col="vec_id", threshold=0.9
+        ).collect()
+    )
+    assert got == want
+    assert want, "planted copies must produce near-dup pairs at 0.9"
+
+
+def test_semantic_dedup_verdicts_drop_exactly_dominated_ids(spark):
+    """keep=false iff the id appears as id_b in the within-cluster pair
+    set; planted exact duplicates are dropped, every corpus row gets a
+    verdict, and survivors filter cleanly."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        semantic as SD,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    ).select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(planted)
+    verdicts = SD.semantic_dedup(
+        corpus, threshold=0.95, num_clusters=4, corpus_id="vec_id"
+    )
+    rows = {r["vec_id"]: r["keep"] for r in verdicts.collect()}
+    assert len(rows) == corpus.count()
+    # every planted exact copy shares a cluster with its original
+    # (identical vector -> identical assignment) and has the larger id
+    for vid in range(10_000, 10_005):
+        assert rows[vid] is False
+        assert rows[vid - 10_000] in (True, False)  # original got a verdict
+    pairs = SD.semantic_dedup_pairs(
+        corpus, threshold=0.95, num_clusters=4, corpus_id="vec_id"
+    )
+    dropped = {r["id_b"] for r in pairs.collect()}
+    assert {v for v, k in rows.items() if not k} == dropped

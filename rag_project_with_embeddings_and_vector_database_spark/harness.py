@@ -5303,9 +5303,12 @@ def semantic_dedup(spark, sf_dir):
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
     corpus = e.unionByName(planted)
+    # the verdict lineage holds the quadratic within-cluster join —
+    # materialize ONCE for the two validation counts and the returned
+    # aggregate instead of replaying it three times
     verdicts = SD.semantic_dedup(
         corpus, threshold=0.95, num_clusters=8, corpus_id="vec_id"
-    )
+    ).localCheckpoint()
     planted_kept = (
         verdicts.filter((F.col("vec_id") >= 10_000_000) & F.col("keep")).count()
     )
@@ -6014,9 +6017,10 @@ _PRIORITY = [
 # guards in tests/test_plans.py), then the r4-evidence entries
 # bucketed_join, quality_filter, semi_anti_join, sequence_pack,
 # sink_partitioned, tfidf_terms; after those, resume the normal
-# oldest-first rotation over the r5-r7 population. All 144 registered
-# queries have driver evidence; no pytest-only paths remain
-# unregistered as of r8.
+# oldest-first rotation over the r5-r7 population. 144 of the 146
+# registered queries have driver evidence (the late-r8 pii_redact and
+# semantic_dedup earn their first rows this round); no pytest-only
+# paths remain unregistered as of r8.
 
 
 def _ordered(names: dict) -> list[str]:

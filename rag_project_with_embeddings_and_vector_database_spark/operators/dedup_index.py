@@ -101,6 +101,28 @@ def dedup_delta(
     return _probe_minhash(index, delta_banded, id_col, num_perm, max_bucket_size)
 
 
+def _occupancy_guard(
+    df: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop rows in buckets holding more than ``max_bucket_size`` rows,
+    as ONE windowed count over the join key — a single exchange, where
+    the older groupBy + anti-join (`operators/dedup.py
+    _drop_oversized_buckets`, still serving the one-shot generators)
+    pays two. Migrating the one-shot family onto this form is recorded
+    r9 work: touching dedup.py re-opens its whole query closure in the
+    rotation window, which r8 has no slots left for."""
+    if max_bucket_size is None:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+
+
 def _probe_minhash(
     index: DataFrame,
     delta_banded: DataFrame,
@@ -123,20 +145,10 @@ def _probe_minhash(
     whose delta is a by-contract bounded daily batch it has already
     collected bucket keys from) hints the delta side broadcast so the
     probe join shuffles nothing."""
-    from pyspark.sql import Window
-
     unioned = index.withColumn("_new", F.lit(False)).unionByName(
         delta_banded.withColumn("_new", F.lit(True))
     )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "band_hash")
-        kept = (
-            unioned.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
-    else:
-        kept = unioned
+    kept = _occupancy_guard(unioned, ["band", "band_hash"], max_bucket_size)
     kept = _swap_cache("dedup_delta", kept)
     new_side = kept.filter(F.col("_new")).alias("a")
     if broadcast_delta:
@@ -249,20 +261,10 @@ def _probe_simhash(
     """The probe-join core of ``simhash_delta`` over an ALREADY-blocked
     delta (see ``_probe_minhash`` — same windowed guard + fused-join
     plan shape)."""
-    from pyspark.sql import Window
-
     unioned = index.withColumn("_new", F.lit(False)).unionByName(
         delta_blocked.withColumn("_new", F.lit(True))
     )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("block_id", "block_key")
-        kept = (
-            unioned.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
-    else:
-        kept = unioned
+    kept = _occupancy_guard(unioned, ["block_id", "block_key"], max_bucket_size)
     kept = _swap_cache("simhash_delta", kept)
     new_side = kept.filter(F.col("_new")).alias("a")
     if broadcast_delta:
@@ -336,15 +338,17 @@ def probe_dedup_index(
         spark, path,
         [(("band", b), (bucket_col, sb)) for b, sb in keys],
         empty_like=banded.select(id_col, "sig", "band", "band_hash"),
+        bucket_modulus=num_buckets,
     )
-    drop = [c for c in (bucket_col,) if c in pruned.columns]
     return _probe_minhash(
-        pruned.drop(*drop), banded, id_col, num_perm, max_bucket_size,
+        pruned.drop(bucket_col), banded, id_col, num_perm, max_bucket_size,
         broadcast_delta=True,
     )
 
 
-def _read_matched_partitions(spark, root: str, keys, empty_like: DataFrame) -> DataFrame:
+def _read_matched_partitions(
+    spark, root: str, keys, empty_like: DataFrame, bucket_modulus: int | None = None
+) -> DataFrame:
     """Read exactly the partition directories named by ``keys`` (each a
     tuple of (col, value) pairs, in partition order) from a
     ``partitionBy`` parquet store — Hadoop-FS existence probes (works
@@ -353,10 +357,62 @@ def _read_matched_partitions(spark, root: str, keys, empty_like: DataFrame) -> D
     whose directory does not exist contribute nothing (the delta lands
     in a bucket the corpus never touched). If NO key matches, returns
     ``empty_like.limit(0)`` — the probe then sees an empty index and
-    still emits new-vs-new pairs."""
+    still emits new-vs-new pairs.
+
+    A missing key is only safe to skip when the STORE LAYOUT actually
+    matches the probe's key shape — a store written under different
+    partition column names, or bucketed with a LARGER modulus than the
+    probe assumes, would otherwise silently contribute nothing and let
+    duplicates through. So the store's first-level listing (one
+    bounded RPC: at most #bands/#blocks entries) is validated against
+    the probe's column names and bucket values before any skipping;
+    provable mismatches raise instead of returning an empty probe.
+    (A store bucketed with a SMALLER modulus is not provable from
+    listings alone — keep ``num_buckets`` consistent with the writer,
+    as every in-repo layout does via the shared pmod-64 convention.)"""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(root)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if keys:
+        lvl1_col = keys[0][0][0]
+        lvl2_col = keys[0][1][0] if len(keys[0]) > 1 else None
+        lvl1 = [
+            st.getPath().getName()
+            for st in fs.listStatus(hpath)
+            if st.isDirectory()
+        ]
+        bad = [d for d in lvl1 if not d.startswith(f"{lvl1_col}=")]
+        if bad or not lvl1:
+            raise ValueError(
+                f"store {root} layout mismatch: expected {lvl1_col}= "
+                f"partition directories, found {sorted(lvl1)[:5] or 'none'}"
+            )
+        if lvl2_col is not None:
+            sub = jvm.org.apache.hadoop.fs.Path(f"{root}/{lvl1[0]}")
+            lvl2 = [
+                st.getPath().getName()
+                for st in fs.listStatus(sub)
+                if st.isDirectory()
+            ]
+            bad2 = [d for d in lvl2 if not d.startswith(f"{lvl2_col}=")]
+            if bad2 or not lvl2:
+                raise ValueError(
+                    f"store {root} layout mismatch: expected {lvl2_col}= "
+                    f"bucket directories under {lvl1[0]}, found "
+                    f"{sorted(lvl2)[:5] or 'none'}"
+                )
+            if bucket_modulus is not None:
+                store_max = max(int(d.split("=", 1)[1]) for d in lvl2)
+                if store_max >= bucket_modulus:
+                    # the probe's pmod(hash, bucket_modulus) can never
+                    # address this directory -> the store was written
+                    # with a larger modulus; skipping would silently
+                    # miss duplicates
+                    raise ValueError(
+                        f"store {root} bucketed with modulus > "
+                        f"{bucket_modulus} (saw {lvl2_col}={store_max}); "
+                        f"pass the writer's num_buckets"
+                    )
     dirs = []
     for key in keys:
         p = "/".join(f"{c}={v}" for c, v in key)
@@ -403,10 +459,10 @@ def probe_simhash_index(
         spark, path,
         [(("block_id", b), (bucket_col, bb)) for b, bb in keys],
         empty_like=blocked.select(id_col, "sh", "block_id", "block_key"),
+        bucket_modulus=num_buckets,
     )
-    drop = [c for c in (bucket_col,) if c in pruned.columns]
     return _probe_simhash(
-        pruned.drop(*drop), blocked, id_col, max_hamming, max_bucket_size,
+        pruned.drop(bucket_col), blocked, id_col, max_hamming, max_bucket_size,
         broadcast_delta=True,
     )
 

@@ -186,7 +186,12 @@ def test_signature_index_probe_prunes_partitions(spark, sf_dir, name, bucket_col
     m = re.search(r"file:(\S+?)/[^/=]+=[0-9]+/" + bucket_col + r"=[0-9]+", loc[0])
     assert m, loc[0]
     store_root = m.group(1)
-    n_probed = int(re.search(r"\.\.\. (\d+) entries", loc[0]).group(1))
+    # the Location line shows a few paths then "... N entries" where N
+    # counts only the NON-displayed remainder — total probed dirs is
+    # shown + N (suffix absent when everything fit on the line)
+    shown = loc[0].count(f"{bucket_col}=")
+    tail = re.search(r"\.\.\. (\d+) entries", loc[0])
+    n_probed = shown + (int(tail.group(1)) if tail else 0)
     all_dirs = sum(
         1
         for p in os.listdir(store_root)
@@ -194,7 +199,7 @@ def test_signature_index_probe_prunes_partitions(spark, sf_dir, name, bucket_col
         for b in os.listdir(f"{store_root}/{p}")
         if bucket_col in b
     )
-    assert 0 < n_probed < all_dirs
+    assert 0 < n_probed < all_dirs, (n_probed, all_dirs, loc[0][:200])
 
 
 def test_ann_pq_codes_scan_reads_no_vectors(spark, sf_dir):

@@ -211,3 +211,44 @@ def test_semantic_dedup_verdicts_drop_exactly_dominated_ids(spark):
     )
     dropped = {r["id_b"] for r in pairs.collect()}
     assert {v for v, k in rows.items() if not k} == dropped
+
+
+def test_probe_dedup_index_empty_delta_returns_no_pairs(spark, corpus, tmp_path):
+    """A delta with zero rows must probe cleanly (no keys -> empty
+    matched read -> empty pair set), not crash on the empty path."""
+    store = os.path.join(str(tmp_path), "dedupidx")
+    DI.build_dedup_index(corpus, num_perm=16, num_bands=4, seed=42).withColumn(
+        "sig_bucket", F.pmod("band_hash", F.lit(64))
+    ).write.mode("overwrite").partitionBy("band", "sig_bucket").parquet(store)
+    empty = corpus.filter(F.lit(False)).select(
+        "doc_id", "text"
+    )
+    out = DI.probe_dedup_index(spark, store, empty, num_perm=16, num_bands=4, seed=42)
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "est_jaccard"}
+
+
+def test_probe_rejects_mismatched_store_layouts(spark, corpus, delta, tmp_path):
+    """A store written under different partition column names, or
+    bucketed with a larger modulus than the probe assumes, must RAISE
+    instead of silently skipping every key and letting duplicates
+    through (r8 code-review finding)."""
+    idx = DI.build_dedup_index(corpus, num_perm=16, num_bands=4, seed=42)
+    # wrong bucket column name
+    wrong_col = os.path.join(str(tmp_path), "wrongcol")
+    idx.withColumn("bkt", F.pmod("band_hash", F.lit(64))).write.mode(
+        "overwrite"
+    ).partitionBy("band", "bkt").parquet(wrong_col)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        DI.probe_dedup_index(
+            spark, wrong_col, delta, num_perm=16, num_bands=4, seed=42
+        ).collect()
+    # store bucketed with modulus 128, probed with the default 64
+    big_mod = os.path.join(str(tmp_path), "bigmod")
+    idx.withColumn("sig_bucket", F.pmod("band_hash", F.lit(128))).write.mode(
+        "overwrite"
+    ).partitionBy("band", "sig_bucket").parquet(big_mod)
+    with pytest.raises(ValueError, match="modulus"):
+        DI.probe_dedup_index(
+            spark, big_mod, delta, num_perm=16, num_bands=4, seed=42
+        ).collect()

@@ -75,6 +75,7 @@ def dedup_delta(
     num_bands: int = 4,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    broadcast_delta: bool = False,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection — the operation a production
     corpus actually runs daily: dedup a NEW batch against the stored
@@ -94,11 +95,17 @@ def dedup_delta(
     delta frame. The guard counts occupancy over index+delta so a
     degenerate bucket is dropped identically on both sides (a stored
     index would keep per-bucket occupancy as metadata and skip the
-    count)."""
+    count). ``broadcast_delta=True`` hints the (by-contract bounded)
+    delta side broadcast so the probe join shuffles nothing — set it
+    when the caller knows the delta is a bounded batch, as the
+    streaming gate and probe helpers do."""
     delta_banded = build_dedup_index(
         delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
     )
-    return _probe_minhash(index, delta_banded, id_col, num_perm, max_bucket_size)
+    return _probe_minhash(
+        index, delta_banded, id_col, num_perm, max_bucket_size,
+        broadcast_delta=broadcast_delta,
+    )
 
 
 def _occupancy_guard(
@@ -236,6 +243,7 @@ def simhash_delta(
     num_blocks: int = 4,
     max_hamming: int = 3,
     max_bucket_size: int | None = 1000,
+    broadcast_delta: bool = False,
 ) -> DataFrame:
     """Incremental SimHash near-dup detection over a stored blocked
     fingerprint index — the ``dedup_delta`` contract for the Hamming
@@ -247,7 +255,10 @@ def simhash_delta(
     blocks) fingerprinting plus one pruned probe join — the corpus is
     never re-fingerprinted."""
     delta_blocked = build_simhash_index(delta, content_col, id_col, bits, num_blocks)
-    return _probe_simhash(index, delta_blocked, id_col, max_hamming, max_bucket_size)
+    return _probe_simhash(
+        index, delta_blocked, id_col, max_hamming, max_bucket_size,
+        broadcast_delta=broadcast_delta,
+    )
 
 
 def _probe_simhash(

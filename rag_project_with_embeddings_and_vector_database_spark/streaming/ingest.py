@@ -197,8 +197,11 @@ def dedup_gated_ingest(
             dedup_index if acc is None
             else dedup_index.unionByName(acc).dropDuplicates(["doc_id", "band"])
         )
+        # a micro-batch is bounded by construction -> broadcast its
+        # banded signatures so the probe join shuffles nothing (r8)
         pairs = dedup_delta(
-            probe_index, docs.select("doc_id", F.col("content").alias("text"))
+            probe_index, docs.select("doc_id", F.col("content").alias("text")),
+            broadcast_delta=True,
         ).filter(F.col("est_jaccard") >= jaccard_threshold)
         # every pair touches >= 1 batch doc. If BOTH sides are batch
         # docs (within-batch near-dup), the higher id drops

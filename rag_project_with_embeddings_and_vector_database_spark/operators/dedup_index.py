@@ -109,17 +109,44 @@ def dedup_delta(
 
 
 def _occupancy_guard(
-    df: DataFrame, keys: list[str], max_bucket_size: int | None
+    df: DataFrame, keys: list[str], max_bucket_size: int | None,
+    broadcast_oversized: bool = False,
 ) -> DataFrame:
-    """Drop rows in buckets holding more than ``max_bucket_size`` rows,
-    as ONE windowed count over the join key — a single exchange, where
-    the older groupBy + anti-join (`operators/dedup.py
-    _drop_oversized_buckets`, still serving the one-shot generators)
-    pays two. Migrating the one-shot family onto this form is recorded
-    r9 work: touching dedup.py re-opens its whole query closure in the
-    rotation window, which r8 has no slots left for."""
+    """Drop rows in buckets holding more than ``max_bucket_size`` rows.
+
+    Two physical forms, picked by the caller to match the downstream
+    join strategy — they keep the SAME rows:
+
+    - default (shuffle-join path): ONE windowed count over the join
+      key. The window's exchange lands the data hash-partitioned on
+      exactly the key the probe join shuffles on, so the guard's
+      exchange is the join's exchange — net one, where the older
+      groupBy + anti-join (`operators/dedup.py _drop_oversized_buckets`,
+      still serving the one-shot generators) pays two. Migrating the
+      one-shot family onto this form is recorded r9 work: touching
+      dedup.py re-opens its whole query closure in the rotation
+      window, which r8 has no slots left for.
+
+    - ``broadcast_oversized=True`` (broadcast-join path): when the
+      probe join broadcasts the delta, it needs NO exchange — so the
+      window's full-row exchange would be the plan's ONLY shuffle of
+      the index side, pure overhead. Instead: a map-side-combinable
+      groupBy count (shuffles one partial row per bucket per
+      partition, never data rows) finds the oversized buckets —
+      bounded at |rows|/max_bucket_size keys, in practice the handful
+      of degenerate shingles — and a broadcast LEFT ANTI join drops
+      their rows. Index rows then flow scan -> anti -> probe join
+      with zero full-row exchanges."""
     if max_bucket_size is None:
         return df
+    if broadcast_oversized:
+        oversized = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .select(*keys)
+        )
+        return df.join(F.broadcast(oversized), keys, "left_anti")
     from pyspark.sql import Window
 
     w = Window.partitionBy(*keys)
@@ -155,7 +182,10 @@ def _probe_minhash(
     unioned = index.withColumn("_new", F.lit(False)).unionByName(
         delta_banded.withColumn("_new", F.lit(True))
     )
-    kept = _occupancy_guard(unioned, ["band", "band_hash"], max_bucket_size)
+    kept = _occupancy_guard(
+        unioned, ["band", "band_hash"], max_bucket_size,
+        broadcast_oversized=broadcast_delta,
+    )
     kept = _swap_cache("dedup_delta", kept)
     new_side = kept.filter(F.col("_new")).alias("a")
     if broadcast_delta:
@@ -275,7 +305,10 @@ def _probe_simhash(
     unioned = index.withColumn("_new", F.lit(False)).unionByName(
         delta_blocked.withColumn("_new", F.lit(True))
     )
-    kept = _occupancy_guard(unioned, ["block_id", "block_key"], max_bucket_size)
+    kept = _occupancy_guard(
+        unioned, ["block_id", "block_key"], max_bucket_size,
+        broadcast_oversized=broadcast_delta,
+    )
     kept = _swap_cache("simhash_delta", kept)
     new_side = kept.filter(F.col("_new")).alias("a")
     if broadcast_delta:

@@ -252,3 +252,30 @@ def test_probe_rejects_mismatched_store_layouts(spark, corpus, delta, tmp_path):
         DI.probe_dedup_index(
             spark, big_mod, delta, num_perm=16, num_bands=4, seed=42
         ).collect()
+
+
+def test_broadcast_guard_matches_windowed_and_drops_the_window(spark, corpus, delta):
+    """broadcast_delta=True now swaps the occupancy guard's windowed
+    count (whose exchange is the broadcast plan's ONLY full-row
+    shuffle) for a groupBy-count + broadcast LEFT ANTI drop: same kept
+    set, zero Window operators. max_bucket_size=5 is low enough that
+    the guard genuinely drops buckets on this corpus, so the equality
+    proves the two guard forms agree while engaged, not just on
+    pass-through."""
+    import re
+
+    idx = DI.build_dedup_index(corpus, num_perm=16, num_bands=4, seed=42)
+    win = DI.dedup_delta(idx, delta, broadcast_delta=False, max_bucket_size=5)
+    bc = DI.dedup_delta(idx, delta, broadcast_delta=True, max_bucket_size=5)
+    assert _rows(bc) == _rows(win)
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bWindow\b", plan)
+    assert "LeftAnti" in plan
+
+    sidx = DI.build_simhash_index(corpus)
+    swin = DI.simhash_delta(sidx, delta, broadcast_delta=False, max_bucket_size=5)
+    sbc = DI.simhash_delta(sidx, delta, broadcast_delta=True, max_bucket_size=5)
+    assert _rows(sbc) == _rows(swin)
+    splan = sbc._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bWindow\b", splan)
+    assert "LeftAnti" in splan

@@ -2207,7 +2207,7 @@ def _minhash_pairs_sql(max_bucket_size: int = 1000) -> str:
         )
     bands = " UNION ALL ".join(band_exprs)
     # `kept` mirrors the Spark side's oversized-bucket drop
-    # (_drop_oversized_buckets, default max_bucket_size=1000) so Spark
+    # (_occupancy_guard, default max_bucket_size=1000) so Spark
     # and oracle stay in agreement on ANY fixture, not just ones whose
     # largest bucket happens to be under the limit.
     return f"""

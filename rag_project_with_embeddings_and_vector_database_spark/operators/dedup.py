@@ -173,24 +173,56 @@ def bucket_stats(df: DataFrame, keys: list[str], max_bucket_size: int) -> DataFr
     )
 
 
-def _drop_oversized_buckets(
-    df: DataFrame, keys: list[str], max_bucket_size: int | None
+def _occupancy_guard(
+    df: DataFrame, keys: list[str], max_bucket_size: int | None,
+    broadcast_oversized: bool = False,
 ) -> DataFrame:
-    """Remove rows in buckets larger than ``max_bucket_size`` before a
-    within-bucket self-join. A degenerate bucket (thousands of identical
-    or boilerplate docs — ubiquitous in web corpora) makes the self-join
-    quadratic; such docs are better collapsed by exact_dedup first. The
-    count and anti-join shuffle on the same key as the self-join, so AQE
-    co-plans them cheaply."""
+    """Drop rows in buckets holding more than ``max_bucket_size`` rows
+    before a within-bucket self-join. A degenerate bucket (thousands of
+    identical or boilerplate docs — ubiquitous in web corpora) makes
+    the self-join quadratic; such docs are better collapsed by
+    exact_dedup first. Two physical forms, picked by the caller to
+    match the downstream join strategy — they keep the SAME rows
+    (equivalence pinned in tests/test_round8.py):
+
+    - default (shuffle-join path — the one-shot pair generators and the
+      non-broadcast probes): ONE windowed count over the join key. The
+      window's exchange lands the data hash-partitioned on exactly the
+      key the self-join shuffles on, so the guard's exchange IS the
+      join's exchange — net one, where the r8-era groupBy + anti-join
+      form paid two (migrated r9, VERDICT r8 item 2).
+
+    - ``broadcast_oversized=True`` (broadcast-join path): when the
+      downstream join broadcasts the small side, it needs NO exchange —
+      the window's full-row exchange would then be the plan's ONLY
+      shuffle, pure overhead. Instead: a map-side-combinable groupBy
+      count (shuffles one partial row per bucket per partition, never
+      data rows) finds the oversized buckets and a broadcast LEFT ANTI
+      join drops their rows — zero full-row exchanges. The broadcast
+      key set is bounded at |rows|/max_bucket_size keys (in practice
+      the handful of degenerate shingles), but on a pathologically
+      skewed corpus that bound is the corpus size over the threshold —
+      callers that cannot assert a bounded oversized set (one-shot
+      scans of unvetted web corpora) must stay on the default windowed
+      form, which never collects keys to the driver (ADVICE r8)."""
     if max_bucket_size is None:
         return df
-    oversized = (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_bucket_size)
-        .select(*keys)
+    if broadcast_oversized:
+        oversized = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .select(*keys)
+        )
+        return df.join(F.broadcast(oversized), keys, "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
     )
-    return df.join(oversized, keys, "left_anti")
 
 
 def minhash_lsh_pairs(
@@ -233,7 +265,7 @@ def minhash_lsh_pairs(
     banded = sig.select(
         id_col, "sig", F.explode(minhash_bands("sig", num_bands, rows_per_band)).alias("bb")
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
-    banded = _drop_oversized_buckets(banded, ["band", "band_hash"], max_bucket_size)
+    banded = _occupancy_guard(banded, ["band", "band_hash"], max_bucket_size)
     banded = _swap_cache("minhash_lsh_pairs", banded)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -370,7 +402,7 @@ def simhash_pairs(
     blocked = sh.select(F.col(id_col), "sh", F.explode(blocks).alias("bb")).select(
         id_col, "sh", F.col("bb.block_id").alias("block_id"), F.col("bb.block_key").alias("block_key")
     )
-    blocked = _drop_oversized_buckets(blocked, ["block_id", "block_key"], max_bucket_size)
+    blocked = _occupancy_guard(blocked, ["block_id", "block_key"], max_bucket_size)
     blocked = _swap_cache("simhash_pairs", blocked)
     a, b = blocked.alias("a"), blocked.alias("b")
     return (

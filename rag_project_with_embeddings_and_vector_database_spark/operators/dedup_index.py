@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ._cache import swap_cache as _swap_cache
 from .dedup import (
+    _occupancy_guard,
     hamming64,
     minhash_bands,
     minhash_signatures,
@@ -105,55 +106,6 @@ def dedup_delta(
     return _probe_minhash(
         index, delta_banded, id_col, num_perm, max_bucket_size,
         broadcast_delta=broadcast_delta,
-    )
-
-
-def _occupancy_guard(
-    df: DataFrame, keys: list[str], max_bucket_size: int | None,
-    broadcast_oversized: bool = False,
-) -> DataFrame:
-    """Drop rows in buckets holding more than ``max_bucket_size`` rows.
-
-    Two physical forms, picked by the caller to match the downstream
-    join strategy — they keep the SAME rows:
-
-    - default (shuffle-join path): ONE windowed count over the join
-      key. The window's exchange lands the data hash-partitioned on
-      exactly the key the probe join shuffles on, so the guard's
-      exchange is the join's exchange — net one, where the older
-      groupBy + anti-join (`operators/dedup.py _drop_oversized_buckets`,
-      still serving the one-shot generators) pays two. Migrating the
-      one-shot family onto this form is recorded r9 work: touching
-      dedup.py re-opens its whole query closure in the rotation
-      window, which r8 has no slots left for.
-
-    - ``broadcast_oversized=True`` (broadcast-join path): when the
-      probe join broadcasts the delta, it needs NO exchange — so the
-      window's full-row exchange would be the plan's ONLY shuffle of
-      the index side, pure overhead. Instead: a map-side-combinable
-      groupBy count (shuffles one partial row per bucket per
-      partition, never data rows) finds the oversized buckets —
-      bounded at |rows|/max_bucket_size keys, in practice the handful
-      of degenerate shingles — and a broadcast LEFT ANTI join drops
-      their rows. Index rows then flow scan -> anti -> probe join
-      with zero full-row exchanges."""
-    if max_bucket_size is None:
-        return df
-    if broadcast_oversized:
-        oversized = (
-            df.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") > max_bucket_size)
-            .select(*keys)
-        )
-        return df.join(F.broadcast(oversized), keys, "left_anti")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*keys)
-    return (
-        df.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bn") <= max_bucket_size)
-        .drop("_bn")
     )
 
 
@@ -348,23 +300,35 @@ def probe_dedup_index(
     max_bucket_size: int | None = 1000,
     num_buckets: int = 64,
     bucket_col: str = "sig_bucket",
+    max_delta_docs: int | None = 100_000,
 ) -> DataFrame:
     """The STEADY-STATE daily probe against a stored minhash signature
     index written ``partitionBy(band, sig_bucket)`` (the
     ``compact_signature_store`` layout, pmod-``num_buckets`` of
     band_hash): shingle/band the delta EXACTLY ONCE (localCheckpoint —
     bounded at |delta| x bands rows), collect its distinct partition
-    keys (a |delta|-bounded driver list, never corpus-proportional),
+    keys (bounded at num_bands x num_buckets entries — 256 at the
+    shared pmod-64 convention — never delta- or corpus-proportional),
     read ONLY the matched store partitions, and run the probe join.
     This packages the discover-prune-probe recipe the bench twin and
     VERDICT r5-r7 used inline, so the pruning contract lives in code —
     and costs one delta pass instead of two. The matched partitions
-    are read by DIRECT PATH (one Hadoop-FS existence probe per key,
-    then ``parquet(*dirs)`` under ``basePath``) rather than an
-    OR-disjunct filter over the root: measured 4x faster at 83 keys —
-    the root listing plus per-row disjunct evaluation dominated the
-    whole probe. Output contract == ``dedup_delta`` against the full
-    index."""
+    are read by DIRECT PATH (batched Hadoop-FS listings, O(#bands)
+    driver RPCs, then ``parquet(*dirs)`` under ``basePath``) rather
+    than an OR-disjunct filter over the root: measured 4x faster at 83
+    keys — the root listing plus per-row disjunct evaluation dominated
+    the whole probe. Output contract == ``dedup_delta`` against the
+    full index.
+
+    The delta side is BROADCAST into the probe join and checkpointed,
+    so this helper is for the bounded daily-batch contract only;
+    ``max_delta_docs`` (ADVICE r8) converts a contract violation into
+    a clear error — one column-pruned ``limit(n+1).count()`` probe,
+    raise past the cap — instead of a silent driver-memory degradation.
+    Pass ``None`` (or raise the cap) only when the caller has sized
+    executor/driver memory for the larger broadcast; bulk backfills
+    belong to the one-shot generator."""
+    _assert_bounded_delta("probe_dedup_index", delta, max_delta_docs)
     banded = build_dedup_index(
         delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
     ).localCheckpoint()
@@ -390,6 +354,24 @@ def probe_dedup_index(
     )
 
 
+def _assert_bounded_delta(helper: str, delta: DataFrame, cap: int | None) -> None:
+    """Fail fast when a probe helper's delta exceeds its documented
+    bounded-daily-batch contract (ADVICE r8): the delta is broadcast
+    and localCheckpointed downstream, so an unbounded delta degrades
+    into driver/executor memory pressure instead of a clear error.
+    One column-pruned limit+count job; ``cap=None`` disables."""
+    if cap is None:
+        return
+    if delta.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{helper}: delta exceeds max_delta_docs={cap}; it is "
+            f"broadcast into the probe join under the bounded "
+            f"daily-batch contract. Batch the delta, raise "
+            f"max_delta_docs explicitly, or run the one-shot pair "
+            f"generator for bulk backfills."
+        )
+
+
 def _read_matched_partitions(
     spark, root: str, keys, empty_like: DataFrame, bucket_modulus: int | None = None
 ) -> DataFrame:
@@ -407,61 +389,77 @@ def _read_matched_partitions(
     matches the probe's key shape — a store written under different
     partition column names, or bucketed with a LARGER modulus than the
     probe assumes, would otherwise silently contribute nothing and let
-    duplicates through. So the store's first-level listing (one
-    bounded RPC: at most #bands/#blocks entries) is validated against
-    the probe's column names and bucket values before any skipping;
-    provable mismatches raise instead of returning an empty probe.
-    (A store bucketed with a SMALLER modulus is not provable from
-    listings alone — keep ``num_buckets`` consistent with the writer,
-    as every in-repo layout does via the shared pmod-64 convention.)"""
+    duplicates through. Discovery is BATCHED (r9, VERDICT r8 item 5):
+    one ``listStatus`` on the root plus one per level-1 directory —
+    O(#bands/#blocks) driver RPCs REGARDLESS of delta size, where the
+    r8 form paid one sequential ``fs.exists`` RPC per candidate key
+    and would stall the driver on a 100x-larger delta. The existing
+    (lvl1, lvl2) directory set is then intersected with ``keys`` in
+    memory. The same listings validate the layout: partition column
+    names on EVERY directory, and the bucket modulus against the
+    values seen across ALL level-1 directories (not just the first —
+    ADVICE r8: a larger-modulus store whose first band directory held
+    only low bucket values used to pass). Provable mismatches raise
+    instead of returning an empty probe. (A store bucketed with a
+    SMALLER modulus is still not provable from listings alone — keep
+    ``num_buckets`` consistent with the writer, as every in-repo
+    layout does via the shared pmod-64 convention.)"""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(root)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if keys:
-        lvl1_col = keys[0][0][0]
-        lvl2_col = keys[0][1][0] if len(keys[0]) > 1 else None
-        lvl1 = [
-            st.getPath().getName()
-            for st in fs.listStatus(hpath)
-            if st.isDirectory()
-        ]
-        bad = [d for d in lvl1 if not d.startswith(f"{lvl1_col}=")]
-        if bad or not lvl1:
-            raise ValueError(
-                f"store {root} layout mismatch: expected {lvl1_col}= "
-                f"partition directories, found {sorted(lvl1)[:5] or 'none'}"
-            )
-        if lvl2_col is not None:
-            sub = jvm.org.apache.hadoop.fs.Path(f"{root}/{lvl1[0]}")
+    if not keys:
+        return empty_like.limit(0)
+    lvl1_col = keys[0][0][0]
+    lvl2_col = keys[0][1][0] if len(keys[0]) > 1 else None
+    lvl1 = [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+    ]
+    bad = [d for d in lvl1 if not d.startswith(f"{lvl1_col}=")]
+    if bad or not lvl1:
+        raise ValueError(
+            f"store {root} layout mismatch: expected {lvl1_col}= "
+            f"partition directories, found {sorted(lvl1)[:5] or 'none'}"
+        )
+    if lvl2_col is None:
+        existing = {(d,) for d in lvl1}
+    else:
+        existing = set()
+        for d in lvl1:
+            sub = jvm.org.apache.hadoop.fs.Path(f"{root}/{d}")
             lvl2 = [
                 st.getPath().getName()
                 for st in fs.listStatus(sub)
                 if st.isDirectory()
             ]
-            bad2 = [d for d in lvl2 if not d.startswith(f"{lvl2_col}=")]
+            bad2 = [x for x in lvl2 if not x.startswith(f"{lvl2_col}=")]
             if bad2 or not lvl2:
                 raise ValueError(
                     f"store {root} layout mismatch: expected {lvl2_col}= "
-                    f"bucket directories under {lvl1[0]}, found "
+                    f"bucket directories under {d}, found "
                     f"{sorted(lvl2)[:5] or 'none'}"
                 )
-            if bucket_modulus is not None:
-                store_max = max(int(d.split("=", 1)[1]) for d in lvl2)
-                if store_max >= bucket_modulus:
-                    # the probe's pmod(hash, bucket_modulus) can never
-                    # address this directory -> the store was written
-                    # with a larger modulus; skipping would silently
-                    # miss duplicates
-                    raise ValueError(
-                        f"store {root} bucketed with modulus > "
-                        f"{bucket_modulus} (saw {lvl2_col}={store_max}); "
-                        f"pass the writer's num_buckets"
-                    )
-    dirs = []
-    for key in keys:
-        p = "/".join(f"{c}={v}" for c, v in key)
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/{p}")):
-            dirs.append(f"{root}/{p}")
+            existing.update((d, x) for x in lvl2)
+        if bucket_modulus is not None:
+            store_max = max(int(x.split("=", 1)[1]) for _, x in existing)
+            if store_max >= bucket_modulus:
+                # the probe's pmod(hash, bucket_modulus) can never
+                # address this directory -> the store was written
+                # with a larger modulus; skipping would silently
+                # miss duplicates
+                raise ValueError(
+                    f"store {root} bucketed with modulus > "
+                    f"{bucket_modulus} (saw {lvl2_col}={store_max}); "
+                    f"pass the writer's num_buckets"
+                )
+    dirs = [
+        f"{root}/" + "/".join(parts)
+        for parts in (
+            tuple(f"{c}={v}" for c, v in key) for key in keys
+        )
+        if parts in existing
+    ]
     if not dirs:
         return empty_like.limit(0)
     return spark.read.option("basePath", root).parquet(*dirs)
@@ -479,13 +477,15 @@ def probe_simhash_index(
     max_bucket_size: int | None = 1000,
     num_buckets: int = 64,
     bucket_col: str = "blk_bucket",
+    max_delta_docs: int | None = 100_000,
 ) -> DataFrame:
     """``probe_dedup_index`` for the SimHash family: one fingerprint
     pass over the delta, partition-pruned read of a store written
     ``partitionBy(block_id, blk_bucket)``, then the blocked Hamming
-    probe (direct-path matched-partition read, see
-    ``probe_dedup_index``). Output contract == ``simhash_delta``
-    against the full index."""
+    probe (batched direct-path matched-partition read and
+    ``max_delta_docs`` bounded-delta guard, see ``probe_dedup_index``).
+    Output contract == ``simhash_delta`` against the full index."""
+    _assert_bounded_delta("probe_simhash_index", delta, max_delta_docs)
     blocked = build_simhash_index(
         delta, content_col, id_col, bits, num_blocks
     ).localCheckpoint()

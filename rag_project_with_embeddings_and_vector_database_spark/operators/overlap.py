@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import minhash_bands, minhash_signatures, _drop_oversized_buckets
+from .dedup import minhash_bands, minhash_signatures, _occupancy_guard
 
 
 def _banded(
@@ -63,8 +63,8 @@ def corpus_overlap(
     the partition-pruned dedup_delta path."""
     ba = _banded(a, content_col, id_col, shingle_n, num_perm, num_bands, seed)
     bb = _banded(b, content_col, id_col, shingle_n, num_perm, num_bands, seed)
-    ba = _drop_oversized_buckets(ba, ["band", "band_hash"], max_bucket_size)
-    bb = _drop_oversized_buckets(bb, ["band", "band_hash"], max_bucket_size)
+    ba = _occupancy_guard(ba, ["band", "band_hash"], max_bucket_size)
+    bb = _occupancy_guard(bb, ["band", "band_hash"], max_bucket_size)
     agree = F.aggregate(
         F.zip_with(
             F.col("b.sig"), F.col("a.sig"),

@@ -5327,6 +5327,114 @@ def semantic_dedup(spark, sf_dir):
     ).orderBy("keep")
 
 
+@register(
+    "semantic_dedup_hash",
+    """
+    WITH a AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, (vec_id % 8)::INT AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM a x JOIN a y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE round(list_dot_product(x.v, y.v), 6) >= 0.25
+    ),
+    dropped AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT a.vec_id, a.bucket, dropped.id_b IS NULL AS keep
+    FROM a LEFT JOIN dropped ON a.vec_id = dropped.id_b
+    """,
+)
+def semantic_dedup_hash(spark, sf_dir):
+    """The within-cluster SemDeDup ALGEBRA under a DETERMINISTIC
+    assignment (operators/semantic.py semantic_dedup with the r9
+    ``assignment`` hook): bucket = vec_id % 8 replaces the seeded
+    KMeans quantizer, so the whole pair join + min-id dominance
+    verdict is DuckDB-hash-proven like dedup_embedding — closing the
+    r8 verdict's "give the dedup algebra an exact oracle" item. The
+    seeded-KMeans form (semantic_dedup) stays rows-only with planted
+    recall; this twin proves the algebra EXACTLY, and the method is
+    assignment-agnostic (any deterministic bucketing preserves the
+    within-cluster semantics — module docstring)."""
+    from .operators import semantic as SD
+
+    e = _par(_t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    assignment = e.withColumn("bucket", F.pmod("vec_id", F.lit(8)).cast("int"))
+    return SD.semantic_dedup(
+        e, threshold=0.25, corpus_id="vec_id", normalized=True,
+        assignment=assignment,
+    )
+
+
+@register("semantic_dedup_incremental")  # rows-only: seeded KMeans store inside
+def semantic_dedup_incremental(spark, sf_dir):
+    """DAY-2 SemDeDup (operators/semantic.py semantic_dedup_delta) —
+    completing the incremental dedup family (minhash, simhash,
+    embedding, now semantic): the corpus's cluster assignments are
+    built ONCE (IVF coarse quantizer, seed pinned) and WRITTEN to
+    parquet partitioned by bucket — the 100 TB layout where a probe's
+    cluster set is a REAL partition filter; a simulated daily delta
+    (20 exact copies of existing vectors under fresh ids) is then
+    assigned to the FROZEN centroids (ivf_index_append — one broadcast
+    of the KB-scale centroid frame, never a re-fit) and probed against
+    ONLY its matched store partitions. SELF-VALIDATING twice over, the
+    dedup_incremental replay pattern with both sides on Spark (the
+    KMeans assignment is not SQL-expressible, so the replay IS the
+    oracle): (a) the incremental pair set must EQUAL the one-shot
+    semantic_dedup_pairs over corpus-union-delta under the union
+    assignment, filtered to delta-touching pairs — proving O(delta)
+    work equals the full recompute; (b) every planted exact copy must
+    be dropped (keep=false). Either breach raises. Emits the per-delta
+    verdict frame."""
+    from .operators import retrieval as RT
+    from .operators import semantic as SD
+
+    e = _par(_t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    assigned, cents = RT.build_ivf_index(e, num_centroids=8, corpus_id="vec_id")
+    cents = cents.localCheckpoint()
+    tmp = _proc_tmp("semdedup_idx")
+    # write discipline: cluster by the partition key first — one file
+    # per bucket directory, the same layout build_ivf_index documents
+    assigned.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(tmp)
+    store = spark.read.parquet(tmp)
+    # the delta reads the RAW scan (pushed-down filter), not the _par
+    # round-robin frame (SCALING.md r8)
+    delta = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    verdicts = SD.semantic_dedup_delta(
+        store, cents, delta, threshold=0.95, corpus_id="vec_id"
+    ).localCheckpoint()
+    # (a) replay-by-definition: one-shot over corpus-union-delta under
+    # the union assignment, filtered to delta-touching pairs
+    inc_pairs = SD.semantic_dedup_delta_pairs(
+        store, cents, delta, threshold=0.95, corpus_id="vec_id"
+    )
+    da = RT.ivf_index_append(cents, delta, corpus_id="vec_id")
+    union_assign = store.select("vec_id", "embedding", "bucket").unionByName(
+        da.select("vec_id", "embedding", "bucket")
+    )
+    oneshot = SD.semantic_dedup_pairs(
+        e.unionByName(delta), threshold=0.95, corpus_id="vec_id",
+        assignment=union_assign,
+    ).filter((F.col("id_a") >= 10_000_000) | (F.col("id_b") >= 10_000_000))
+    drift = inc_pairs.exceptAll(oneshot).count() + oneshot.exceptAll(inc_pairs).count()
+    if drift:
+        raise AssertionError(
+            f"semantic_dedup_delta_pairs drifted from the one-shot replay "
+            f"by {drift} rows"
+        )
+    # (b) planted exact copies share their original's cluster by
+    # construction (identical vectors, frozen centroids) — all must drop
+    planted_kept = verdicts.filter(F.col("keep")).count()
+    if planted_kept:
+        raise AssertionError(
+            f"semantic_dedup_delta missed {planted_kept} planted exact copies"
+        )
+    return verdicts
+
+
 @register("diversity_sample")  # rows-only: seeded KMeans assignment inside
 def diversity_sample(spark, sf_dir):
     """Semantic-diversity sampling (operators/diversity.py): cluster
@@ -5945,82 +6053,65 @@ def vector_arrival_ingest(spark, sf_dir):
 # and — the standing POLICY, enforced by scripts/selfcheck.py
 # --check-window — any round that touches an operator's code or
 # fixtures must front-load that operator's queries so its latest
-# CORRECTNESS row postdates the change. r8 window (VERDICT r7 items
-# 2, 3, 6, 7 + all four ADVICE r7 fixes): (a) the one NEW query,
-# (b) the tool-derived closure of the files touched this round —
-# rerank.py (MMR true-max fix), embedding.py (deterministic cache
-# pick), diversity.py (lazy default), dedup_index.py (one-pass probe
-# helpers + direct-path matched-partition reads), and the harness
-# edits (embed_cached \\S guard, _proc_tmp scratch, lm CTE factor,
-# incremental queries rewired onto the probe helpers) — 20 slots,
-# (c) 30 slots of oldest-evidence debt: the ENTIRE r2-straggler set
-# and the head of the r3 backlog.
+# CORRECTNESS row postdates the change. r9 window (VERDICT r8 items
+# 1-5 + all four ADVICE r8 fixes): (a) the two NEW queries, (b) the
+# tool-derived closure of the files touched this round — dedup.py +
+# overlap.py + dedup_index.py (shared adaptive occupancy guard on the
+# one-shot generators, batched O(bands) partition discovery with
+# all-dirs modulus validation, bounded-delta cap), semantic.py (the
+# assignment hook + the incremental twin), diversity.py (r8
+# contract-change callout) — 31 slots, (c) the COMPLETE 13-query
+# <=r4-evidence debt (VERDICT r8 item 1's drain list), (d) 4 slots of
+# oldest r5-evidence rotation.
 _PRIORITY = [
-    # (a) new in r8: the partitioned perplexity-tile contract pinned
-    # directly (5-way per-lang ntile over the proven LM score —
-    # VERDICT r7 item 6), sharing _LM_SC_CTES with lm_score
-    "lm_buckets",
-    # (b) directly-edited queries: the MMR true-max penalty fix (its
-    # unrolled-greedy oracle now genuinely replays on anti-similar
-    # candidates), the embed-cache \\S guard + deterministic
-    # conflicting-row pick + swept store path, and the shared-CTE
-    # lm_score refactor
-    "mmr_rerank", "embed_cached", "lm_score",
-    # (b) closure of operators/dedup_index.py (probe_dedup_index /
-    # probe_simhash_index: one delta pass, direct-path pruned reads —
-    # VERDICT r7 item 2; the two incremental queries now run THROUGH
-    # the helpers, so their oracle rows re-prove the rewritten path)
+    # (a) new in r9: the deterministic-assignment SemDeDup twin whose
+    # whole pair-join + min-id-dominance algebra is DuckDB-hash-proven
+    # (VERDICT r8 item 4), and the day-2 incremental SemDeDup probe
+    # against a FROZEN stored clustering, replay-self-validated
+    # (VERDICT r8 item 3) — completing the incremental dedup family
+    "semantic_dedup_hash", "semantic_dedup_incremental",
+    # (b) closure of operators/semantic.py (assignment hook) and
+    # operators/diversity.py (versionchanged callout, ADVICE r8)
+    "semantic_dedup", "diversity_sample",
+    # (b) closure of operators/dedup.py + dedup_index.py + overlap.py:
+    # the one-shot pair generators now run the shared windowed
+    # occupancy guard (VERDICT r8 item 2), the probe helpers' matched-
+    # partition discovery is batched to O(bands) driver RPCs with the
+    # modulus validated across ALL band dirs (item 5 + ADVICE r8), and
+    # probes fail fast past max_delta_docs (ADVICE r8) — every query
+    # importing the family re-earns its row on the rewritten path
+    "dedup_minhash_pairs", "simhash_pairs", "dedup_full",
     "dedup_incremental", "simhash_incremental",
     "dedup_embedding_incremental", "dedup_store_compact",
-    # (b) closure of operators/diversity.py (lazy-by-default, harness
-    # opts into validate=True — VERDICT r7 item 7)
-    "diversity_sample",
-    # (b) closure of operators/embedding.py (embed_incremental's
-    # deterministic cache resolution): embed_values re-proves the
-    # hash-backend values; decontaminate / the two pipelines import
-    # the module per the file-granular tool
-    "embed_values", "decontaminate", "pipeline_e2e",
-    "pipeline_reference_corpus",
-    # (b) closure of the _proc_tmp/_sweep_stale_tmp scratch refactor:
-    # every streaming harness query checkpoints under these roots
-    "sessionize_stateful", "stream_dedup", "stream_upsert",
-    "stream_windowed_counts", "stream_windowed_append",
-    "stream_dedup_gated", "vector_arrival_ingest",
-    # (c) the COMPLETE r2-evidence straggler set (VERDICT r7 item 3's
-    # drain list, oldest first): the text-analysis/chunker/report
-    # entries whose newest driver evidence still reads r2
-    "token_stats", "doc_fingerprint", "lang_id", "filter_ext",
-    "chunk_table_islands", "chunk_sections", "chunk_recursive_para",
-    "text_quality", "report_best", "token_count", "sentence_split",
-    "preprocess_text",
-    # (c) the r3-evidence backlog head (verdict-named trio first);
-    # sql_api, string_funcs, tpch_q1/q3/q5 plus the r4 six remain the
-    # recorded r9 debt below
-    "sink_json", "metric_all", "embed_fanout", "approx_distinct",
-    "array_ops", "big_orders", "cheapest_supplier_per_part",
-    "cube_lineitem", "date_parts", "distinct_counts",
-    "embedding_quantize", "global_topn", "hash_split_assign",
-    "orders_lineitem_smj", "pii_scan", "repetition_stats",
-    # (a) new late-r8: the PII redaction transform (full-text value
-    # oracle; shares PII_PATTERNS with the in-window pii_scan) and the
-    # SemDeDup cluster-bucketed semantic dedup (rows-only,
-    # planted-duplicate recall self-validated, num_clusters=1
-    # equivalence to the exact all-pairs generator pytest-pinned);
-    # their slots displace sink_orc and set_ops to the r9 debt head
-    "pii_redact", "semantic_dedup",
+    "dedup_minhash", "dedup_simhash", "dedup_exact", "dedup_embedding",
+    "bucket_stats", "connected_components", "corpus_overlap",
+    "ngram_jaccard", "dedup_spans", "dedup_strip_spans",
+    "leakage_safe_split", "decontaminate", "corpus_prep",
+    "corpus_prep_lm", "pipeline_e2e", "pipeline_reference_corpus",
+    "stream_dedup", "stream_dedup_gated", "stream_upsert",
+    "stream_windowed_append", "stream_windowed_counts",
+    "vector_arrival_ingest",
+    # (c) the complete <=r4-evidence debt (VERDICT r8 item 1): the r3
+    # seven — sink_orc and set_ops first (displaced by the late-r8
+    # registrations), then the relational-reviewer set — and the r4 six
+    "sink_orc", "set_ops", "sql_api", "string_funcs",
+    "tpch_q1", "tpch_q3", "tpch_q5",
+    "bucketed_join", "quality_filter", "semi_anti_join",
+    "sequence_pack", "sink_partitioned", "tfidf_terms",
+    # (d) oldest-first r5-evidence rotation fill
+    "asof_join", "brand_revenue", "chunk_fanout", "chunk_fixed_size",
 ]
-# r9 rotation debt (recorded): FIRST sink_orc and set_ops (displaced
-# by the late-r8 pii_redact/semantic_dedup registrations), then the
-# r3-evidence tail sql_api,
-# string_funcs, tpch_q1, tpch_q3, tpch_q5 (the TPC-H trio is also
-# re-measured by bench.py every round, and tpch_q1/q3/q5 carry plan
-# guards in tests/test_plans.py), then the r4-evidence entries
-# bucketed_join, quality_filter, semi_anti_join, sequence_pack,
-# sink_partitioned, tfidf_terms; after those, resume the normal
-# oldest-first rotation over the r5-r7 population. 144 of the 146
-# registered queries have driver evidence (the late-r8 pii_redact and
-# semantic_dedup earn their first rows this round); no pytest-only
-# paths remain unregistered as of r8.
+# r10 rotation debt (recorded): the r5-evidence tail — chunk_hybrid,
+# chunk_recursive, chunk_structure_aware, chunk_table_aware,
+# embed_batch, events_hourly, events_json, events_percentiles,
+# grouped_mad, metric_avgsim, metric_mrr, metric_topk,
+# multimodal_meta, pivot_events, rollup_lineitem, salted_join,
+# sessionize, tpch_q6, window_lag_delta, window_range_frame,
+# window_running_sum, window_suite, window_value_functions — then the
+# r6 population (bm25 family, scan_docs/scan_queries, sinks,
+# topk_retrieval, stratified_sample, ...), then r7. After this round
+# all 148 registered queries have driver evidence and none predates
+# r5; no pytest-only paths remain unregistered as of r9.
 
 
 def _ordered(names: dict) -> list[str]:

@@ -45,7 +45,14 @@ def cluster_balanced_sample(
     num_clusters * n_per_cluster output rows; any bucket over quota
     raises instead of returning a plausible-but-wrong sample (the
     module's recall-floor discipline, opt-in since VERDICT r7 flagged
-    the hidden job for library callers)."""
+    the hidden job for library callers).
+
+    .. versionchanged:: r8
+       ``validate`` flipped from always-on to OPT-IN (default False).
+       Library callers that relied on the implicit over-quota raise
+       must now pass ``validate=True`` — without it the sample is
+       returned unchecked (ADVICE r8: this is a silent contract change
+       for pre-r8 callers; the harness query opts in)."""
     assigned, _ = build_ivf_index(
         corpus, num_centroids=num_clusters, corpus_id=corpus_id,
         vec_col=vec_col, seed=seed,

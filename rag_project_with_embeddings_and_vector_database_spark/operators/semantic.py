@@ -37,10 +37,26 @@ from ..functions import vectors as V
 from .retrieval import build_ivf_index
 
 
-def _assign(corpus, num_clusters, corpus_id, vec_col, seed):
+def _assign(corpus, num_clusters, corpus_id, vec_col, seed, assignment=None):
     """Cluster assignment frame (corpus columns + bucket). MLlib KMeans
     requires k >= 2; num_clusters=1 is the degenerate one-bucket case
-    (the exact all-pairs equivalence anchor) and needs no fit."""
+    (the exact all-pairs equivalence anchor) and needs no fit.
+    ``assignment`` (added r9) bypasses the quantizer entirely with a
+    caller-provided frame that already carries (corpus_id, vec_col,
+    bucket) — the hook for (a) DETERMINISTIC bucketings whose whole
+    verdict algebra is then SQL-expressible and DuckDB-oracle-provable
+    (any bucket expression works: the method only needs near-identical
+    vectors to land in one bucket as often as the chosen bucketing
+    achieves), and (b) replays against a FROZEN stored assignment
+    table, which is how the incremental form composes."""
+    if assignment is not None:
+        missing = {corpus_id, vec_col, "bucket"} - set(assignment.columns)
+        if missing:
+            raise ValueError(
+                f"assignment frame lacks column(s) {sorted(missing)}; "
+                f"need ({corpus_id}, {vec_col}, bucket)"
+            )
+        return assignment
     if num_clusters == 1:
         return corpus.withColumn("bucket", F.lit(0))
     assigned, _ = build_ivf_index(
@@ -58,6 +74,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     normalized: bool = False,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """Within-cluster near-dup candidate pairs: (id_a, id_b, cos_sim)
     with id_a < id_b, cos_sim rounded to 6 then threshold-filtered —
@@ -65,8 +82,12 @@ def semantic_dedup_pairs(
     members share an embedding cluster. With ``num_clusters=1`` this
     degenerates to the exact all-pairs generator (the pytest
     equivalence pin); at scale the cluster key bounds the join: one
-    exchange on ``bucket``, quadratic only within a cluster."""
-    assigned = _assign(corpus, num_clusters, corpus_id, vec_col, seed)
+    exchange on ``bucket``, quadratic only within a cluster.
+    ``assignment`` supplies a precomputed bucket frame (see
+    ``_assign``) — with a deterministic bucket expression the full
+    pair algebra is DuckDB-provable (the ``semantic_dedup_hash``
+    harness oracle)."""
+    assigned = _assign(corpus, num_clusters, corpus_id, vec_col, seed, assignment)
     return _pairs_from_assigned(assigned, threshold, corpus_id, vec_col, normalized)
 
 
@@ -107,19 +128,162 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     normalized: bool = False,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document SemDeDup verdict: (corpus_id, bucket, keep) for
     EVERY corpus row — ``keep = false`` iff a smaller-id cluster-mate
     sits within ``threshold`` cosine similarity (greedy min-id
     dominance, see module docstring). The survivors
-    (``filter(keep)``) are the semantically-deduplicated corpus."""
-    assigned = _assign(corpus, num_clusters, corpus_id, vec_col, seed)
+    (``filter(keep)``) are the semantically-deduplicated corpus.
+    ``assignment`` supplies a precomputed bucket frame (see
+    ``_assign``)."""
+    assigned = _assign(corpus, num_clusters, corpus_id, vec_col, seed, assignment)
     # ONE quantizer fit shared by the pair join and the verdict spine
     pairs = _pairs_from_assigned(assigned, threshold, corpus_id, vec_col, normalized)
     dropped = pairs.select(F.col("id_b").alias(corpus_id)).distinct()
     return (
         assigned.select(corpus_id, "bucket")
         .join(dropped.withColumn("_drop", F.lit(True)), corpus_id, "left")
+        .select(
+            corpus_id,
+            "bucket",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_delta_pairs(
+    store_assigned: DataFrame,
+    centroids: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    normalized: bool = False,
+) -> DataFrame:
+    """DAY-2 SemDeDup: near-dup pairs TOUCHING a delta doc, probed
+    against the FROZEN stored clustering — completing the incremental
+    dedup family (minhash ``dedup_delta``, SimHash ``simhash_delta``,
+    embedding ``embedding_delta``, and this). ``store_assigned`` is
+    the stored assignment table ``build_ivf_index`` wrote (corpus_id,
+    vec_col, bucket — partitioned by bucket at scale); ``centroids``
+    is its tiny (bucket, centroid) sidecar. The delta is assigned to
+    the frozen centroids (``ivf_index_append`` — one broadcast of the
+    KB-scale centroid frame, never a re-fit), the store is pruned to
+    the delta's clusters with a REAL single-column filter (bucket ids
+    collected driver-side — bounded by the centroid count, never
+    corpus- or delta-proportional; on a bucket-partitioned store this
+    is partition pruning), and one fused join emits new-vs-stored plus
+    new-vs-new pairs: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim
+    rounded to 6 then threshold-filtered. Output contract: exactly the
+    ``semantic_dedup_pairs`` rows over corpus-union-delta under the
+    union assignment (stored rows keep their frozen buckets, delta
+    rows take frozen-centroid assignment) that touch >= 1 delta id —
+    O(|delta| x matched-cluster) work, the corpus is never re-paired.
+    Disjoint id spaces required (same contract as the family).
+
+    Drift caveat is inherited from ``ivf_index_append``: heavy ingest
+    against frozen centroids degrades the partition of space — append
+    per batch, re-cluster per snapshot."""
+    from .retrieval import ivf_index_append
+
+    delta_assigned = ivf_index_append(
+        centroids, delta, corpus_id=corpus_id, vec_col=vec_col
+    ).localCheckpoint()  # one assignment pass shared by discovery + probe
+    return _delta_pairs_from_assigned(
+        store_assigned, delta_assigned, threshold, corpus_id, vec_col, normalized
+    )
+
+
+def _delta_pairs_from_assigned(
+    store_assigned: DataFrame,
+    delta_assigned: DataFrame,
+    threshold: float,
+    corpus_id: str,
+    vec_col: str,
+    normalized: bool,
+) -> DataFrame:
+    touched = [r.bucket for r in delta_assigned.select("bucket").distinct().collect()]
+    pruned = store_assigned.select(corpus_id, vec_col, "bucket").filter(
+        F.col("bucket").isin(touched)
+    )
+    unioned = pruned.withColumn("_new", F.lit(False)).unionByName(
+        delta_assigned.select(corpus_id, vec_col, "bucket").withColumn(
+            "_new", F.lit(True)
+        )
+    )
+    new_side = F.broadcast(
+        unioned.filter(F.col("_new")).select(
+            F.col("bucket").alias("_ba"),
+            F.col(corpus_id).alias("_ida"),
+            F.col(vec_col).alias("v_a"),
+        )
+    )
+    both = unioned.select(
+        "bucket",
+        F.col(corpus_id).alias("_idb"),
+        F.col(vec_col).alias("v_b"),
+        "_new",
+    )
+    sim = V.dot("v_a", "v_b") if normalized else V.cosine("v_a", "v_b")
+    # one fused join, condition split on the _new flag (the
+    # _probe_minhash shape): vs stored rows any id inequality,
+    # normalized by least/greatest; vs delta rows _ida < _idb emits
+    # each new-new pair once
+    return (
+        new_side.join(
+            both,
+            (F.col("_ba") == F.col("bucket"))
+            & (
+                (~F.col("_new") & (F.col("_ida") != F.col("_idb")))
+                | (F.col("_new") & (F.col("_ida") < F.col("_idb")))
+            ),
+        )
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
+def semantic_dedup_delta(
+    store_assigned: DataFrame,
+    centroids: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    normalized: bool = False,
+) -> DataFrame:
+    """Per-DELTA-doc incremental SemDeDup verdict: (corpus_id, bucket,
+    keep) for every delta row — ``keep = false`` iff a smaller-id
+    cluster-mate (stored OR delta) sits within ``threshold`` under the
+    frozen clustering; min-id dominance restricted to delta docs, so
+    verdicts equal ``semantic_dedup`` over corpus-union-delta (union
+    assignment) filtered to delta ids. Built on
+    ``semantic_dedup_delta_pairs``: a delta doc is dropped iff it
+    appears as some pair's ``id_b`` (pairs are min-first, so being
+    ``id_b`` means a smaller-id mate exists). Stored docs' verdicts
+    never change on day 2 — a delta can only ADD smaller-id dominance
+    over itself, which is why delta-only output is the whole
+    contract."""
+    from .retrieval import ivf_index_append
+
+    delta_assigned = ivf_index_append(
+        centroids, delta, corpus_id=corpus_id, vec_col=vec_col
+    ).localCheckpoint()  # ONE assignment pass: discovery + probe + verdict spine
+    pairs = _delta_pairs_from_assigned(
+        store_assigned, delta_assigned, threshold, corpus_id, vec_col, normalized
+    )
+    dropped = pairs.select(F.col("id_b").alias(corpus_id)).distinct()
+    return (
+        delta_assigned.select(corpus_id, "bucket")
+        .join(
+            F.broadcast(dropped.withColumn("_drop", F.lit(True))), corpus_id, "left"
+        )
         .select(
             corpus_id,
             "bucket",

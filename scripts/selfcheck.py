@@ -85,13 +85,13 @@ _HARNESS_MODULE_LEVEL_DEPS = {
         "sessionize_stateful", "stream_dedup", "stream_upsert",
         "stream_windowed_counts", "stream_windowed_append",
         "stream_dedup_gated", "embed_cached", "dedup_incremental",
-        "simhash_incremental",
+        "simhash_incremental", "semantic_dedup_incremental",
     },
     "_proc_tmp": {
         "sessionize_stateful", "stream_dedup", "stream_upsert",
         "stream_windowed_counts", "stream_windowed_append",
         "stream_dedup_gated", "embed_cached", "dedup_incremental",
-        "simhash_incremental",
+        "simhash_incremental", "semantic_dedup_incremental",
     },
     "_ann_recall": {
         "ann_lsh", "ann_ivf", "ann_ivf_quantized", "ann_ivf_indexed",

@@ -93,14 +93,27 @@ HEADLINE = [
     "diversity_sample",
     "quality_classifier",
     "lm_score",
+    "lm_buckets",
     "corpus_prep_lm",
     "decontaminate",
     "chunk_sections",
+    "pii_redact",
+    "semantic_dedup",
+    "semantic_dedup_hash",
+    "semantic_dedup_incremental",
     # UDF-path ops
     "chunk_fanout",
     "embed_batch",
     "embed_cached",
 ]
+
+# Composed STREAMING paths (real writeStream micro-batch drains, run
+# through their harness queries): SLA-asserted like the stored-index
+# twins — VERDICT r8 item 8. Reps overridden where one drain is ~50 s
+# (long runs self-average load noise; a second rep still guards
+# against a one-off stall reading as a regression).
+STREAMING_SLA_QUERIES = ["stream_dedup_gated", "vector_arrival_ingest"]
+REPS_OVERRIDE = {"stream_dedup_gated": 2}
 
 # Steady-state SLA targets (sec, sf0.1, local[32]; SCALING.md
 # "Steady-state SLAs" holds the measurement provenance). A bench run
@@ -114,6 +127,11 @@ SLA = {
     "ann_ivf_pq_query": 1.5,
     "dedup_incremental_query": 2.0,
     "simhash_incremental_query": 2.0,
+    "semantic_incremental_query": 1.5,
+    # composed streaming paths (min-of-N of a full availableNow drain,
+    # sf0.1, local[32]; targets measured r9 — SCALING.md)
+    "stream_dedup_gated": 55.0,
+    "vector_arrival_ingest": 8.0,
 }
 
 
@@ -283,6 +301,32 @@ def stored_index_query_benches(spark, sf_dir):
             spark, f"{base}/simhashidx", delta, bits=32, num_blocks=4, max_hamming=3
         )
 
+    # SemDeDup assignment store: cluster the embedding corpus once,
+    # write assignments bucket-partitioned + the centroid sidecar;
+    # the thunk times only the day-2 delta probe (frozen-centroid
+    # assignment + matched-cluster pruned pair join)
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        semantic as SD,
+    )
+
+    sem_assigned, sem_cdf = R.build_ivf_index(
+        e, num_centroids=16, corpus_id="vec_id", seed=42
+    )
+    sem_assigned.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{base}/semidx/assigned")
+    sem_cdf.write.mode("overwrite").parquet(f"{base}/semidx/centroids")
+
+    def semantic_query():
+        delta = e.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        return SD.semantic_dedup_delta_pairs(
+            spark.read.parquet(f"{base}/semidx/assigned"),
+            spark.read.parquet(f"{base}/semidx/centroids"),
+            delta, threshold=0.95, corpus_id="vec_id",
+        )
+
     return {
         "bm25_indexed_query": bm25_query,
         "ann_ivf_indexed_query": ivf_query,
@@ -290,6 +334,7 @@ def stored_index_query_benches(spark, sf_dir):
         "ann_ivf_pq_query": ivfpq_query,
         "dedup_incremental_query": dedup_query,
         "simhash_incremental_query": simhash_query,
+        "semantic_incremental_query": semantic_query,
     }
 
 
@@ -328,6 +373,18 @@ def main() -> None:
     sla_violations = []
     for name, thunk in stored_index_query_benches(spark, sf_dir).items():
         timings[name] = timed_min(spark, name, thunk, reps)
+        target = SLA.get(name)
+        if target is not None and timings[name] > 2.0 * target:
+            sla_violations.append((name, timings[name], target))
+
+    # composed streaming paths: each rep is a full availableNow drain
+    # of the harness query (checkpoint torn down per call by
+    # _proc_tmp), SLA-asserted like the probe twins (VERDICT r8 item 8)
+    for name in STREAMING_SLA_QUERIES:
+        n = min(reps, REPS_OVERRIDE.get(name, reps))
+        timings[name] = timed_min(
+            spark, name, lambda: qs[name](spark, sf_dir), n
+        )
         target = SLA.get(name)
         if target is not None and timings[name] > 2.0 * target:
             sla_violations.append((name, timings[name], target))

@@ -222,11 +222,12 @@ def stored_index_query_benches(spark, sf_dir):
     # layout (pmod(band_hash, 64) as a partition key); the probe goes
     # through probe_dedup_index — ONE delta shingle pass shared by
     # bucket discovery and the join (r8: previously shingled twice)
-    DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).withColumn(
-        "sig_bucket", F.pmod("band_hash", F.lit(64))
-    ).repartition("band", "sig_bucket").write.mode("overwrite").partitionBy(
-        "band", "sig_bucket"
-    ).parquet(f"{base}/dedupidx")
+    DI.write_signature_store(
+        DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).withColumn(
+            "sig_bucket", F.pmod("band_hash", F.lit(64))
+        ),
+        f"{base}/dedupidx", ("band", "sig_bucket"), bucket_modulus=64,
+    )
 
     # the delta reads the RAW scan (not the _par round-robin repartition
     # of the full table, which blocks predicate pushdown and re-shuffles
@@ -286,11 +287,12 @@ def stored_index_query_benches(spark, sf_dir):
 
     # simhash blocked index: delta probe via probe_simhash_index (one
     # fingerprint pass, partition-pruned store read)
-    DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
-        "blk_bucket", F.pmod("block_key", F.lit(64))
-    ).repartition("block_id", "blk_bucket").write.mode("overwrite").partitionBy(
-        "block_id", "blk_bucket"
-    ).parquet(f"{base}/simhashidx")
+    DI.write_signature_store(
+        DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
+            "blk_bucket", F.pmod("block_key", F.lit(64))
+        ),
+        f"{base}/simhashidx", ("block_id", "blk_bucket"), bucket_modulus=64,
+    )
 
     def simhash_query():
         delta = raw_docs.filter(F.col("doc_id") < 25).select(

@@ -5629,15 +5629,15 @@ def dedup_incremental(spark, sf_dir):
     # the stored layout carries a bounded hash bucket of band_hash (the
     # bm25_indexed term_bucket pattern: raw band_hash is too
     # high-cardinality to be a directory key, a 64-way bucket is not).
-    # repartition BY the partition keys before the partitioned write:
-    # without it every input task writes a file into every directory it
-    # touches (tasks x dirs tiny files); clustered, each directory gets
-    # exactly one file — the same write discipline a 100 TB ingest uses
-    DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).withColumn(
-        "sig_bucket", F.pmod("band_hash", F.lit(64))
-    ).repartition("band", "sig_bucket").write.mode("overwrite").partitionBy(
-        "band", "sig_bucket"
-    ).parquet(tmp)
+    # write_signature_store packages the write discipline (repartition
+    # by the partition keys -> one file per directory) and drops the
+    # _store_meta.json sidecar the probe validates AND adopts (r9)
+    DI.write_signature_store(
+        DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).withColumn(
+            "sig_bucket", F.pmod("band_hash", F.lit(64))
+        ),
+        tmp, ("band", "sig_bucket"), bucket_modulus=64,
+    )
     # the delta reads the RAW scan (pushed-down filter), NOT the _par
     # round-robin frame — deriving 25 rows from an already-repartitioned
     # full table re-shuffles the whole corpus (SCALING.md r8)
@@ -5780,13 +5780,14 @@ def simhash_incremental(spark, sf_dir):
     # bounded hash bucket of block_key as a second partition key, so
     # the delta probe prunes to matched (block_id, blk_bucket)
     # directories — same layout pattern (and same why-it-cannot-change-
-    # the-result argument) as dedup_incremental;
-    # clustered write: one file per directory (see dedup_incremental)
-    DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
-        "blk_bucket", F.pmod("block_key", F.lit(64))
-    ).repartition("block_id", "blk_bucket").write.mode("overwrite").partitionBy(
-        "block_id", "blk_bucket"
-    ).parquet(tmp)
+    # the-result argument) as dedup_incremental; write_signature_store
+    # packages the clustered write + metadata sidecar (r9)
+    DI.write_signature_store(
+        DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
+            "blk_bucket", F.pmod("block_key", F.lit(64))
+        ),
+        tmp, ("block_id", "blk_bucket"), bucket_modulus=64,
+    )
     delta = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" rev")).alias("text"),

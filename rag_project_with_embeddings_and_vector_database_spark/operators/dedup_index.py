@@ -327,8 +327,18 @@ def probe_dedup_index(
     raise past the cap — instead of a silent driver-memory degradation.
     Pass ``None`` (or raise the cap) only when the caller has sized
     executor/driver memory for the larger broadcast; bulk backfills
-    belong to the one-shot generator."""
+    belong to the one-shot generator.
+
+    Stores written by ``write_signature_store`` are SELF-DESCRIBING:
+    their ``_store_meta.json`` modulus is validated AND adopted (the
+    ``num_buckets`` argument is then only the fallback for meta-less
+    stores), so probing a store bucketed with a different modulus —
+    larger or SMALLER, which listings alone cannot prove — yields the
+    correct pruned read instead of missed duplicates."""
     _assert_bounded_delta("probe_dedup_index", delta, max_delta_docs)
+    num_buckets = _resolve_store_layout(
+        spark, path, ("band", bucket_col), num_buckets
+    )
     banded = build_dedup_index(
         delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
     ).localCheckpoint()
@@ -352,6 +362,102 @@ def probe_dedup_index(
         pruned.drop(bucket_col), banded, id_col, num_perm, max_bucket_size,
         broadcast_delta=True,
     )
+
+
+STORE_META_FILE = "_store_meta.json"
+
+
+def write_signature_store(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...],
+    bucket_modulus: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """The signature/assignment store WRITE DISCIPLINE in one place:
+    repartition by the partition keys (without it every input task
+    writes a file into every directory it touches — tasks x dirs tiny
+    files; clustered, each directory gets exactly one file), write
+    ``partitionBy`` parquet, and drop a ``_store_meta.json`` sidecar
+    recording the layout and bucket modulus (ADVICE r8): probe helpers
+    validate — and ADOPT — the modulus directly from metadata, which
+    also makes the SMALLER-modulus mismatch provable (directory
+    listings alone cannot catch it: every bucket value below the
+    probe's modulus looks plausible). The underscore-prefixed sidecar
+    is invisible to Spark's parquet reader; it is written through the
+    Hadoop FS API so the same code serves HDFS/S3. ``mode='append'``
+    rewrites the sidecar too (idempotent — layout facts don't change
+    on append)."""
+    import json as _json
+
+    df.repartition(*partition_cols).write.mode(mode).partitionBy(
+        *partition_cols
+    ).parquet(path)
+    spark = df.sparkSession
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{STORE_META_FILE}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(_json.dumps(
+            {
+                "partition_cols": list(partition_cols),
+                "bucket_modulus": bucket_modulus,
+            }
+        ).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_store_meta(spark, path: str) -> dict | None:
+    """Read a store's ``_store_meta.json`` sidecar, or None for stores
+    predating the convention (probe helpers then fall back to
+    listing-based validation). One existence probe + one small read."""
+    import json as _json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{STORE_META_FILE}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # commons-io ships with Hadoop; py4j cannot fill a Python
+        # bytearray through java's read(byte[]) (arrays cross the
+        # bridge by copy), so read fully on the JVM side
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return _json.loads(data.decode("utf-8"))
+
+
+def _resolve_store_layout(
+    spark, path: str, expected_cols: tuple[str, str], num_buckets: int
+) -> int:
+    """Validate a store's metadata sidecar against the probe's expected
+    partition columns and return the EFFECTIVE bucket modulus: the
+    store's own recorded modulus when metadata exists (self-describing
+    stores make the probe's ``num_buckets`` a fallback, not a
+    contract), else the caller's ``num_buckets``. Raises on provable
+    layout mismatches — wrong partition column names, or a store
+    recorded without a modulus being probed as if bucketed."""
+    meta = read_store_meta(spark, path)
+    if meta is None:
+        return num_buckets
+    cols = tuple(meta.get("partition_cols") or ())
+    if cols != expected_cols:
+        raise ValueError(
+            f"store {path} metadata records partition_cols={list(cols)}; "
+            f"probe expects {list(expected_cols)}"
+        )
+    modulus = meta.get("bucket_modulus")
+    if modulus is None:
+        raise ValueError(
+            f"store {path} metadata records no bucket_modulus but the "
+            f"probe addresses bucketed partitions; rebuild the store "
+            f"with write_signature_store(bucket_modulus=...)"
+        )
+    return int(modulus)
 
 
 def _assert_bounded_delta(helper: str, delta: DataFrame, cap: int | None) -> None:
@@ -482,10 +588,14 @@ def probe_simhash_index(
     """``probe_dedup_index`` for the SimHash family: one fingerprint
     pass over the delta, partition-pruned read of a store written
     ``partitionBy(block_id, blk_bucket)``, then the blocked Hamming
-    probe (batched direct-path matched-partition read and
-    ``max_delta_docs`` bounded-delta guard, see ``probe_dedup_index``).
-    Output contract == ``simhash_delta`` against the full index."""
+    probe (batched direct-path matched-partition read,
+    ``max_delta_docs`` bounded-delta guard, and metadata-adopted
+    bucket modulus, see ``probe_dedup_index``). Output contract ==
+    ``simhash_delta`` against the full index."""
     _assert_bounded_delta("probe_simhash_index", delta, max_delta_docs)
+    num_buckets = _resolve_store_layout(
+        spark, path, ("block_id", bucket_col), num_buckets
+    )
     blocked = build_simhash_index(
         delta, content_col, id_col, bits, num_blocks
     ).localCheckpoint()
@@ -534,15 +644,19 @@ def compact_signature_store(
     100 TB this is the OPTIMIZE/rewrite step of a transactional table;
     here it is read -> dropDuplicates -> localCheckpoint (cutting the
     read-path lineage so the same path can be overwritten) ->
-    partitioned rewrite. Note the readback gains a ``sig_bucket``
-    column; probe callers that union it with an unbucketed frame drop
-    it first (dedup_delta itself never references it)."""
+    partitioned rewrite through ``write_signature_store`` (which also
+    drops the ``_store_meta.json`` sidecar the probe helpers validate
+    and adopt). Note the readback gains a ``sig_bucket`` column; probe
+    callers that union it with an unbucketed frame drop it first
+    (dedup_delta itself never references it)."""
     df = spark.read.parquet(path).dropDuplicates(list(dedup_cols)).localCheckpoint()
     parts = [partition_col]
+    modulus = None
     if bucket_from is not None and bucket_from in df.columns:
         df = df.withColumn("sig_bucket", F.pmod(bucket_from, F.lit(num_buckets)))
         parts.append("sig_bucket")
-    df.write.mode("overwrite").partitionBy(*parts).parquet(path)
+        modulus = num_buckets
+    write_signature_store(df, path, tuple(parts), bucket_modulus=modulus)
     return df.count()
 
 

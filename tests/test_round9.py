@@ -135,6 +135,42 @@ def test_modulus_validated_across_all_band_dirs(spark, corpus, delta, tmp_path):
         ).collect()
 
 
+def test_store_meta_written_and_adopted(spark, corpus, delta, tmp_path):
+    """ADVICE r8 ('better' option): stores written by
+    write_signature_store carry _store_meta.json, and the probe ADOPTS
+    the recorded modulus — a store bucketed with modulus 32 probed
+    with the default num_buckets=64 (a mismatch listings alone cannot
+    prove: every bucket value < 64 looks plausible) still returns the
+    exact dedup_delta result instead of silently missing duplicates."""
+    store = os.path.join(str(tmp_path), "meta32")
+    idx = DI.build_dedup_index(corpus, num_perm=16, num_bands=4, seed=42)
+    DI.write_signature_store(
+        idx.withColumn("sig_bucket", F.pmod("band_hash", F.lit(32))),
+        store, ("band", "sig_bucket"), bucket_modulus=32,
+    )
+    meta = DI.read_store_meta(spark, store)
+    assert meta == {"partition_cols": ["band", "sig_bucket"], "bucket_modulus": 32}
+    got = DI.probe_dedup_index(
+        spark, store, delta, num_perm=16, num_bands=4, seed=42  # default 64
+    )
+    want = DI.dedup_delta(idx, delta, num_perm=16, num_bands=4, seed=42)
+    assert _rows(got) == _rows(want)
+    assert _rows(got), "fixture must produce pairs"
+
+
+def test_store_meta_mismatch_raises(spark, corpus, delta, tmp_path):
+    """Metadata recording different partition columns than the probe
+    expects is a provable layout error — raise, never empty-probe."""
+    store = os.path.join(str(tmp_path), "metabad")
+    idx = DI.build_dedup_index(corpus, num_perm=16, num_bands=4, seed=42)
+    DI.write_signature_store(
+        idx.withColumn("sig_bucket", F.pmod("band_hash", F.lit(64))),
+        store, ("band", "sig_bucket"), bucket_modulus=64,
+    )
+    with pytest.raises(ValueError, match="partition_cols"):
+        DI.probe_simhash_index(spark, store, delta)  # expects block_id/blk_bucket
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(

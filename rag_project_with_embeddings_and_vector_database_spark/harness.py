@@ -5525,6 +5525,44 @@ def corpus_overlap(spark, sf_dir):
     return OV.corpus_overlap(_par(a), _par(b), threshold=0.5)
 
 
+@register("corpus_overlap_indexed", _overlap_sql())
+def corpus_overlap_indexed(spark, sf_dir):
+    """corpus_overlap against a STORED banded index of corpus A
+    (operators/overlap.py probe_overlap_index, new r9) — the amortized
+    shape when many candidate corpora are screened against one
+    holding: A's banded signatures are built once and written in the
+    (band, sig_bucket) layout via write_signature_store (the store is
+    interchangeable with the incremental-dedup signature store,
+    metadata sidecar included); candidate B then pays only its own
+    signature pass plus a partition-pruned probe join. Same fixture
+    and the SAME bit-for-bit oracle as corpus_overlap — proving the
+    indexed path returns the identical per-B-doc verdicts while
+    reading only B's matched store partitions."""
+    from .operators import dedup_index as DI
+    from .operators import overlap as OV
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    b = (
+        d.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 70))
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 2000).alias("doc_id"),
+                F.concat(F.lit("copy "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    tmp = _proc_tmp("overlap_idx")
+    DI.write_signature_store(
+        DI.build_dedup_index(a, num_perm=16, num_bands=4, seed=42).withColumn(
+            "sig_bucket", F.pmod("band_hash", F.lit(64))
+        ),
+        tmp, ("band", "sig_bucket"), bucket_modulus=64,
+    )
+    return OV.probe_overlap_index(spark, tmp, _par(b), threshold=0.5)
+
+
 @register("dedup_full", _dedup_full_sql())
 def dedup_full(spark, sf_dir):
     """The operation a 100 TB pipeline actually runs, composed end to
@@ -6099,10 +6137,17 @@ _PRIORITY = [
     "tpch_q1", "tpch_q3", "tpch_q5",
     "bucketed_join", "quality_filter", "semi_anti_join",
     "sequence_pack", "sink_partitioned", "tfidf_terms",
+    # (a) new in r9, late: the stored-index corpus-overlap twin
+    # (probe_overlap_index — same bit-for-bit oracle as corpus_overlap,
+    # partition-pruned A reads); its slot displaces the
+    # chunk_fixed_size rotation fill to the r10 debt head
+    "corpus_overlap_indexed",
     # (d) oldest-first r5-evidence rotation fill
-    "asof_join", "brand_revenue", "chunk_fanout", "chunk_fixed_size",
+    "asof_join", "brand_revenue", "chunk_fanout",
 ]
-# r10 rotation debt (recorded): the r5-evidence tail — chunk_hybrid,
+# r10 rotation debt (recorded): FIRST chunk_fixed_size (displaced by
+# the late-r9 corpus_overlap_indexed registration), then the
+# r5-evidence tail — chunk_hybrid,
 # chunk_recursive, chunk_structure_aware, chunk_table_aware,
 # embed_batch, events_hourly, events_json, events_percentiles,
 # grouped_mad, metric_avgsim, metric_mrr, metric_topk,

@@ -79,6 +79,7 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_mmr_sql": {"mmr_rerank"},
     "_EMBED_CACHED_SQL": {"embed_cached"},
     "_LM_SC_CTES": {"lm_score", "lm_buckets"},
+    "_overlap_sql": {"corpus_overlap", "corpus_overlap_indexed"},
     # per-process scratch helpers: every harness query that writes a
     # _proc_tmp/_stream_tmp store
     "_sweep_stale_tmp": {
@@ -86,12 +87,14 @@ _HARNESS_MODULE_LEVEL_DEPS = {
         "stream_windowed_counts", "stream_windowed_append",
         "stream_dedup_gated", "embed_cached", "dedup_incremental",
         "simhash_incremental", "semantic_dedup_incremental",
+        "corpus_overlap_indexed",
     },
     "_proc_tmp": {
         "sessionize_stateful", "stream_dedup", "stream_upsert",
         "stream_windowed_counts", "stream_windowed_append",
         "stream_dedup_gated", "embed_cached", "dedup_incremental",
         "simhash_incremental", "semantic_dedup_incremental",
+        "corpus_overlap_indexed",
     },
     "_ann_recall": {
         "ann_lsh", "ann_ivf", "ann_ivf_quantized", "ann_ivf_indexed",

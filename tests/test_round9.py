@@ -171,6 +171,36 @@ def test_store_meta_mismatch_raises(spark, corpus, delta, tmp_path):
         DI.probe_simhash_index(spark, store, delta)  # expects block_id/blk_bucket
 
 
+def test_probe_overlap_index_matches_oneshot(spark, corpus, tmp_path):
+    """The stored-index corpus-overlap twin returns the identical
+    per-B-doc verdicts as the one-shot A-probe-B join, while reading
+    only B's matched store partitions (store written with metadata)."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        overlap as OV,
+    )
+
+    a = corpus.filter(F.col("doc_id") < 40)
+    b = corpus.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 70)).unionByName(
+        corpus.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 2000).alias("doc_id"),
+            F.concat(F.lit("copy "), F.col("text")).alias("text"),
+        )
+    )
+    store = os.path.join(str(tmp_path), "overlapidx")
+    DI.write_signature_store(
+        DI.build_dedup_index(a, num_perm=16, num_bands=4, seed=42).withColumn(
+            "sig_bucket", F.pmod("band_hash", F.lit(64))
+        ),
+        store, ("band", "sig_bucket"), bucket_modulus=64,
+    )
+    got = OV.probe_overlap_index(spark, store, b, threshold=0.5)
+    want = OV.corpus_overlap(a, b, threshold=0.5)
+    assert _rows(got) == _rows(want)
+    n_matched = got.filter(F.col("matched")).count()
+    assert n_matched >= 10, "planted near-copies must match"
+    DD.release_caches()
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(

@@ -17,15 +17,19 @@ Composed entirely from proven machinery: the IVF coarse quantizer
 centroids broadcast, assignment scan-local) plus one within-bucket
 self-equi-join on the cluster key. No UDFs, no driver loops.
 
-Keeper rule: deterministic greedy min-id dominance — a document is
-DROPPED iff some smaller-id document in its cluster is within the
-similarity threshold. One join, one aggregation; chain-transitive
-pruning can drop more than one-per-connected-component keeping would
-(if A~B and B~C but not A~C, only A survives), which is the standard
-greedy trade for a single-pass scale shape — near-dup chains are
-themselves redundant. (The paper keeps the member with lowest
-similarity to the cluster centroid; any deterministic within-group
-choice preserves the method's semantics.)
+Keeper rule: deterministic greedy dominance — a document is DROPPED
+iff some DOMINANT cluster-mate is within the similarity threshold.
+One join, one aggregation; chain-transitive pruning can drop more
+than one-per-connected-component keeping would (if A~B and B~C but
+not A~C, only A survives), which is the standard greedy trade for a
+single-pass scale shape — near-dup chains are themselves redundant.
+Two dominance orders (``semantic_dedup(keep_policy=...)``):
+``min_id`` (default) — smallest id wins; ``centroid`` — the paper's
+rule: the member with LOWEST cosine similarity to its cluster
+centroid wins (Abbas et al. §2.2 keep "low centroid similarity"
+examples — they carry the most marginal information), id as the tie
+break. Same join shape either way; the centroid order costs one
+broadcast of the KB-scale centroid frame and a scan-local cosine.
 """
 
 from __future__ import annotations
@@ -64,6 +68,18 @@ def _assign(corpus, num_clusters, corpus_id, vec_col, seed, assignment=None):
         vec_col=vec_col, seed=seed,
     )
     return assigned
+
+
+def _assign_with_centroids(corpus, num_clusters, corpus_id, vec_col, seed, assignment=None):
+    """``_assign`` variant that also returns the (bucket, centroid)
+    frame when the quantizer ran, else None (assignment-provided and
+    num_clusters=1 paths have no fitted centroids)."""
+    if assignment is not None or num_clusters == 1:
+        return _assign(corpus, num_clusters, corpus_id, vec_col, seed, assignment), None
+    return build_ivf_index(
+        corpus, num_centroids=num_clusters, corpus_id=corpus_id,
+        vec_col=vec_col, seed=seed,
+    )
 
 
 def semantic_dedup_pairs(
@@ -129,20 +145,76 @@ def semantic_dedup(
     seed: int = 42,
     normalized: bool = False,
     assignment: DataFrame | None = None,
+    keep_policy: str = "min_id",
 ) -> DataFrame:
     """Per-document SemDeDup verdict: (corpus_id, bucket, keep) for
-    EVERY corpus row — ``keep = false`` iff a smaller-id cluster-mate
-    sits within ``threshold`` cosine similarity (greedy min-id
-    dominance, see module docstring). The survivors
-    (``filter(keep)``) are the semantically-deduplicated corpus.
-    ``assignment`` supplies a precomputed bucket frame (see
-    ``_assign``)."""
-    assigned = _assign(corpus, num_clusters, corpus_id, vec_col, seed, assignment)
-    # ONE quantizer fit shared by the pair join and the verdict spine
-    pairs = _pairs_from_assigned(assigned, threshold, corpus_id, vec_col, normalized)
-    dropped = pairs.select(F.col("id_b").alias(corpus_id)).distinct()
+    EVERY corpus row — ``keep = false`` iff a DOMINANT cluster-mate
+    sits within ``threshold`` cosine similarity (greedy dominance, see
+    module docstring). The survivors (``filter(keep)``) are the
+    semantically-deduplicated corpus. ``assignment`` supplies a
+    precomputed bucket frame (see ``_assign``).
+
+    ``keep_policy``: ``'min_id'`` (default) — the smallest-id mate
+    dominates; ``'centroid'`` — the paper's rule: the mate with LOWER
+    cosine similarity to the cluster centroid dominates (low-centroid-
+    similarity members carry the most marginal information; Abbas et
+    al. §2.2), id breaking ties — requires the quantizer path (the
+    fitted centroids), so it cannot combine with ``assignment`` or
+    ``num_clusters=1``."""
+    if keep_policy not in ("min_id", "centroid"):
+        raise ValueError(f"keep_policy must be 'min_id' or 'centroid', got {keep_policy!r}")
+    assigned, cents = _assign_with_centroids(
+        corpus, num_clusters, corpus_id, vec_col, seed, assignment
+    )
+    if keep_policy == "min_id":
+        # ONE quantizer fit shared by the pair join and the verdict spine
+        pairs = _pairs_from_assigned(assigned, threshold, corpus_id, vec_col, normalized)
+        dropped = pairs.select(F.col("id_b").alias(corpus_id)).distinct()
+        return (
+            assigned.select(corpus_id, "bucket")
+            .join(dropped.withColumn("_drop", F.lit(True)), corpus_id, "left")
+            .select(
+                corpus_id,
+                "bucket",
+                F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+            )
+        )
+    if cents is None:
+        raise ValueError(
+            "keep_policy='centroid' needs the fitted centroids: use the "
+            "quantizer path (num_clusters >= 2, no precomputed assignment)"
+        )
+    # rank key (centroid_sim, id): rounded like every output-edge float
+    # so the order is engine-portable and tie-broken deterministically
+    scored = (
+        assigned.join(F.broadcast(cents), "bucket")
+        .withColumn("_csim", F.round(V.cosine(vec_col, "centroid"), 6))
+        .drop("centroid")
+    )
+    a = scored.select(
+        F.col("bucket").alias("_ba"),
+        F.col(corpus_id).alias("_ida"),
+        F.col(vec_col).alias("v_a"),
+        F.col("_csim").alias("_csa"),
+    )
+    b = scored.select(
+        "bucket",
+        F.col(corpus_id).alias("_idb"),
+        F.col(vec_col).alias("v_b"),
+        F.col("_csim").alias("_csb"),
+    )
+    sim = V.dot("v_a", "v_b") if normalized else V.cosine("v_a", "v_b")
+    dominates = (F.col("_csa") < F.col("_csb")) | (
+        (F.col("_csa") == F.col("_csb")) & (F.col("_ida") < F.col("_idb"))
+    )
+    dropped = (
+        a.join(b, F.col("_ba") == F.col("bucket"))
+        .filter(dominates & (F.round(sim, 6) >= threshold))
+        .select(F.col("_idb").alias(corpus_id))
+        .distinct()
+    )
     return (
-        assigned.select(corpus_id, "bucket")
+        scored.select(corpus_id, "bucket")
         .join(dropped.withColumn("_drop", F.lit(True)), corpus_id, "left")
         .select(
             corpus_id,

@@ -298,6 +298,87 @@ def test_semantic_dedup_delta_prunes_to_matched_clusters(spark, embeddings):
         assert len(flat) == 1, f"expected one matched bucket literal, got {pf!r}"
 
 
+def test_semantic_dedup_centroid_keep_policy(spark, embeddings):
+    """keep_policy='centroid' implements the paper's keeper (lowest
+    centroid similarity wins, id tie-break). Pin: replay the greedy
+    dominance exactly in numpy over the collected assignment and
+    compare verdicts; and verify the policy genuinely diverges from
+    min_id on this corpus (otherwise the pin proves nothing)."""
+    import numpy as np
+
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as RT,
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        semantic as SD,
+    )
+
+    import numpy as _np
+
+    # plant a BRACKETING near-dup pair of vec_id 0 under larger ids:
+    # y± = normalize(v0 ± eps*u) for a fixed unit direction u. For any
+    # centroid c, cos(c, y+) and cos(c, y-) straddle cos(c, v0) unless
+    # u happens to be exactly orthogonal to c — so one planted copy has
+    # STRICTLY LOWER centroid similarity than the original: min_id
+    # keeps v0 (smallest id), the paper's centroid rule keeps that
+    # copy instead. Guaranteed divergence, fully replayed below.
+    base = embeddings.filter(F.col("vec_id") == 0).collect()[0]
+    v0 = _np.array(base["embedding"], dtype=_np.float64)
+    u = _np.zeros_like(v0)
+    u[int(_np.argmin(_np.abs(v0)))] = 1.0
+    planted_rows = []
+    for off, sign in ((1, 1.0), (2, -1.0)):
+        y = v0 + sign * 0.05 * u
+        y = y / _np.linalg.norm(y)
+        planted_rows.append((10_000_000 + off, [float(x) for x in y]))
+    planted = spark.createDataFrame(
+        planted_rows, "vec_id bigint, embedding array<double>"
+    )
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    got = SD.semantic_dedup(
+        corpus, threshold=0.8, num_clusters=4, corpus_id="vec_id",
+        keep_policy="centroid",
+    )
+    rows = {r["vec_id"]: (r["bucket"], r["keep"]) for r in got.collect()}
+
+    assigned, cents = RT.build_ivf_index(
+        corpus, num_centroids=4, corpus_id="vec_id", seed=42
+    )
+    data = assigned.collect()
+    cmap = {r["bucket"]: np.array(r["centroid"]) for r in cents.collect()}
+    by_bucket: dict = {}
+    for r in data:
+        by_bucket.setdefault(r["bucket"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+
+    def cos(x, y):
+        return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+    want = {}
+    for bkt, members in by_bucket.items():
+        keyed = sorted(
+            (round(cos(v, cmap[bkt]), 6), vid, v) for vid, v in members
+        )
+        for i, (csi, vid, v) in enumerate(keyed):
+            dropped = any(
+                round(cos(v, keyed[j][2]), 6) >= 0.8 for j in range(i)
+            )
+            want[vid] = (bkt, not dropped)
+    assert rows == want
+    min_id = {
+        r["vec_id"]: r["keep"]
+        for r in SD.semantic_dedup(
+            corpus, threshold=0.8, num_clusters=4, corpus_id="vec_id"
+        ).collect()
+    }
+    assert any(min_id[k] != rows[k][1] for k in min_id), (
+        "policies must diverge on this fixture for the pin to bite"
+    )
+
+
 def test_probe_helpers_reject_unbounded_delta(spark, corpus, delta, tmp_path):
     """ADVICE r8: the bounded daily-batch contract fails fast — a delta
     past max_delta_docs raises before any shingling or broadcast."""

@@ -323,9 +323,10 @@ def probe_dedup_index(
     The delta side is BROADCAST into the probe join and checkpointed,
     so this helper is for the bounded daily-batch contract only;
     ``max_delta_docs`` (ADVICE r8) converts a contract violation into
-    a clear error — one column-pruned ``limit(n+1).count()`` probe,
-    raise past the cap — instead of a silent driver-memory degradation.
-    Pass ``None`` (or raise the cap) only when the caller has sized
+    a clear error instead of a silent memory degradation — enforced
+    for free from the bucket-discovery aggregation itself (the
+    per-key counts sum to |delta| x bands; no extra job). Pass
+    ``None`` (or raise the cap) only when the caller has sized
     executor/driver memory for the larger broadcast; bulk backfills
     belong to the one-shot generator.
 
@@ -335,22 +336,15 @@ def probe_dedup_index(
     stores), so probing a store bucketed with a different modulus —
     larger or SMALLER, which listings alone cannot prove — yields the
     correct pruned read instead of missed duplicates."""
-    _assert_bounded_delta("probe_dedup_index", delta, max_delta_docs)
     num_buckets = _resolve_store_layout(
         spark, path, ("band", bucket_col), num_buckets
     )
     banded = build_dedup_index(
         delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
     ).localCheckpoint()
-    keys = sorted(
-        {
-            (r.band, r.sb)
-            for r in banded.select(
-                "band", F.pmod("band_hash", F.lit(num_buckets)).alias("sb")
-            )
-            .distinct()
-            .collect()
-        }
+    keys = _discover_keys(
+        banded, "band", "band_hash", num_buckets, num_bands,
+        "probe_dedup_index", max_delta_docs,
     )
     pruned = _read_matched_partitions(
         spark, path,
@@ -460,22 +454,43 @@ def _resolve_store_layout(
     return int(modulus)
 
 
-def _assert_bounded_delta(helper: str, delta: DataFrame, cap: int | None) -> None:
-    """Fail fast when a probe helper's delta exceeds its documented
-    bounded-daily-batch contract (ADVICE r8): the delta is broadcast
-    and localCheckpointed downstream, so an unbounded delta degrades
-    into driver/executor memory pressure instead of a clear error.
-    One column-pruned limit+count job; ``cap=None`` disables."""
-    if cap is None:
-        return
-    if delta.limit(cap + 1).count() > cap:
-        raise ValueError(
-            f"{helper}: delta exceeds max_delta_docs={cap}; it is "
-            f"broadcast into the probe join under the bounded "
-            f"daily-batch contract. Batch the delta, raise "
-            f"max_delta_docs explicitly, or run the one-shot pair "
-            f"generator for bulk backfills."
+def _discover_keys(
+    banded: DataFrame,
+    lvl1_col: str,
+    hash_col: str,
+    num_buckets: int,
+    rows_per_doc: int,
+    helper: str,
+    max_delta_docs: int | None,
+) -> list[tuple]:
+    """Collect the delta's distinct (lvl1, pmod-bucket) partition keys
+    — bounded at #lvl1 x num_buckets entries regardless of delta size
+    — AND enforce the bounded daily-batch contract (ADVICE r8) from
+    the SAME aggregation: the per-key counts sum to
+    |delta| x rows_per_doc, so no separate counting job runs (the r9
+    first cut paid one extra limit+count pass per probe — measured
+    ~0.3-0.4 s of pure job overhead on the steady-state twins). The
+    delta is broadcast downstream, so exceeding ``max_delta_docs``
+    raises a clear error instead of degrading into driver/executor
+    memory pressure; ``None`` disables."""
+    rows = (
+        banded.groupBy(
+            lvl1_col, F.pmod(hash_col, F.lit(num_buckets)).alias("_sb")
         )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if max_delta_docs is not None:
+        n_docs = sum(r["_n"] for r in rows) // rows_per_doc
+        if n_docs > max_delta_docs:
+            raise ValueError(
+                f"{helper}: delta has {n_docs} docs, exceeding "
+                f"max_delta_docs={max_delta_docs}; it is broadcast into "
+                f"the probe join under the bounded daily-batch contract. "
+                f"Batch the delta, raise max_delta_docs explicitly, or "
+                f"run the one-shot pair generator for bulk backfills."
+            )
+    return sorted({(r[lvl1_col], r["_sb"]) for r in rows})
 
 
 def _read_matched_partitions(
@@ -592,22 +607,15 @@ def probe_simhash_index(
     ``max_delta_docs`` bounded-delta guard, and metadata-adopted
     bucket modulus, see ``probe_dedup_index``). Output contract ==
     ``simhash_delta`` against the full index."""
-    _assert_bounded_delta("probe_simhash_index", delta, max_delta_docs)
     num_buckets = _resolve_store_layout(
         spark, path, ("block_id", bucket_col), num_buckets
     )
     blocked = build_simhash_index(
         delta, content_col, id_col, bits, num_blocks
     ).localCheckpoint()
-    keys = sorted(
-        {
-            (r.block_id, r.bb)
-            for r in blocked.select(
-                "block_id", F.pmod("block_key", F.lit(num_buckets)).alias("bb")
-            )
-            .distinct()
-            .collect()
-        }
+    keys = _discover_keys(
+        blocked, "block_id", "block_key", num_buckets, num_blocks,
+        "probe_simhash_index", max_delta_docs,
     )
     pruned = _read_matched_partitions(
         spark, path,

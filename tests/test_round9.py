@@ -381,7 +381,10 @@ def test_semantic_dedup_centroid_keep_policy(spark, embeddings):
 
 def test_probe_helpers_reject_unbounded_delta(spark, corpus, delta, tmp_path):
     """ADVICE r8: the bounded daily-batch contract fails fast — a delta
-    past max_delta_docs raises before any shingling or broadcast."""
+    past max_delta_docs raises during the probe call (the check rides
+    the bucket-discovery aggregation: per-key counts sum to
+    |delta| x bands, so no extra job), before any store read or
+    broadcast."""
     store = os.path.join(str(tmp_path), "capidx")
     DI.build_dedup_index(corpus, num_perm=16, num_bands=4, seed=42).withColumn(
         "sig_bucket", F.pmod("band_hash", F.lit(64))

@@ -82,6 +82,7 @@ HEADLINE = [
     "lang_id",
     "text_quality",
     "token_stats",
+    "html_extract",
     "tfidf_terms",
     "repetition_stats",
     "pii_scan",

@@ -2379,6 +2379,75 @@ def dedup_embedding(spark, sf_dir):
 # Text analysis suite (north-star)
 # ---------------------------------------------------------------------------
 
+# deterministic HTML fixture fragments, shared verbatim by the Spark
+# concat and the oracle's || chain so both engines extract from the
+# IDENTICAL synthesized page (script/style/nav/header/aside/footer
+# boilerplate, a comment, and entity-encoded text incl. the
+# double-encoded &amp;amp; no-double-decode case)
+_HTML_FIX = (
+    '<!DOCTYPE html><html><head><title>',            # + source
+    '</title><script type="text/javascript">var page = ',  # + doc_id
+    ';</script><style>p { margin: 0 auto; }</style></head><body>'
+    '<nav class="menu">Home | Docs | About</nav><header>Site header'
+    '</header><!-- analytics beacon --><h1>Document ',  # + doc_id
+    '</h1><p>',                                       # + text
+    '</p><p>&quot;AT&amp;T&quot; says 1 &lt; 2 &amp;amp; end&#39;</p>'
+    '<aside>Related links</aside><footer>Example footer</footer>'
+    '</body></html>',
+)
+
+
+def _html_sql() -> str:
+    from .functions.html import HTML_STRIP_STEPS
+
+    expr = "html"
+    for pat, rep, is_regex in HTML_STRIP_STEPS:
+        p, r = pat.replace("'", "''"), rep.replace("'", "''")
+        if is_regex:
+            expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+        else:
+            expr = f"replace({expr}, '{p}', '{r}')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    f = [frag.replace("'", "''") for frag in _HTML_FIX]
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{f[0]}' || source || '{f[1]}' || doc_id::VARCHAR || '{f[2]}'
+             || doc_id::VARCHAR || '{f[3]}' || text || '{f[4]}' AS html
+      FROM documents
+    )
+    SELECT doc_id, {expr} AS clean_text FROM h
+    """
+
+
+@register("html_extract", _html_sql())
+def html_extract(spark, sf_dir):
+    """HTML boilerplate removal (functions/html.py html_to_text): the
+    first transform of a web-crawl training-data pipeline, as a pure
+    codegen'd regexp_replace chain — comments out, script/style/nav/
+    header/footer/aside dropped WITH content, remaining tags to
+    spaces, common entities decoded (&amp; last, so double-encoded
+    text does not double-decode), whitespace collapsed. No Python in
+    the path: scan-local projection at any corpus size. The fixture
+    synthesizes a full page around each document's text (shared
+    fragment constants), and the oracle applies the IDENTICAL
+    step table (HTML_STRIP_STEPS drives both engines — patterns live
+    in the Java-regex/RE2 common subset), so extraction is
+    DuckDB-hash-proven end to end."""
+    from .functions import html as HF
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    html = F.concat(
+        F.lit(_HTML_FIX[0]), F.col("source"),
+        F.lit(_HTML_FIX[1]), F.col("doc_id").cast("string"),
+        F.lit(_HTML_FIX[2]), F.col("doc_id").cast("string"),
+        F.lit(_HTML_FIX[3]), F.col("text"),
+        F.lit(_HTML_FIX[4]),
+    )
+    return d.select(
+        "doc_id", HF.html_to_text(html).alias("clean_text")
+    )
+
 
 @register(
     "token_stats",
@@ -6139,14 +6208,18 @@ _PRIORITY = [
     "sequence_pack", "sink_partitioned", "tfidf_terms",
     # (a) new in r9, late: the stored-index corpus-overlap twin
     # (probe_overlap_index — same bit-for-bit oracle as corpus_overlap,
-    # partition-pruned A reads); its slot displaces the
-    # chunk_fixed_size rotation fill to the r10 debt head
-    "corpus_overlap_indexed",
+    # partition-pruned A reads) and the codegen'd HTML boilerplate
+    # extractor (exact oracle from the shared step table); their slots
+    # displace the chunk_fixed_size and chunk_fanout rotation fills to
+    # the r10 debt head
+    "corpus_overlap_indexed", "html_extract",
     # (d) oldest-first r5-evidence rotation fill
-    "asof_join", "brand_revenue", "chunk_fanout",
+    "asof_join", "brand_revenue",
 ]
-# r10 rotation debt (recorded): FIRST chunk_fixed_size (displaced by
-# the late-r9 corpus_overlap_indexed registration), then the
+# r10 rotation debt (recorded): FIRST chunk_fixed_size and
+# chunk_fanout (displaced by the late-r9 corpus_overlap_indexed and
+# html_extract registrations; chunk_fanout's code is still exercised
+# in-window via pipeline_e2e), then the
 # r5-evidence tail — chunk_hybrid,
 # chunk_recursive, chunk_structure_aware, chunk_table_aware,
 # embed_batch, events_hourly, events_json, events_percentiles,

@@ -398,3 +398,35 @@ def test_probe_helpers_reject_unbounded_delta(spark, corpus, delta, tmp_path):
         spark, store, delta, num_perm=16, num_bands=4, seed=42, max_delta_docs=10
     )
     assert got.count() > 0
+
+
+def test_html_to_text_semantics(spark):
+    """functions/html.py: boilerplate elements drop WITH content, tags
+    become spaces, entities decode once (&amp; last — double-encoded
+    text must NOT double-decode), malformed HTML degrades gracefully
+    (unclosed boilerplate tag keeps its content instead of eating the
+    rest of the document), whitespace collapses."""
+    from rag_project_with_embeddings_and_vector_database_spark.functions import (
+        html as HF,
+    )
+
+    cases = [
+        (
+            '<html><head><script>var x = "</p>";</script><style>a{}</style>'
+            "</head><body><nav>Home | About</nav><h1>Title</h1>"
+            "<p>Hello   <b>world</b></p><footer>foot</footer></body></html>",
+            "Title Hello world",
+        ),
+        # entity decoding, single pass: &amp;amp; -> &amp;
+        ("<p>&quot;AT&amp;T&quot; 1 &lt; 2 &amp;amp; x&#39;</p>", '"AT&T" 1 < 2 &amp; x\''),
+        # unclosed script: lazy match finds no close -> tag stripped,
+        # content survives (graceful, never eats the document)
+        ("<p>before</p><script>var x = 1; <p>after</p>", "before var x = 1; after"),
+        # comments out, including multiline
+        ("a<!-- hidden\n lines -->b", "a b"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], "i int, h string")
+    got = {r["i"]: r["t"] for r in df.select("i", HF.html_to_text("h").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"

@@ -83,6 +83,7 @@ HEADLINE = [
     "text_quality",
     "token_stats",
     "html_extract",
+    "strip_boilerplate",
     "tfidf_terms",
     "repetition_stats",
     "pii_scan",

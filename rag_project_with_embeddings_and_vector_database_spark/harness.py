@@ -2420,6 +2420,70 @@ def _html_sql() -> str:
     """
 
 
+@register(
+    "strip_boilerplate",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             text || chr(10) || 'Subscribe to our newsletter today.'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN chr(10) || 'Follow us on social media.' ELSE '' END
+             || chr(10) || 'pair line ' || (doc_id // 2)::VARCHAR AS content
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(content, chr(10)),
+                      (s, i) -> struct_pack(pos := i, seg := trim(s)))) AS u
+        FROM base
+      ) WHERE u.seg <> ''
+    ),
+    freq AS (
+      SELECT seg FROM (
+        SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY seg
+      ) WHERE nd >= 3
+    ),
+    kept AS (SELECT doc_id, pos, seg FROM seg WHERE seg NOT IN (SELECT seg FROM freq)),
+    agg AS (
+      SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, coalesce(agg.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN agg ON b.doc_id = agg.doc_id
+    """,
+)
+def strip_boilerplate(spark, sf_dir):
+    """C4-style corpus-frequency boilerplate removal (operators/
+    boilerplate.py strip_frequent_segments): drop every line occurring
+    in >= min_docs DISTINCT documents, reassemble survivors in
+    original order. No pairs ever form — the verdict is one exact
+    count-distinct aggregation, so the cost is explode + two-phase
+    agg + anti-join + one reassembly groupBy regardless of corpus
+    size. Fixture plants three line classes around each document's
+    text: a global boilerplate line (all docs — stripped), a
+    half-corpus line (even doc_ids — stripped), and a pair line shared
+    by exactly 2 docs (kept at min_docs=3); the original text line is
+    unique (kept). The oracle replays split/trim/census/anti-join/
+    ordered-reassembly bit-for-bit."""
+    from .operators import boilerplate as BP
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    content = F.concat(
+        F.col("text"),
+        F.lit("\nSubscribe to our newsletter today."),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("\nFollow us on social media.")
+        ).otherwise(F.lit("")),
+        F.lit("\npair line "),
+        F.floor(F.col("doc_id") / 2).cast("bigint").cast("string"),
+    )
+    base = d.select("doc_id", content.alias("content"))
+    return BP.strip_frequent_segments(
+        base, content_col="content", min_docs=3, broadcast_frequent=True
+    )
+
+
 @register("html_extract", _html_sql())
 def html_extract(spark, sf_dir):
     """HTML boilerplate removal (functions/html.py html_to_text): the
@@ -6208,18 +6272,19 @@ _PRIORITY = [
     "sequence_pack", "sink_partitioned", "tfidf_terms",
     # (a) new in r9, late: the stored-index corpus-overlap twin
     # (probe_overlap_index — same bit-for-bit oracle as corpus_overlap,
-    # partition-pruned A reads) and the codegen'd HTML boilerplate
-    # extractor (exact oracle from the shared step table); their slots
-    # displace the chunk_fixed_size and chunk_fanout rotation fills to
-    # the r10 debt head
-    "corpus_overlap_indexed", "html_extract",
+    # partition-pruned A reads), the codegen'd HTML boilerplate
+    # extractor (exact oracle from the shared step table), and the
+    # C4-style corpus-frequency line dedup; their slots displace the
+    # chunk_fixed_size, chunk_fanout and brand_revenue rotation fills
+    # to the r10 debt head
+    "corpus_overlap_indexed", "html_extract", "strip_boilerplate",
     # (d) oldest-first r5-evidence rotation fill
-    "asof_join", "brand_revenue",
+    "asof_join",
 ]
-# r10 rotation debt (recorded): FIRST chunk_fixed_size and
-# chunk_fanout (displaced by the late-r9 corpus_overlap_indexed and
-# html_extract registrations; chunk_fanout's code is still exercised
-# in-window via pipeline_e2e), then the
+# r10 rotation debt (recorded): FIRST chunk_fixed_size, chunk_fanout
+# and brand_revenue (displaced by the late-r9 corpus_overlap_indexed,
+# html_extract and strip_boilerplate registrations; chunk_fanout's
+# code is still exercised in-window via pipeline_e2e), then the
 # r5-evidence tail — chunk_hybrid,
 # chunk_recursive, chunk_structure_aware, chunk_table_aware,
 # embed_batch, events_hourly, events_json, events_percentiles,

@@ -430,3 +430,37 @@ def test_html_to_text_semantics(spark):
     got = {r["i"]: r["t"] for r in df.select("i", HF.html_to_text("h").alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_strip_frequent_segments_semantics(spark):
+    """operators/boilerplate.py: C4-style line dedup — segments in
+    >= min_docs distinct docs drop, survivors reassemble in original
+    order, an all-boilerplate document returns '' (never disappears),
+    and duplicate occurrences WITHIN one doc count once toward the
+    census but both drop when the segment is frequent."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        boilerplate as BP,
+    )
+
+    rows = [
+        (1, "unique one\nCOMMON\nunique two"),
+        (2, "COMMON\nother text\nCOMMON"),   # COMMON twice in one doc
+        (3, "COMMON"),                        # all boilerplate -> ""
+        (4, "solo line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in BP.strip_frequent_segments(df, min_docs=3).collect()
+    }
+    assert got == {
+        1: "unique one\nunique two",
+        2: "other text",
+        3: "",
+        4: "solo line",
+    }
+    census = {
+        (r["seg"], r["n_docs"])
+        for r in BP.frequent_segments(df, min_docs=2).collect()
+    }
+    assert census == {("COMMON", 3)}  # within-doc repeat counts once

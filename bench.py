@@ -103,6 +103,7 @@ HEADLINE = [
     "semantic_dedup",
     "semantic_dedup_hash",
     "semantic_dedup_incremental",
+    "dsir_select",
     # UDF-path ops
     "chunk_fanout",
     "embed_batch",

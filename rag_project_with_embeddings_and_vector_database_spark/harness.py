@@ -2514,6 +2514,108 @@ def html_extract(spark, sf_dir):
 
 
 @register(
+    "dsir_select",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x != ''), t -> lower(t)) AS tk
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, u.i AS pos, u.t AS term
+      FROM (SELECT doc_id,
+                   unnest(list_transform(tk,
+                          (t, i) -> struct_pack(i := i, t := t))) AS u
+            FROM base)
+    ),
+    grams AS (
+      SELECT doc_id, term AS gram FROM toks
+      UNION ALL
+      SELECT a.doc_id, a.term || ' ' || b.term AS gram
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    feat AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram || chr(31) || '7'), 1, 15))::BIGINT
+               % 8192 AS bucket
+      FROM grams
+    ),
+    tcnt AS (
+      SELECT bucket, count(*) AS cnt
+      FROM feat f JOIN documents d ON f.doc_id = d.doc_id
+      WHERE d.lang = 'en' GROUP BY bucket
+    ),
+    ttot AS (SELECT sum(cnt)::DOUBLE AS n FROM tcnt),
+    tmod AS (
+      SELECT bucket,
+             CAST(round(ln((cnt + 0.5) / (n + 4096.0)) * 1000000, 0) AS BIGINT)
+               AS lpm_t
+      FROM tcnt, ttot
+    ),
+    tdef AS (
+      SELECT CAST(round(ln(0.5 / (n + 4096.0)) * 1000000, 0) AS BIGINT) AS lpm
+      FROM ttot
+    ),
+    rcnt AS (SELECT bucket, count(*) AS cnt FROM feat GROUP BY bucket),
+    rtot AS (SELECT sum(cnt)::DOUBLE AS n FROM rcnt),
+    rmod AS (
+      SELECT bucket,
+             CAST(round(ln((cnt + 0.5) / (n + 4096.0)) * 1000000, 0) AS BIGINT)
+               AS lpm_r
+      FROM rcnt, rtot
+    ),
+    rdef AS (
+      SELECT CAST(round(ln(0.5 / (n + 4096.0)) * 1000000, 0) AS BIGINT) AS lpm
+      FROM rtot
+    ),
+    sc AS (
+      SELECT f.doc_id,
+             sum(coalesce(t.lpm_t, td.lpm) - coalesce(r.lpm_r, rd.lpm))
+               AS logw_micro,
+             count(*)::BIGINT AS n_grams
+      FROM feat f
+      LEFT JOIN tmod t ON f.bucket = t.bucket
+      LEFT JOIN rmod r ON f.bucket = r.bucket, tdef td, rdef rd
+      GROUP BY f.doc_id
+    ),
+    keyed AS (
+      SELECT sc.doc_id, d.lang, sc.logw_micro, sc.n_grams,
+             sc.logw_micro + CAST(round(-ln(-ln(
+               ((('0x' || substr(md5(sc.doc_id::VARCHAR || chr(31) || '13'),
+                  1, 15))::BIGINT % 1000000) + 0.5) / 1000000.0
+             )) * 1000000, 0) AS BIGINT) AS sel_key_micro
+      FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, logw_micro, n_grams, sel_key_micro
+    FROM keyed ORDER BY sel_key_micro DESC, doc_id LIMIT 100
+    """,
+)
+def dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py, after Xie et al.
+    NeurIPS 2023): fit smoothed hashed-n-gram (uni+bigram, 8192
+    buckets) models on the curated target slice (lang='en' stands in
+    for the curated corpus) and on the whole raw corpus, score every
+    raw document by its importance log-weight in exact integer
+    micro-units, and Gumbel-top-k sample k=100 without replacement
+    with probability proportional to the weight — the paper's Pile-
+    scale data-selection recipe as two map-side-combinable bucket
+    aggregations, broadcast model joins, one per-document sum, and a
+    TakeOrdered top-k (no global sort shuffle). Every hash, log-prob
+    micro-unit, Gumbel variate, and the final selection replays
+    bit-for-bit in DuckDB."""
+    from .operators import dsir as DS
+
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = _par(raw)
+    target = _par(raw.filter(F.col("lang") == "en"))
+    sel = DS.dsir_select(d, target, k=100)
+    return sel.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "logw_micro", "n_grams", "sel_key_micro"
+    )
+
+
+@register(
     "token_stats",
     f"""
     SELECT doc_id,
@@ -6278,12 +6380,15 @@ _PRIORITY = [
     # chunk_fixed_size, chunk_fanout and brand_revenue rotation fills
     # to the r10 debt head
     "corpus_overlap_indexed", "html_extract", "strip_boilerplate",
-    # (d) oldest-first r5-evidence rotation fill
-    "asof_join",
+    # (a) new in r9, last: DSIR importance resampling (operators/
+    # dsir.py) — hashed-n-gram importance weights in exact integer
+    # micro-units + hash-derived Gumbel top-k, fully DuckDB-hash-proven
+    "dsir_select",
 ]
-# r10 rotation debt (recorded): FIRST chunk_fixed_size, chunk_fanout
-# and brand_revenue (displaced by the late-r9 corpus_overlap_indexed,
-# html_extract and strip_boilerplate registrations; chunk_fanout's
+# r10 rotation debt (recorded): FIRST chunk_fixed_size, chunk_fanout,
+# brand_revenue and asof_join (displaced by the late-r9
+# corpus_overlap_indexed, html_extract, strip_boilerplate and
+# dsir_select registrations; chunk_fanout's
 # code is still exercised in-window via pipeline_e2e), then the
 # r5-evidence tail — chunk_hybrid,
 # chunk_recursive, chunk_structure_aware, chunk_table_aware,

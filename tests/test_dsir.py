@@ -1,0 +1,103 @@
+"""DSIR importance-resampling pins (operators/dsir.py, after Xie et
+al. NeurIPS 2023): feature-space shape, model normalization, weight
+direction (target-like docs score above off-distribution docs),
+Gumbel-top-k determinism and partitioning-invariance, and end-to-end
+selection of a planted target-aligned document."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_project_with_embeddings_and_vector_database_spark.operators import (
+    dsir as DS,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta"),
+        (2, "zork"),
+        (3, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_feature_count_is_2n_minus_1(spark, tiny):
+    """n whitespace tokens -> n unigrams + (n-1) bigrams; an empty doc
+    contributes no feature rows at all."""
+    feat = DS.hashed_ngram_features(tiny)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in feat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {0: 7, 1: 3, 2: 1}
+
+
+def test_fit_hashed_lm_normalizes(spark, tiny):
+    """Observed-bucket probs plus (num_buckets - observed) copies of
+    the default must sum to ~1 (exact up to micro-unit rounding)."""
+    B = 512
+    feat = DS.hashed_ngram_features(tiny, num_buckets=B)
+    model, default = DS.fit_hashed_lm(feat, num_buckets=B, alpha=0.5)
+    lpms = [r["lpm"] for r in model.collect()]
+    d = default.first()["lpm_def"]
+    mass = sum(math.exp(v / DS.MICRO) for v in lpms)
+    mass += (B - len(lpms)) * math.exp(d / DS.MICRO)
+    assert abs(mass - 1.0) < 1e-3
+
+
+def test_weights_rank_target_like_docs_first(spark):
+    """A document made of target-corpus tokens must out-weigh a
+    document of tokens the target has never seen."""
+    target = spark.range(1).select(
+        F.lit(100).alias("doc_id"), F.lit("spark catalyst tungsten").alias("text")
+    )
+    raw = spark.createDataFrame(
+        [(0, "spark catalyst tungsten"), (1, "qux zot frobnicate")],
+        ["doc_id", "text"],
+    )
+    ft = DS.hashed_ngram_features(target)
+    fr = DS.hashed_ngram_features(raw)
+    tm, td = DS.fit_hashed_lm(ft, cache_key="t_dsir_t")
+    rm, rd = DS.fit_hashed_lm(fr, cache_key="t_dsir_r")
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in DS.dsir_logweights(fr, tm, td, rm, rd).collect()
+    }
+    assert w[0] > w[1]
+
+
+def test_gumbel_topk_deterministic_and_partition_invariant(spark, tiny):
+    """The Gumbel key derives from the row's permanent hash position:
+    the selected set must be identical across reruns AND across
+    physical repartitionings, and contain exactly k distinct ids."""
+    scored = tiny.select("doc_id", F.lit(0).cast("bigint").alias("logw_micro"))
+    a = sorted(r["doc_id"] for r in DS.gumbel_topk(scored, 2).collect())
+    b = sorted(r["doc_id"] for r in DS.gumbel_topk(scored.repartition(3), 2).collect())
+    assert a == b and len(set(a)) == 2
+
+
+def test_dsir_select_picks_planted_target_aligned_doc(spark):
+    """End to end: among 30 junk docs, the one raw document written in
+    the target's vocabulary accumulates a log-weight far beyond the
+    Gumbel noise envelope (~ +/-15 nats) and must be selected."""
+    tvocab = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    target = spark.range(5).select(
+        (F.col("id") + 1000).alias("doc_id"), F.lit(tvocab.strip()).alias("text")
+    )
+    junk = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("junk"), F.col("id").cast("string"), F.lit(" filler noise")).alias("text"),
+    )
+    planted = spark.range(1).select(
+        F.lit(999).alias("doc_id"), F.lit(tvocab.strip()).alias("text")
+    )
+    raw = junk.unionByName(planted)
+    sel = DS.dsir_select(raw, target, k=3)
+    assert sel.count() == 3
+    assert 999 in {r["doc_id"] for r in sel.collect()}

@@ -108,7 +108,12 @@ def fit_hashed_lm(
         cache_key,
         feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")),
     )
-    tot = cnts.agg(F.sum("cnt").cast("double").alias("_n"))
+    # coalesce the empty-corpus total to 0 so an empty fit degrades to
+    # the exact uniform model (lpm_def = ln(1/num_buckets)) instead of
+    # a NULL default that would poison every downstream weight
+    tot = cnts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("double").alias("_n")
+    )
     den = F.col("_n") + F.lit(alpha * num_buckets)
     model = cnts.crossJoin(F.broadcast(tot)).select(
         "bucket", _lpm(F.col("cnt") + F.lit(alpha), den).alias("lpm")

@@ -51,6 +51,22 @@ def test_fit_hashed_lm_normalizes(spark, tiny):
     assert abs(mass - 1.0) < 1e-3
 
 
+def test_empty_corpus_fit_is_uniform(spark, tiny):
+    """An empty corpus must degrade to the exact uniform model
+    (lpm_def = ln(1/num_buckets) in micro-units), never a NULL
+    default."""
+    B = 512
+    empty = tiny.filter(F.lit(False))
+    model, default = DS.fit_hashed_lm(
+        DS.hashed_ngram_features(empty, num_buckets=B),
+        num_buckets=B,
+        cache_key="t_dsir_empty",
+    )
+    assert model.count() == 0
+    d = default.first()["lpm_def"]
+    assert d == round(math.log(1.0 / B) * DS.MICRO)
+
+
 def test_weights_rank_target_like_docs_first(spark):
     """A document made of target-corpus tokens must out-weigh a
     document of tokens the target has never seen."""

@@ -98,6 +98,30 @@ def test_gumbel_topk_deterministic_and_partition_invariant(spark, tiny):
     assert a == b and len(set(a)) == 2
 
 
+def test_gumbel_topk_is_shift_invariant(spark, tiny):
+    """key = w + g, so adding a constant to every weight shifts every
+    key equally and must not change the selected set — pins that the
+    noise is keyed to the ROW, not to the weight value."""
+    base = tiny.select("doc_id", (F.col("doc_id") * 1000).cast("bigint").alias("logw_micro"))
+    shifted = base.withColumn("logw_micro", F.col("logw_micro") + F.lit(7_000_000))
+    a = sorted(r["doc_id"] for r in DS.gumbel_topk(base, 2).collect())
+    b = sorted(r["doc_id"] for r in DS.gumbel_topk(shifted, 2).collect())
+    assert a == b
+
+
+def test_dsir_plan_shape(spark, tiny):
+    """The selection must compile to TakeOrderedAndProject (per-
+    partition heaps + driver merge of k — never a global sort
+    shuffle), the model/default joins must broadcast, and nothing may
+    plan a SortMergeJoin."""
+    target = tiny.filter(F.col("doc_id") < 2)
+    sel = DS.dsir_select(tiny, target, k=2)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_dsir_select_picks_planted_target_aligned_doc(spark):
     """End to end: among 30 junk docs, the one raw document written in
     the target's vocabulary accumulates a log-weight far beyond the

@@ -132,8 +132,12 @@ SLA = {
     "simhash_incremental_query": 2.0,
     "semantic_incremental_query": 1.5,
     # composed streaming paths (min-of-N of a full availableNow drain,
-    # sf0.1, local[32]; targets measured r9 — SCALING.md)
-    "stream_dedup_gated": 55.0,
+    # sf0.1, local[32]; targets measured r9 — SCALING.md).
+    # stream_dedup_gated retargeted after the stored-index-path rework
+    # (the corpus index is written once and each micro-batch pays a
+    # partition-pruned probe instead of re-shingling the corpus:
+    # 46.6 -> ~25 s warm, min-of-2)
+    "stream_dedup_gated": 32.0,
     "vector_arrival_ingest": 8.0,
 }
 

@@ -301,6 +301,7 @@ def probe_dedup_index(
     num_buckets: int = 64,
     bucket_col: str = "sig_bucket",
     max_delta_docs: int | None = 100_000,
+    extra_index: DataFrame | None = None,
 ) -> DataFrame:
     """The STEADY-STATE daily probe against a stored minhash signature
     index written ``partitionBy(band, sig_bucket)`` (the
@@ -335,7 +336,15 @@ def probe_dedup_index(
     ``num_buckets`` argument is then only the fallback for meta-less
     stores), so probing a store bucketed with a different modulus —
     larger or SMALLER, which listings alone cannot prove — yields the
-    correct pruned read instead of missed duplicates."""
+    correct pruned read instead of missed duplicates.
+
+    ``extra_index`` unions additional ALREADY-banded signature rows
+    (id, sig, band, band_hash) into the probe's index side — the
+    streaming gate passes its small accumulated-survivor store here so
+    one probe covers corpus-store + accumulation without re-shingling
+    the delta twice. Extra rows in buckets the delta never addresses
+    can't join and only add inert occupancy-guard groups, so the pair
+    output equals a probe of the full union."""
     num_buckets = _resolve_store_layout(
         spark, path, ("band", bucket_col), num_buckets
     )
@@ -352,8 +361,13 @@ def probe_dedup_index(
         empty_like=banded.select(id_col, "sig", "band", "band_hash"),
         bucket_modulus=num_buckets,
     )
+    index_side = pruned.drop(bucket_col)
+    if extra_index is not None:
+        index_side = index_side.select(
+            id_col, "sig", "band", "band_hash"
+        ).unionByName(extra_index.select(id_col, "sig", "band", "band_hash"))
     return _probe_minhash(
-        pruned.drop(bucket_col), banded, id_col, num_perm, max_bucket_size,
+        index_side, banded, id_col, num_perm, max_bucket_size,
         broadcast_delta=True,
     )
 

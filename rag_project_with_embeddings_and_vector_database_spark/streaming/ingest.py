@@ -103,7 +103,7 @@ def dedup_gated_ingest(
     input_dir: str,
     vector_table_path: str,
     checkpoint_dir: str,
-    dedup_index: DataFrame,
+    dedup_index: DataFrame | str,
     id_offset: int = 1_000_000_000,
     jaccard_threshold: float = 0.5,
     model: str = "all-MiniLM-L6-v2",
@@ -123,6 +123,17 @@ def dedup_gated_ingest(
     once (build_dedup_index -> parquet bucketed by (band, band_hash)),
     and each streaming batch pays O(batch) shingling plus one pruned
     probe join.
+
+    ``dedup_index`` is either a signature DataFrame (id, sig, band,
+    band_hash) or — the PRODUCTION form — the PATH of a stored
+    signature index written by ``write_signature_store`` partitioned
+    (band, sig_bucket). A DataFrame is re-evaluated from its lineage
+    on EVERY micro-batch (fine for a parquet-backed frame, ruinous for
+    a raw build_dedup_index pipeline: each batch would re-shingle the
+    whole corpus); a path routes each batch through
+    ``probe_dedup_index`` — metadata-validated, partition-pruned
+    direct-path reads touching only the delta's (band, bucket) dirs,
+    so per-batch index I/O is O(matched buckets), not O(corpus).
 
     The gate ACCUMULATES: each batch's survivors have their banded
     signatures appended to ``sig_delta_path`` (default
@@ -155,7 +166,11 @@ def dedup_gated_ingest(
     (idempotent under replay)."""
     from pyspark.errors import AnalysisException
 
-    from ..operators.dedup_index import build_dedup_index, dedup_delta
+    from ..operators.dedup_index import (
+        build_dedup_index,
+        dedup_delta,
+        probe_dedup_index,
+    )
     from ..operators.retrieval import VectorTable
 
     if sig_delta_path is None:
@@ -193,16 +208,26 @@ def dedup_gated_ingest(
             acc = ss.read.parquet(sig_delta_path).drop("sig_bucket")
         except AnalysisException:
             acc = None
-        probe_index = (
-            dedup_index if acc is None
-            else dedup_index.unionByName(acc).dropDuplicates(["doc_id", "band"])
-        )
-        # a micro-batch is bounded by construction -> broadcast its
-        # banded signatures so the probe join shuffles nothing (r8)
-        pairs = dedup_delta(
-            probe_index, docs.select("doc_id", F.col("content").alias("text")),
-            broadcast_delta=True,
-        ).filter(F.col("est_jaccard") >= jaccard_threshold)
+        delta_docs = docs.select("doc_id", F.col("content").alias("text"))
+        if isinstance(dedup_index, str):
+            # stored-index mode: partition-pruned probe of the corpus
+            # store; the (small) accumulated survivor signatures union
+            # into the probe's index side — replay-appended rows
+            # collapse on (doc_id, band) first
+            pairs = probe_dedup_index(
+                ss, dedup_index, delta_docs,
+                extra_index=None if acc is None
+                else acc.dropDuplicates(["doc_id", "band"]),
+            )
+        else:
+            probe_index = (
+                dedup_index if acc is None
+                else dedup_index.unionByName(acc).dropDuplicates(["doc_id", "band"])
+            )
+            # a micro-batch is bounded by construction -> broadcast its
+            # banded signatures so the probe join shuffles nothing (r8)
+            pairs = dedup_delta(probe_index, delta_docs, broadcast_delta=True)
+        pairs = pairs.filter(F.col("est_jaccard") >= jaccard_threshold)
         # every pair touches >= 1 batch doc. If BOTH sides are batch
         # docs (within-batch near-dup), the higher id drops
         # (first-wins). Otherwise the batch-side doc drops — it can sit

@@ -464,3 +464,57 @@ def test_strip_frequent_segments_semantics(spark):
         for r in BP.frequent_segments(df, min_docs=2).collect()
     }
     assert census == {("COMMON", 3)}  # within-doc repeat counts once
+
+
+def test_gated_ingest_stored_index_path_mode_matches_dataframe_mode(
+    spark, corpus, tmp_path
+):
+    """dedup_gated_ingest accepts the corpus index as a stored-index
+    PATH (per-batch partition-pruned probe_dedup_index reads — the
+    production form that never re-evaluates the index lineage per
+    micro-batch) and must gate IDENTICALLY to the DataFrame form:
+    same survivors with a corpus near-dup, a novel doc, and a
+    cross-batch near-dup of the novel doc arriving in a later
+    single-file micro-batch."""
+    from rag_project_with_embeddings_and_vector_database_spark.streaming.ingest import (
+        dedup_gated_ingest,
+    )
+
+    text = corpus.filter("doc_id = 0").collect()[0].text
+    fresh = "entirely novel stored index path mode arrival content " * 6
+    survivors = {}
+    for mode in ("frame", "path"):
+        in_dir = tmp_path / f"in_{mode}"
+        in_dir.mkdir()
+        for name, body in (
+            ("a_corpus_dup.md", text + " rev"),
+            ("b_novel.md", fresh),
+            ("c_batch_dup.md", fresh + " trailing rev"),
+        ):
+            p = in_dir / name
+            p.write_text(body)
+        # distinct mtimes: oldest-first drain -> one file per batch
+        now = (in_dir / "c_batch_dup.md").stat().st_mtime
+        for i, name in enumerate(sorted(x.name for x in in_dir.iterdir())):
+            os.utime(in_dir / name, (now - 120 + i * 60,) * 2)
+        if mode == "frame":
+            index = DI.build_dedup_index(corpus)
+        else:
+            index = str(tmp_path / "sigstore")
+            DI.write_signature_store(
+                DI.build_dedup_index(corpus).withColumn(
+                    "sig_bucket", F.pmod("band_hash", F.lit(64))
+                ),
+                index, ("band", "sig_bucket"), bucket_modulus=64,
+            )
+        vt = str(tmp_path / f"vectors_{mode}")
+        q = dedup_gated_ingest(
+            spark, str(in_dir), vt, str(tmp_path / f"ckpt_{mode}"),
+            dedup_index=index, max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        survivors[mode] = {
+            r.source_file.rsplit("/", 1)[-1]
+            for r in spark.read.parquet(vt).select("source_file").distinct().collect()
+        }
+    assert survivors["path"] == survivors["frame"] == {"b_novel.md"}

@@ -6213,8 +6213,12 @@ def stream_dedup_gated(spark, sf_dir):
     # at sf0.1), while the store costs one build+write and each batch
     # a partition-pruned probe_dedup_index read
     index = os.path.join(tmp, "sigstore")
+    # _par: the full-corpus shingle+minhash is CPU-bound and the raw
+    # scan has ~1-2 input splits — round-robin repartition first so the
+    # build uses every core (the pushdown caveat only applies to small
+    # filtered probes, not a full-table pass)
     DI.write_signature_store(
-        DI.build_dedup_index(corpus).withColumn(
+        DI.build_dedup_index(_par(corpus)).withColumn(
             "sig_bucket", F.pmod("band_hash", F.lit(64))
         ),
         index, ("band", "sig_bucket"), bucket_modulus=64,

@@ -3061,16 +3061,21 @@ def _corpus_prep_lm_sql(quality_floor: float = 0.4) -> str:
 @register("corpus_prep_lm", _corpus_prep_lm_sql())
 def corpus_prep_lm(spark, sf_dir):
     """The MODERN corpus-prep composition, fully oracled end to end:
-    heuristic quality gate (functions/text.py quality_score >= 0.4)
-    AND the CCNet perplexity gate (per-lang LM tiles, drop the tail
-    tertile) decide the survivor set, then exact dedup keeps the
-    min-id doc per content hash among survivors — gate cheap-and-
-    scan-local first, dedup the (smaller) remainder, the same
-    filter-before-dedup ordering corpus_prep pins for the minhash
-    path. Emits one verdict row per document (doc_id, lang, lm_bucket,
-    quality, kept_lm, kept_quality, kept); the oracle replays the
-    unigram model, micro-unit scores, tiles, quality arithmetic, sha
-    keeper choice, and every flag bit-for-bit."""
+    the Gopher rule gate (operators/gopher.py, Rae et al. 2021 —
+    scan-local signal projection, corpus-tuned min_stopword_hits=1
+    since the synthetic vocabulary carries only 'the' from the paper's
+    required-stopword list) AND the heuristic quality gate
+    (functions/text.py quality_score >= 0.4) AND the CCNet perplexity
+    gate (per-lang LM tiles, drop the tail tertile) decide the
+    survivor set, then exact dedup keeps the min-id doc per content
+    hash among survivors — gate cheap-and-scan-local first, dedup the
+    (smaller) remainder, the same filter-before-dedup ordering
+    corpus_prep pins for the minhash path. Emits one verdict row per
+    document (doc_id, lang, lm_bucket, quality, n_words, kept_lm,
+    kept_quality, kept_gopher, kept); the oracle replays the unigram
+    model, micro-unit scores, tiles, quality arithmetic, every Gopher
+    signal, the sha keeper choice, and every flag bit-for-bit."""
+    from .operators import gopher as GP
     from .operators import lm as LM
 
     d = _par(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
@@ -3080,18 +3085,23 @@ def corpus_prep_lm(spark, sf_dir):
         LM.lm_score(d, model, _lm_oov_micro(ref)), partition_cols=["lang"]
     ).select("doc_id", "lang", "lm_nll", F.col("bucket").alias("lm_bucket"))
     qual = d.select("doc_id", "text", TX.quality_score("text").alias("quality"))
-    flags = tiles.join(qual, "doc_id").select(
+    gop = GP.gopher_rules(d, min_stopword_hits=1).select(
+        "doc_id", "n_words", F.col("passes").alias("kept_gopher")
+    )
+    flags = tiles.join(qual, "doc_id").join(gop, "doc_id").select(
         "doc_id",
         "lang",
         "lm_bucket",
         "quality",
+        "n_words",
         "text",
         (F.col("lm_bucket") <= 2).alias("kept_lm"),
         (F.col("quality") >= 0.4).alias("kept_quality"),
+        "kept_gopher",
     )
-    surv = flags.filter(F.col("kept_lm") & F.col("kept_quality")).select(
-        "doc_id", DD.content_hash("text").alias("sha")
-    )
+    surv = flags.filter(
+        F.col("kept_lm") & F.col("kept_quality") & F.col("kept_gopher")
+    ).select("doc_id", DD.content_hash("text").alias("sha"))
     keepers = surv.groupBy("sha").agg(F.min("doc_id").alias("keeper"))
     kept = surv.join(keepers, "sha").select(
         "doc_id", (F.col("doc_id") == F.col("keeper")).alias("_kept")
@@ -3101,10 +3111,112 @@ def corpus_prep_lm(spark, sf_dir):
         "lang",
         "lm_bucket",
         "quality",
+        "n_words",
         "kept_lm",
         "kept_quality",
+        "kept_gopher",
         F.coalesce("_kept", F.lit(False)).alias("kept"),
     )
+
+
+def _gopher_sql(**overrides) -> str:
+    """DuckDB twin of operators/gopher.py gopher_rules: signals +
+    verdict generated from the SAME constants (REQUIRED_STOPWORDS /
+    DEFAULTS) so Spark and the oracle can never drift. Feeds the
+    corpus_prep_lm capstone oracle below; also the ready-made oracle
+    for a standalone gopher_rules registration (r10 window head)."""
+    from .operators import gopher as GP
+
+    t = {**GP.DEFAULTS, **overrides}
+    stops = list(GP.REQUIRED_STOPWORDS)
+    bullets = " OR ".join(f"starts_with(x, {p!r})" for p in GP._BULLET_PREFIXES)
+    ellipses = " OR ".join(f"ends_with(x, {s!r})" for s in GP._ELLIPSIS_SUFFIXES)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x != '') AS ln
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(tk)::BIGINT AS n_words,
+             round(length(array_to_string(tk, ''))::DOUBLE / greatest(len(tk), 1), 6) AS mean_word_len,
+             round(((length(text) - length(replace(text, '#', ''))) +
+                    ((length(text) - length(replace(text, '...', ''))) // 3))::DOUBLE
+                   / greatest(len(tk), 1), 6) AS symbol_word_ratio,
+             round(len(list_filter(ln, x -> {bullets}))::DOUBLE
+                   / greatest(len(ln), 1), 6) AS bullet_line_frac,
+             round(len(list_filter(ln, x -> {ellipses}))::DOUBLE
+                   / greatest(len(ln), 1), 6) AS ellipsis_line_frac,
+             round(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                   / greatest(len(tk), 1), 6) AS alpha_word_frac,
+             len(list_filter({stops!r}::VARCHAR[],
+                 s -> list_contains(list_transform(tk, w -> lower(w)), s)))::BIGINT AS stopword_hits
+      FROM t
+    )
+    SELECT *,
+           (n_words BETWEEN {t["min_words"]} AND {t["max_words"]}
+            AND mean_word_len BETWEEN {t["min_mean_word_len"]} AND {t["max_mean_word_len"]}
+            AND symbol_word_ratio <= {t["max_symbol_word_ratio"]}
+            AND bullet_line_frac <= {t["max_bullet_line_frac"]}
+            AND ellipsis_line_frac <= {t["max_ellipsis_line_frac"]}
+            AND alpha_word_frac >= {t["min_alpha_word_frac"]}
+            AND stopword_hits >= {t["min_stopword_hits"]}) AS passes
+    FROM sig
+    """
+
+
+def _corpus_prep_lm_gopher_sql() -> str:
+    """The corpus_prep_lm oracle with the Gopher rule gate composed in:
+    surgical rewrite of _corpus_prep_lm_sql()'s flags/surv/final
+    sections (the LM/quality CTE prefix stays the single source of
+    truth; every replace asserts it fired so builder drift cannot
+    silently produce a stale oracle)."""
+    sql = _corpus_prep_lm_sql()
+
+    def subst(s: str, old: str, new: str) -> str:
+        assert old in s, f"corpus_prep_lm oracle surgery lost its anchor: {old[:60]!r}"
+        return s.replace(old, new)
+
+    sql = subst(
+        sql,
+        "    flags AS (\n"
+        "      SELECT t.doc_id, t.lang, t.lm_bucket, q.quality,\n"
+        "             (t.lm_bucket <= 2) AS kept_lm,\n"
+        "             (q.quality >= 0.4) AS kept_quality\n"
+        "      FROM tiles t JOIN qual q USING (doc_id)\n"
+        "    ),",
+        "    gop AS (\n"
+        "      SELECT doc_id, n_words, passes AS kept_gopher\n"
+        f"      FROM ({_gopher_sql(min_stopword_hits=1)})\n"
+        "    ),\n"
+        "    flags AS (\n"
+        "      SELECT t.doc_id, t.lang, t.lm_bucket, q.quality, g.n_words,\n"
+        "             (t.lm_bucket <= 2) AS kept_lm,\n"
+        "             (q.quality >= 0.4) AS kept_quality,\n"
+        "             g.kept_gopher\n"
+        "      FROM tiles t JOIN qual q USING (doc_id) JOIN gop g USING (doc_id)\n"
+        "    ),",
+    )
+    sql = subst(
+        sql,
+        "WHERE f.kept_lm AND f.kept_quality",
+        "WHERE f.kept_lm AND f.kept_quality AND f.kept_gopher",
+    )
+    sql = subst(
+        sql,
+        "SELECT f.doc_id, f.lang, f.lm_bucket, f.quality, f.kept_lm, f.kept_quality,\n"
+        "           coalesce(f.kept_lm AND f.kept_quality AND k.keeper = f.doc_id, FALSE) AS kept",
+        "SELECT f.doc_id, f.lang, f.lm_bucket, f.quality, f.n_words,\n"
+        "           f.kept_lm, f.kept_quality, f.kept_gopher,\n"
+        "           coalesce(f.kept_lm AND f.kept_quality AND f.kept_gopher\n"
+        "                    AND k.keeper = f.doc_id, FALSE) AS kept",
+    )
+    return sql
+
+
+ORACLE["corpus_prep_lm"] = _corpus_prep_lm_gopher_sql()
 
 
 @register("quality_classifier")  # rows-only: L-BFGS model internals not SQL-expressible

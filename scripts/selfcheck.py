@@ -80,6 +80,8 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_EMBED_CACHED_SQL": {"embed_cached"},
     "_LM_SC_CTES": {"lm_score", "lm_buckets"},
     "_overlap_sql": {"corpus_overlap", "corpus_overlap_indexed"},
+    "_gopher_sql": {"corpus_prep_lm"},
+    "_corpus_prep_lm_sql": {"corpus_prep_lm"},
     "_html_sql": {"html_extract"},
     "_HTML_FIX": {"html_extract"},
     # per-process scratch helpers: every harness query that writes a

@@ -5580,15 +5580,29 @@ def connected_components(spark, sf_dir):
     return DD.connected_components(pairs)
 
 
-def _dedup_full_sql(threshold: float = 0.5, max_bucket_size: int = 1000) -> str:
-    # The COMPOSED dedup pipeline the VERDICT r3 item 2 asks for:
-    # minhash-LSH pairs -> connected components -> min-id keeper ->
-    # per-doc verdict, all in one recursive-CTE oracle over the planted
-    # corpus. Mirrors minhash_lsh_pairs' bucket guard and est_jaccard.
+def _dedup_full_sql(
+    est_threshold: float = 0.25,
+    verify_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+    num_bands: int = 8,
+) -> str:
+    # The COMPOSED dedup pipeline the VERDICT r3 item 2 asks for, since
+    # r9 in its full production shape: minhash-LSH candidates (8 narrow
+    # bands, permissive estimate floor) -> EXACT shingle-Jaccard
+    # verification -> connected components -> min-id keeper -> per-doc
+    # verdict, all in one recursive-CTE oracle over the planted corpus.
+    # Mirrors minhash_lsh_pairs' bucket guard, est_jaccard, and
+    # verify_pairs_exact_jaccard's set algebra. The planted mutants
+    # (prefix + junk tail, true Jaccard < 0.5) band-collide and pass
+    # the estimate floor, so the verification clause is LOAD-BEARING:
+    # drop it on either side and the hashes diverge.
     base = _minhash_sql(source="corpus")
+    rows_per_band = 16 // num_bands
     band_exprs = []
-    for band in range(4):
-        cols = " || '_' || ".join(f"sig[{band * 4 + r + 1}]::VARCHAR" for r in range(4))
+    for band in range(num_bands):
+        cols = " || '_' || ".join(
+            f"sig[{band * rows_per_band + r + 1}]::VARCHAR" for r in range(rows_per_band)
+        )
         band_exprs.append(
             f"SELECT doc_id, sig, {band} AS band, ('0x' || substr(md5({cols}), 1, 15))::BIGINT AS band_hash FROM sigs"
         )
@@ -5598,6 +5612,16 @@ def _dedup_full_sql(threshold: float = 0.5, max_bucket_size: int = 1000) -> str:
       SELECT doc_id, text FROM documents WHERE doc_id < 30
       UNION ALL
       SELECT doc_id + 1000, 'copy ' || text FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 2000, prefix || ' ' || junk
+      FROM (
+        SELECT doc_id,
+               array_to_string(tk[1:greatest((len(tk) * 3) // 5, 1)], ' ') AS prefix,
+               array_to_string(list_transform(range(1, 21),
+                   i -> 'junk' || doc_id::VARCHAR || 'x' || i::VARCHAR), ' ') AS junk
+        FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+              FROM documents WHERE doc_id < 30)
+      )
     ),
     sigs AS ({base}),
     banded AS ({bands}),
@@ -5606,11 +5630,23 @@ def _dedup_full_sql(threshold: float = 0.5, max_bucket_size: int = 1000) -> str:
         SELECT *, count(*) OVER (PARTITION BY band, band_hash) AS _n FROM banded
       ) WHERE _n <= {max_bucket_size}
     ),
+    vg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                           i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS gs
+      FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+            FROM corpus)
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM kept a JOIN kept b
         ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-      WHERE round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0::DOUBLE, 6) >= {threshold}
+      JOIN vg va ON va.doc_id = a.doc_id
+      JOIN vg vb ON vb.doc_id = b.doc_id
+      WHERE round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0::DOUBLE, 6) >= {est_threshold}
+        AND round(len(list_intersect(va.gs, vb.gs))::DOUBLE
+                  / greatest(len(va.gs) + len(vb.gs) - len(list_intersect(va.gs, vb.gs)), 1), 6)
+            >= {verify_threshold}
     ),
     edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
     nodes AS (SELECT DISTINCT s AS id FROM edges),
@@ -5913,28 +5949,52 @@ def corpus_overlap_indexed(spark, sf_dir):
 @register("dedup_full", _dedup_full_sql())
 def dedup_full(spark, sf_dir):
     """The operation a 100 TB pipeline actually runs, composed end to
-    end: minhash-LSH candidate pairs (est_jaccard >= 0.5) -> connected
-    components -> min-id keeper per component -> per-doc verdict
-    (doc_id, component, kept). Until r4 the three stages were verified
-    only separately (VERDICT r3 item 2); the oracle replays the whole
-    composition — signatures, banding, bucket guard, threshold,
+    end in its VERIFIED production shape (r9): minhash-LSH candidate
+    pairs (8 narrow bands, permissive est_jaccard >= 0.25 floor) ->
+    EXACT shingle-set Jaccard verification (operators/dedup.py
+    verify_pairs_exact_jaccard, >= 0.5) -> connected components ->
+    min-id keeper per component -> per-doc verdict (doc_id, component,
+    kept). The oracle replays the whole composition — signatures,
+    banding, bucket guard, estimate floor, exact set intersection,
     transitive closure, keeper choice — bit-for-bit via a recursive
-    CTE. Corpus: documents doc_id < 30 plus planted near-duplicates
-    (one leading token, id + 1000), so every pair the LSH surfaces
-    collapses to the base id and every planted doc is dropped.
+    CTE. Corpus: documents doc_id < 30, planted near-duplicates (one
+    leading token, id + 1000, true Jaccard ~0.9: candidates that
+    verify and collapse), AND planted partial-overlap mutants (60%
+    token prefix + 20 junk tokens, id + 2000, true Jaccard < 0.5:
+    candidates that band-collide, pass the estimate floor, and must be
+    KILLED by verification — dropping the verify stage on either side
+    diverges the hashes, so the oracle proves it load-bearing).
 
-    Scale shape: one banded equi-join (bounded buckets), a few
-    label-propagation joins on short-diameter dup graphs, one left
-    join back to the corpus spine — no quadratic stage anywhere."""
+    Scale shape: one banded equi-join (bounded buckets), one
+    gram-level intersection equi-join linear in sum(|A∩B|) over the
+    candidates, a few label-propagation joins on short-diameter dup
+    graphs, one left join back to the corpus spine — no quadratic
+    stage anywhere."""
     base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select("doc_id", "text")
     planted = base.select(
         (F.col("doc_id") + 1000).alias("doc_id"),
         F.concat(F.lit("copy "), F.col("text")).alias("text"),
     )
-    corpus = base.unionByName(planted)
-    pairs = DD.minhash_lsh_pairs(corpus, num_perm=16, num_bands=4, seed=42).filter(
-        F.col("est_jaccard") >= 0.5
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    k = F.greatest(F.floor(F.size(tk) * 3 / 5), F.lit(1)).cast("int")
+    junk = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.concat(
+                F.lit("junk"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string")
+            ),
+        ),
     )
+    mutants = base.select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat_ws(" ", F.concat_ws(" ", F.slice(tk, F.lit(1), k)), junk).alias("text"),
+    )
+    corpus = base.unionByName(planted).unionByName(mutants)
+    cand = DD.minhash_lsh_pairs(corpus, num_perm=16, num_bands=8, seed=42).filter(
+        F.col("est_jaccard") >= 0.25
+    )
+    pairs = DD.verify_pairs_exact_jaccard(corpus, cand, verify_threshold=0.5)
     comp = DD.connected_components(pairs)
     return (
         corpus.select("doc_id")

@@ -294,6 +294,68 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def verify_pairs_exact_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate near-dup pairs — the
+    second half of the production fuzzy-dedup shape. LSH banding emits
+    a candidate SUPERSET (anything sharing one band bucket); committing
+    a destructive keep/drop verdict on the 16-perm estimate alone would
+    delete documents whose true similarity is far below the threshold.
+    This pass computes the true shingle-set Jaccard for candidates only
+    and keeps pairs with exact_jaccard >= verify_threshold.
+
+    Scale shape: the corpus's distinct (doc, gram) rows are exploded
+    ONCE; candidate pairs equi-join that table on id_a, then on
+    (id_b, gram) — so the work is linear in sum(|A ∩ B|) over the
+    candidate pairs, never quadratic in the corpus, and the gram join
+    key is uniform (md5-distributed text shingles). Set sizes come from
+    the same exploded table (one groupBy(id) count — map-side
+    combinable), so shingling runs once end to end.
+
+    Zero-overlap candidates drop out of the intersection equi-join by
+    construction, which is only correct because they cannot pass a
+    positive threshold — hence the guard below."""
+    if not verify_threshold > 0:
+        raise ValueError(
+            "verify_threshold must be > 0: zero-overlap candidate pairs are "
+            "dropped by the intersection join, so a non-positive threshold "
+            "could not be honored"
+        )
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(content_col, shingle_n)).alias("gram")
+    )
+    sh = _swap_cache("verify_pairs_exact_jaccard", sh)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_grams"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col(id_col).alias("id_a"), "gram"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "gram"), ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_n_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"])
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n_grams").alias("_n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n_grams").alias("_n_b")), "id_b")
+        .withColumn(
+            "exact_jaccard",
+            F.round(
+                F.col("_n_inter")
+                / F.greatest(F.col("_n_a") + F.col("_n_b") - F.col("_n_inter"), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("exact_jaccard") >= verify_threshold)
+        .drop("_n_inter", "_n_a", "_n_b")
+    )
+
+
 def simhash(col: Column | str, bits: int = 32) -> Column:
     """SimHash over whitespace tokens: bit j of the fingerprint is the
     sign of sum(+1/-1 over tokens' hash bit j). Native expressions only."""

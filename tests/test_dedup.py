@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from rag_project_with_embeddings_and_vector_database_spark.operators import dedup as DD
@@ -156,3 +157,87 @@ def test_simhash_fingerprints_keeps_tokenless_docs(spark):
         for r in df.select("doc_id", DD.simhash("text", 32).alias("sh")).collect()
     }
     assert col == out
+
+
+def test_verify_pairs_exact_jaccard_hand_computed(spark):
+    # doc 1: tokens a b c d  -> shingles {a b c, b c d}
+    # doc 2: tokens a b c d e -> shingles {a b c, b c d, c d e}
+    # doc 3: tokens x y z     -> shingles {x y z}
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e"), (3, "x y z")], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.9)], ["id_a", "id_b", "est_jaccard"]
+    )
+    out = {
+        (r.id_a, r.id_b): r.exact_jaccard
+        for r in DD.verify_pairs_exact_jaccard(
+            df, cand, verify_threshold=0.1
+        ).collect()
+    }
+    # |{abc,bcd} ∩ {abc,bcd,cde}| = 2, union = 3
+    assert out == {(1, 2): round(2 / 3, 6)}
+    # zero-overlap candidate (1,3) dropped by the intersection join
+
+
+def test_verify_pairs_exact_jaccard_threshold_filters(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e")], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame([(1, 2, 0.9)], ["id_a", "id_b", "est_jaccard"])
+    assert DD.verify_pairs_exact_jaccard(df, cand, verify_threshold=0.7).count() == 0
+    assert DD.verify_pairs_exact_jaccard(df, cand, verify_threshold=0.6).count() == 1
+
+
+def test_verify_pairs_rejects_nonpositive_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    cand = spark.createDataFrame([(1, 1, 1.0)], ["id_a", "id_b", "est_jaccard"])
+    with pytest.raises(ValueError, match="verify_threshold"):
+        DD.verify_pairs_exact_jaccard(df, cand, verify_threshold=0.0)
+
+
+def test_dedup_full_verification_kills_partial_overlap_mutants(spark, sf_dir):
+    """The dedup_full planted mutants (60% token prefix + junk tail,
+    true Jaccard < 0.5) must band-collide and pass the 0.25 estimate
+    floor — making the exact-Jaccard verification stage load-bearing —
+    and verification must kill (nearly) all of them while keeping the
+    true near-duplicate copies."""
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    planted = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("copy "), F.col("text")).alias("text"),
+    )
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    k = F.greatest(F.floor(F.size(tk) * 3 / 5), F.lit(1)).cast("int")
+    junk = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.concat(
+                F.lit("junk"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string")
+            ),
+        ),
+    )
+    mutants = base.select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat_ws(" ", F.concat_ws(" ", F.slice(tk, F.lit(1), k)), junk).alias("text"),
+    )
+    corpus = base.unionByName(planted).unionByName(mutants)
+    cand = DD.minhash_lsh_pairs(corpus, num_perm=16, num_bands=8, seed=42).filter(
+        F.col("est_jaccard") >= 0.25
+    )
+    verified = DD.verify_pairs_exact_jaccard(corpus, cand, verify_threshold=0.5)
+    is_mut = lambda r: r.id_a >= 2000 or r.id_b >= 2000
+    mut_cand = [r for r in cand.collect() if is_mut(r)]
+    mut_ver = [r for r in verified.collect() if is_mut(r)]
+    assert len(mut_cand) >= 5, "mutants no longer band-collide; verification untested"
+    assert len(mut_ver) < len(mut_cand) / 4, (mut_ver, len(mut_cand))
+    # true copies still collapse: every (i, i+1000) pair verified
+    copy_pairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    base_ids = [r.doc_id for r in base.select("doc_id").collect()]
+    missing = [i for i in base_ids if (i, i + 1000) not in copy_pairs]
+    assert not missing, f"copy pairs lost by verification: {missing}"

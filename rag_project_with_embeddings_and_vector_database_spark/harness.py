@@ -5790,10 +5790,14 @@ def semantic_dedup_incremental(spark, sf_dir):
         store, cents, delta, threshold=0.95, corpus_id="vec_id"
     ).localCheckpoint()
     # (a) replay-by-definition: one-shot over corpus-union-delta under
-    # the union assignment, filtered to delta-touching pairs
+    # the union assignment, filtered to delta-touching pairs. Both pair
+    # frames are localCheckpointed first: the symmetric exceptAll pair
+    # reads each side twice, and without the checkpoint each read
+    # replays the full within-cluster join lineage (measured ~1.3x on
+    # the bundled query at sf0.1)
     inc_pairs = SD.semantic_dedup_delta_pairs(
         store, cents, delta, threshold=0.95, corpus_id="vec_id"
-    )
+    ).localCheckpoint()
     da = RT.ivf_index_append(cents, delta, corpus_id="vec_id")
     union_assign = store.select("vec_id", "embedding", "bucket").unionByName(
         da.select("vec_id", "embedding", "bucket")
@@ -5801,7 +5805,9 @@ def semantic_dedup_incremental(spark, sf_dir):
     oneshot = SD.semantic_dedup_pairs(
         e.unionByName(delta), threshold=0.95, corpus_id="vec_id",
         assignment=union_assign,
-    ).filter((F.col("id_a") >= 10_000_000) | (F.col("id_b") >= 10_000_000))
+    ).filter(
+        (F.col("id_a") >= 10_000_000) | (F.col("id_b") >= 10_000_000)
+    ).localCheckpoint()
     drift = inc_pairs.exceptAll(oneshot).count() + oneshot.exceptAll(inc_pairs).count()
     if drift:
         raise AssertionError(

@@ -315,6 +315,45 @@ def windowed_event_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left row matches
+    right rows with the same ``on`` key whose event time falls in
+    [left_ts, left_ts + within] — the streaming twin of the batch
+    point-in-interval range join (operators/joins.py range_join /
+    the asof_join harness query's view->purchase correlation).
+
+    State-eviction contract (what makes this viable on an unbounded
+    stream): BOTH inputs carry event-time watermarks and the join
+    condition time-bounds right_ts against left_ts, so the engine can
+    discard a buffered left row once the right watermark passes
+    left_ts + within (and vice versa) — state is O(rows inside the
+    horizon), never the whole history. Spark rejects stream-stream
+    joins without both constraints for exactly this reason; keep
+    ``watermark`` >= ``within`` or matches straddling the horizon are
+    dropped.
+
+    The two inputs must share no data column names besides ``on``
+    (rename upstream); the duplicated key column from the right side
+    is dropped here."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how).drop(rw[on])
+
+
 def vector_arrival_ingest(
     spark: SparkSession,
     input_path: str,

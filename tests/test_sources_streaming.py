@@ -165,3 +165,133 @@ def test_incremental_ingest_upsert_idempotent_under_replay(spark, tmp_path):
         (r.chunk_id, r.content) for r in spark.read.parquet(vt_path).collect()
     )
     assert second == first
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join parity: views joined to same-user
+    purchases within 30 minutes, driven through two real file streams
+    with an availableNow drain, must emit exactly the batch interval
+    join's match set."""
+    from rag_project_with_embeddings_and_vector_database_spark.streaming.ingest import (
+        interval_join_streams,
+    )
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    views.coalesce(1).write.parquet(vdir)
+    purchases.coalesce(1).write.parquet(pdir)
+    vs = spark.readStream.schema("user_id long, view_ts timestamp").parquet(vdir)
+    ps = spark.readStream.schema("user_id long, purchase_ts timestamp").parquet(pdir)
+    joined = interval_join_streams(
+        vs, ps, on="user_id", left_ts="view_ts", right_ts="purchase_ts",
+        within="30 minutes", watermark="2 hours",
+    )
+    qname = f"sjoin_{int(time.time())}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.view_ts, r.purchase_ts)
+        for r in spark.table(qname).collect()
+    }
+    batch = {
+        (r.user_id, r.view_ts, r.purchase_ts)
+        for r in views.join(
+            purchases,
+            (views.user_id == purchases.user_id)
+            & (purchases.purchase_ts >= views.view_ts)
+            & (purchases.purchase_ts <= views.view_ts + F.expr("INTERVAL 30 minutes")),
+            "inner",
+        )
+        .drop(purchases.user_id)
+        .collect()
+    }
+    assert len(batch) > 0, "fixture produced no view->purchase matches"
+    assert got == batch
+
+
+def test_interval_join_streams_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer interval join: Spark only accepts outer stream-stream
+    joins when both watermarks AND the time-bound condition are present
+    (the eviction contract the operator builds); after the availableNow
+    drain, views with no purchase inside the horizon emit with NULL
+    purchase_ts exactly once."""
+    from rag_project_with_embeddings_and_vector_database_spark.streaming.ingest import (
+        interval_join_streams,
+    )
+
+    vdir, pdir = str(tmp_path / "v2"), str(tmp_path / "p2")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:05:00")],
+        "user_id long, t string",
+    ).select("user_id", F.to_timestamp("t").alias("view_ts")).write.parquet(vdir)
+    spark.createDataFrame(
+        # user 1 purchases in-window; user 2 never does; a late row far
+        # past the horizon advances the watermark so user 2's view is
+        # provably unmatched and flushed
+        [(1, "2024-01-01 00:10:00"), (3, "2024-01-02 00:00:00")],
+        "user_id long, t string",
+    ).select("user_id", F.to_timestamp("t").alias("purchase_ts")).write.parquet(pdir)
+    vs = spark.readStream.schema("user_id long, view_ts timestamp").parquet(vdir)
+    ps = spark.readStream.schema("user_id long, purchase_ts timestamp").parquet(pdir)
+    joined = interval_join_streams(
+        vs, ps, on="user_id", left_ts="view_ts", right_ts="purchase_ts",
+        within="30 minutes", watermark="1 hour", how="left_outer",
+    )
+    out = str(tmp_path / "out2")
+
+    def drain():
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id, r.purchase_ts is None)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    rows = drain()
+    assert (1, False) in rows, rows
+    # Outer-join NULL emission happens in a micro-batch AFTER the
+    # GLOBAL watermark (the MIN across every input, so BOTH streams
+    # must see later events) passes view_ts + within — under
+    # availableNow the drain ends before that flush batch runs. Feed a
+    # later row into EACH stream and re-drain from the SAME checkpoint:
+    # the restart recovers state, both watermarks advance, and the
+    # flush batch emits the unmatched view exactly once (also pinning
+    # cross-run recovery).
+    spark.createDataFrame(
+        [(4, "2024-01-03 00:00:00")], "user_id long, t string"
+    ).select("user_id", F.to_timestamp("t").alias("purchase_ts")).write.mode(
+        "append"
+    ).parquet(pdir)
+    spark.createDataFrame(
+        [(5, "2024-01-03 00:00:00")], "user_id long, t string"
+    ).select("user_id", F.to_timestamp("t").alias("view_ts")).write.mode(
+        "append"
+    ).parquet(vdir)
+    rows = drain()
+    assert (1, False) in rows, rows
+    assert (2, True) in rows, rows
+    # the matched view must not re-emit as unmatched
+    assert (1, True) not in rows, rows

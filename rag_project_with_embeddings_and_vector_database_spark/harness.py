@@ -6582,6 +6582,23 @@ _PRIORITY = [
     # micro-units + hash-derived Gumbel top-k, fully DuckDB-hash-proven
     "dsir_select",
 ]
+# r10 NEW REGISTRATIONS queued (operators shipped + pytest-pinned late
+# r9; the r9 window was exactly full at 37 changed-closure + 13
+# evidence-debt slots, so their @register waits for r10 slots):
+#   * gopher_rules — standalone Rae-et-al rule filter over documents;
+#     the DuckDB oracle is READY (_gopher_sql() above, canonical
+#     thresholds); the operator already earns r9 oracle evidence
+#     inside corpus_prep_lm's kept_gopher gate.
+#   * stream_interval_join — interval_join_streams drain vs the batch
+#     interval join (rows + parity raise, the stream_windowed_counts
+#     pattern); inner + left-outer forms pytest-pinned.
+#   * dedup_verified_pairs (optional) — verify_pairs_exact_jaccard
+#     standalone; already oracle-proven inside dedup_full.
+# r10 WINDOW-LOCKED PERF DEBT: bm25_indexed_incremental /
+# bm25_indexed_delete re-run the index-build lineage once per written
+# frame (~6 s warm each; one localCheckpoint of the built postings
+# cuts ~2 builds) — ranking.py's closure (bm25 family) was outside the
+# r9 window; same for retrieval.py (ann_ivf_pq bundle).
 # r10 rotation debt (recorded): FIRST chunk_fixed_size, chunk_fanout,
 # brand_revenue and asof_join (displaced by the late-r9
 # corpus_overlap_indexed, html_extract, strip_boilerplate and

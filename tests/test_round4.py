@@ -95,18 +95,29 @@ def test_dedup_full_collapses_planted_duplicates(spark, sf_dir):
 
     rows = {r.doc_id: r for r in H.SPARK_QUERIES["dedup_full"](spark, sf_dir).collect()}
     base_ids = [i for i in rows if i < 1000]
-    planted = [i for i in rows if i >= 1000]
-    assert len(base_ids) == len(planted) == 30
+    copies = [i for i in rows if 1000 <= i < 2000]
+    mutants = [i for i in rows if i >= 2000]
+    assert len(base_ids) == len(copies) == len(mutants) == 30
     # base docs may themselves be near-dups of each other (the corpus is
-    # synthetic), so the invariant is: every planted doc lands in the
-    # SAME component as its base (never its own), hence is dropped,
-    # and every component label is a base id.
-    for pid in planted:
+    # synthetic), so the invariant is: every planted COPY (true Jaccard
+    # ~0.9) lands in the SAME component as its base (never its own),
+    # hence is dropped, and every component label is a base id.
+    for pid in copies:
         assert rows[pid].component == rows[pid - 1000].component, rows[pid]
         assert not rows[pid].kept
     assert all(rows[b].component < 1000 for b in base_ids)
     kept_base = [b for b in base_ids if rows[b].kept]
     assert kept_base and all(rows[b].component == b for b in kept_base)
+    # the planted partial-overlap MUTANTS (true Jaccard < 0.5 for all
+    # but boundary-length docs) band-collide but must be killed by the
+    # exact-Jaccard verification stage — without it nearly every mutant
+    # would collapse into its base component (they share a band and
+    # pass the 0.25 estimate floor)
+    kept_mut = [m for m in mutants if rows[m].kept]
+    assert len(kept_mut) >= int(0.8 * len(mutants)), (
+        f"verification failed to protect mutants: only {len(kept_mut)}/"
+        f"{len(mutants)} kept"
+    )
 
 
 def test_quantized_retrieval_matches_exact_topk(spark, sf_dir):

@@ -422,9 +422,10 @@ def test_diversity_sample_covers_every_cluster(spark, sf_dir):
 
 
 def test_corpus_prep_lm_composition_flags_consistent(spark, sf_dir):
-    """The capstone's verdicts must compose: kept implies both gates
-    passed; among survivors, exactly one keeper per distinct text; a
-    doc failing either gate is never kept."""
+    """The capstone's verdicts must compose: kept implies all three
+    gates (LM tile, heuristic quality, Gopher rules) passed; among
+    survivors, exactly one keeper per distinct text; a doc failing any
+    gate is never kept."""
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
 
     out = {r.doc_id: r for r in H.SPARK_QUERIES["corpus_prep_lm"](spark, sf_dir).collect()}
@@ -433,13 +434,15 @@ def test_corpus_prep_lm_composition_flags_consistent(spark, sf_dir):
     kept_texts = {}
     for i, r in out.items():
         if r.kept:
-            assert r.kept_lm and r.kept_quality
-        if r.kept_lm and r.kept_quality:
+            assert r.kept_lm and r.kept_quality and r.kept_gopher
+        if r.kept_lm and r.kept_quality and r.kept_gopher:
             kept_texts.setdefault(docs[i], []).append((i, r.kept))
     assert kept_texts, "fixture must have survivors"
     for text, members in kept_texts.items():
         keepers = [i for i, k in members if k]
         assert len(keepers) == 1 and keepers[0] == min(i for i, _ in members)
-    # both gates must actually cut something at every SF
+    # every gate must actually cut something at every SF (the Gopher
+    # gate's word-count floor bites the synthetic corpus's short docs)
     assert any(not r.kept_lm for r in out.values())
     assert any(not r.kept_quality for r in out.values())
+    assert any(not r.kept_gopher for r in out.values())

@@ -93,6 +93,35 @@ def test_dedup_full_no_quadratic_stage(spark, sf_dir):
     spark.catalog.clearCache()  # the pair generator's scoped cache
 
 
+def test_verify_pairs_intersection_is_equijoin(spark, sf_dir):
+    """The exact-Jaccard verification must execute the gram
+    intersection as hash EQUI-joins on (id, gram) — a theta-join or
+    cartesian here would be quadratic in the corpus at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup as DD,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    cand = DD.minhash_lsh_pairs(docs, num_perm=16, num_bands=8, seed=42)
+    out = DD.verify_pairs_exact_jaccard(docs, cand, verify_threshold=0.5)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the shingle explode must come from the SCOPED PERSIST (one
+    # shingling pass feeds both intersection join sides and the
+    # set-size agg), never a re-tokenize per read
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
 def test_hybrid_rrf_fuses_without_cartesian(spark, sf_dir):
     plan = _plan(spark, "hybrid_rrf", sf_dir)
     assert "CartesianProduct" not in plan

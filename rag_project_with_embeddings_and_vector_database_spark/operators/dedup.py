@@ -301,12 +301,21 @@ def verify_pairs_exact_jaccard(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     verify_threshold: float = 0.5,
+    containment_threshold: float | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate near-dup pairs — the
     second half of the production fuzzy-dedup shape. LSH banding emits
     a candidate SUPERSET (anything sharing one band bucket); committing
     a destructive keep/drop verdict on the 16-perm estimate alone would
     delete documents whose true similarity is far below the threshold.
+
+    Besides ``exact_jaccard``, every surviving pair carries
+    ``containment`` = |A∩B| / min(|A|,|B|): the asymmetric overlap a
+    short document wholly embedded in a long one scores ~1.0 while its
+    Jaccard stays low. Pass ``containment_threshold`` to ALSO keep
+    pairs that clear it (OR-combined with the Jaccard gate) — the
+    subset-dedup policy used when boilerplate-wrapped reposts should
+    collapse onto their source.
     This pass computes the true shingle-set Jaccard for candidates only
     and keeps pairs with exact_jaccard >= verify_threshold.
 
@@ -327,6 +336,8 @@ def verify_pairs_exact_jaccard(
             "dropped by the intersection join, so a non-positive threshold "
             "could not be honored"
         )
+    if containment_threshold is not None and not containment_threshold > 0:
+        raise ValueError("containment_threshold must be > 0 when given")
     sh = df.select(
         F.col(id_col), F.explode(shingles(content_col, shingle_n)).alias("gram")
     )
@@ -351,7 +362,25 @@ def verify_pairs_exact_jaccard(
                 6,
             ),
         )
-        .filter(F.col("exact_jaccard") >= verify_threshold)
+        # asymmetric overlap |A∩B| / min(|A|,|B|): a short document
+        # contained wholesale in a long one has low Jaccard but
+        # containment ~1 — the signal subset-dedup policies act on
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("_n_inter")
+                / F.greatest(F.least(F.col("_n_a"), F.col("_n_b")), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(
+            (F.col("exact_jaccard") >= verify_threshold)
+            if containment_threshold is None
+            else (
+                (F.col("exact_jaccard") >= verify_threshold)
+                | (F.col("containment") >= containment_threshold)
+            )
+        )
         .drop("_n_inter", "_n_a", "_n_b")
     )
 

@@ -241,3 +241,75 @@ def test_dedup_full_verification_kills_partial_overlap_mutants(spark, sf_dir):
     base_ids = [r.doc_id for r in base.select("doc_id").collect()]
     missing = [i for i in base_ids if (i, i + 1000) not in copy_pairs]
     assert not missing, f"copy pairs lost by verification: {missing}"
+
+
+def test_verify_pairs_containment_subset_document(spark):
+    # doc 2's shingles are a superset of doc 1's: low-ish Jaccard,
+    # containment exactly 1.0
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame([(1, 2, 0.9)], ["id_a", "id_b", "est_jaccard"])
+    # jaccard = 2/6 -> fails the 0.5 gate without a containment gate
+    assert DD.verify_pairs_exact_jaccard(df, cand, verify_threshold=0.5).count() == 0
+    kept = DD.verify_pairs_exact_jaccard(
+        df, cand, verify_threshold=0.5, containment_threshold=0.95
+    ).collect()
+    assert len(kept) == 1
+    assert kept[0].containment == 1.0
+    assert kept[0].exact_jaccard == round(2 / 6, 6)
+
+
+def test_verify_pairs_containment_threshold_guard(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    cand = spark.createDataFrame([(1, 1, 1.0)], ["id_a", "id_b", "est_jaccard"])
+    with pytest.raises(ValueError, match="containment_threshold"):
+        DD.verify_pairs_exact_jaccard(
+            df, cand, verify_threshold=0.5, containment_threshold=0.0
+        )
+
+
+def _brute_shingles(text, n=3):
+    toks = [t for t in text.lower().split() if t]
+    if not toks:
+        return {""}
+    return {
+        " ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)
+    }
+
+
+def test_verify_pairs_matches_bruteforce_on_crafted_corpus(spark):
+    """Exact Jaccard + containment from the distributed intersection
+    join must equal a driver-side brute force over the same shingle
+    definition, including short-document truncated-gram semantics."""
+    docs = [
+        (0, "a b c d e f"),
+        (1, "a b c d e f"),          # exact dup
+        (2, "a b c d"),              # prefix subset
+        (3, "x y"),                  # short doc (one truncated gram)
+        (4, "x y"),                  # short dup
+        (5, "c d e f g h i"),        # partial overlap
+        (6, "q"),                    # single token
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cand = spark.createDataFrame(
+        [(a, b, 1.0) for a in range(7) for b in range(a + 1, 7)],
+        ["id_a", "id_b", "est_jaccard"],
+    )
+    out = {
+        (r.id_a, r.id_b): (r.exact_jaccard, r.containment)
+        for r in DD.verify_pairs_exact_jaccard(
+            df, cand, verify_threshold=1e-6
+        ).collect()
+    }
+    texts = dict(docs)
+    for a in range(7):
+        for b in range(a + 1, 7):
+            sa, sb = _brute_shingles(texts[a]), _brute_shingles(texts[b])
+            inter = len(sa & sb)
+            if inter == 0:
+                assert (a, b) not in out
+                continue
+            jac = round(inter / max(len(sa | sb), 1), 6)
+            cont = round(inter / max(min(len(sa), len(sb)), 1), 6)
+            assert out[(a, b)] == (jac, cont), (a, b, out.get((a, b)), jac, cont)

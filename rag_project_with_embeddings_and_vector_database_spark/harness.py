@@ -6594,6 +6594,10 @@ _PRIORITY = [
 #     pattern); inner + left-outer forms pytest-pinned.
 #   * dedup_verified_pairs (optional) — verify_pairs_exact_jaccard
 #     standalone; already oracle-proven inside dedup_full.
+#   * hll_rollup — mergeable per-group HLL distinct sketches
+#     (operators/sketches.py hll_rollup_checked: merge==direct==exact
+#     self-check RAISES; rows-only — DuckDB cannot read DataSketches
+#     binaries; the exact twin is distinct_counts).
 # r10 WINDOW-LOCKED PERF DEBT: bm25_indexed_incremental /
 # bm25_indexed_delete re-run the index-build lineage once per written
 # frame (~6 s warm each; one localCheckpoint of the built postings

@@ -90,3 +90,29 @@ def test_plan_is_scan_local(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_gopher_sql_builder_matches_operator_bit_for_bit(spark, sf_dir):
+    """The harness's _gopher_sql() DuckDB twin (the ready-made oracle
+    for the r10 standalone registration) must reproduce every signal
+    and the verdict bit-for-bit at CANONICAL thresholds — the capstone
+    only exercises the min_stopword_hits=1 override, so this pin keeps
+    the default-threshold path honest."""
+    import duckdb
+
+    from rag_project_with_embeddings_and_vector_database_spark.harness import (
+        _gopher_sql,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        tuple(r)
+        for r in GP.gopher_rules(df).orderBy("doc_id").collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(f"SELECT * FROM ({_gopher_sql()}) ORDER BY doc_id").fetchall()
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -3133,9 +3133,9 @@ def _gopher_sql(**overrides) -> str:
     ellipses = " OR ".join(f"ends_with(x, {s!r})" for s in GP._ELLIPSIS_SUFFIXES)
     return f"""
     WITH t AS (
-      SELECT doc_id, text,
-             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk,
-             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x != '') AS ln
+      SELECT doc_id, coalesce(text, '') AS text,
+             list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x != '') AS tk,
+             list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)), x -> x != '') AS ln
       FROM documents
     ),
     sig AS (

@@ -74,8 +74,11 @@ def gopher_signals(
       stopword_hits      how many of REQUIRED_STOPWORDS appear as words
 
     Fractions are rounded to 6 decimals so the frame hash-compares
-    across engines (harness convention)."""
-    c = F.col(content_col)
+    across engines (harness convention). NULL text (failed upstream
+    parses are routine at corpus scale) is treated as empty — the doc
+    gets zero signals and a definite False verdict, never a NULL that
+    silently falls out of both keep and drop filters."""
+    c = F.coalesce(F.col(content_col), F.lit(""))
     toks = whitespace_tokens(c)
     n_words = F.size(toks).cast("bigint")
     words_den = F.greatest(n_words, F.lit(1))

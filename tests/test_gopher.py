@@ -116,3 +116,11 @@ def test_gopher_sql_builder_matches_operator_bit_for_bit(spark, sf_dir):
     want = con.execute(f"SELECT * FROM ({_gopher_sql()}) ORDER BY doc_id").fetchall()
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_null_text_gets_definite_false_verdict(spark):
+    df = spark.createDataFrame([(1, None), (2, GOOD)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in GP.gopher_rules(df).collect()}
+    assert rows[1].passes is False  # not None
+    assert rows[1].n_words == 0
+    assert rows[2].passes is True

@@ -2549,24 +2549,26 @@ def html_extract(spark, sf_dir):
     ttot AS (SELECT sum(cnt)::DOUBLE AS n FROM tcnt),
     tmod AS (
       SELECT bucket,
-             CAST(round(ln((cnt + 0.5) / (n + 4096.0)) * 1000000, 0) AS BIGINT)
-               AS lpm_t
+             CAST(floor(ln((cnt + 0.5) / (n + 4096.0)) * 1000000 + 0.5)
+                  AS BIGINT) AS lpm_t
       FROM tcnt, ttot
     ),
     tdef AS (
-      SELECT CAST(round(ln(0.5 / (n + 4096.0)) * 1000000, 0) AS BIGINT) AS lpm
+      SELECT CAST(floor(ln(0.5 / (n + 4096.0)) * 1000000 + 0.5) AS BIGINT)
+               AS lpm
       FROM ttot
     ),
     rcnt AS (SELECT bucket, count(*) AS cnt FROM feat GROUP BY bucket),
     rtot AS (SELECT sum(cnt)::DOUBLE AS n FROM rcnt),
     rmod AS (
       SELECT bucket,
-             CAST(round(ln((cnt + 0.5) / (n + 4096.0)) * 1000000, 0) AS BIGINT)
-               AS lpm_r
+             CAST(floor(ln((cnt + 0.5) / (n + 4096.0)) * 1000000 + 0.5)
+                  AS BIGINT) AS lpm_r
       FROM rcnt, rtot
     ),
     rdef AS (
-      SELECT CAST(round(ln(0.5 / (n + 4096.0)) * 1000000, 0) AS BIGINT) AS lpm
+      SELECT CAST(floor(ln(0.5 / (n + 4096.0)) * 1000000 + 0.5) AS BIGINT)
+               AS lpm
       FROM rtot
     ),
     sc AS (
@@ -2581,10 +2583,10 @@ def html_extract(spark, sf_dir):
     ),
     keyed AS (
       SELECT sc.doc_id, d.lang, sc.logw_micro, sc.n_grams,
-             sc.logw_micro + CAST(round(-ln(-ln(
+             sc.logw_micro + CAST(floor(-ln(-ln(
                ((('0x' || substr(md5(sc.doc_id::VARCHAR || chr(31) || '13'),
                   1, 15))::BIGINT % 1000000) + 0.5) / 1000000.0
-             )) * 1000000, 0) AS BIGINT) AS sel_key_micro
+             )) * 1000 + 0.5) AS BIGINT) * 1000 AS sel_key_micro
       FROM sc JOIN documents d ON sc.doc_id = d.doc_id
     )
     SELECT doc_id, lang, logw_micro, n_grams, sel_key_micro
@@ -2603,7 +2605,12 @@ def dsir_select(spark, sf_dir):
     aggregations, broadcast model joins, one per-document sum, and a
     TakeOrdered top-k (no global sort shuffle). Every hash, log-prob
     micro-unit, Gumbel variate, and the final selection replays
-    bit-for-bit in DuckDB."""
+    bit-for-bit in DuckDB: quantization is exact-IEEE floor(x*unit+0.5)
+    (never engine-defined round()), the Gumbel grid is coarse enough
+    that its worst-case rounding margin exceeds libm ulp divergence by
+    five orders of magnitude, and a runtime tie-guard raises rather
+    than let a near-boundary value flip between engines (r9 driver
+    hash-mismatch hardening; tests/test_dsir_margins.py)."""
     from .operators import dsir as DS
 
     raw = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")

@@ -19,10 +19,12 @@ Scale notes:
   whose output is at most ``num_buckets`` rows; the tiny count frame is
   persisted through the scoped operator cache because both the
   per-bucket log-probs and the normalizing total read it.
-- Log-probabilities are fixed-point micro-units (round(ln(p)*1e6) as
-  BIGINT, the ``operators/lm.py`` convention): integer per-document
-  sums are exact in any accumulation order, where double sums flip the
-  last decimal between engines and between Spark task schedules.
+- Log-probabilities are fixed-point micro-units (floor(ln(p)*1e6 + 0.5)
+  as BIGINT — the ``operators/lm.py`` micro-unit convention, but with
+  exact-IEEE floor+add instead of engine-defined round(), plus a
+  runtime tie-guard; see ``_quantize``): integer per-document sums are
+  exact in any accumulation order, where double sums flip the last
+  decimal between engines and between Spark task schedules.
 - Scoring joins the (<= num_buckets)-row models and 1-row default
   frames as broadcasts — no shuffle beyond the per-document sum, which
   partitions on the document id.
@@ -51,6 +53,22 @@ from .sampling import hash_bucket
 # Fixed-point scale for log-probabilities (micro-units). Integer sums
 # of micro-unit terms are exact in any order; see operators/lm.py.
 MICRO = 1_000_000
+# The Gumbel term quantizes at a deliberately COARSER grid (milli-units,
+# then scaled back to micro so ``sel_key_micro`` stays in one unit): the
+# u-grid is the fixed set {(i+0.5)/1e6}, and at unit 1e3 its smallest
+# distance-to-rounding-boundary is 4.265e-07 (pinned by
+# tests/test_dsir_margins.py over all 1e6 grid points) — five orders of
+# magnitude above any cross-engine libm-ln divergence, so no engine pair
+# can round a Gumbel variate differently at ANY corpus size. At unit 1e6
+# the grid's worst margin is only 1.27e-07 with a 1000x larger error
+# term.
+GUMBEL_UNIT = 1_000
+# Runtime tie-guard: quantization aborts loudly if any value lands
+# within this distance of a rounding boundary (in grid units). The
+# cross-engine error budget — a few ulps of libm ln on |x| <= ~20,
+# scaled to the grid — is under 1e-8, so a trip means genuinely
+# tie-fragile data (coarsen the unit), never ambient libm noise.
+TIE_GUARD = 1e-7
 
 
 def hashed_ngram_features(
@@ -83,9 +101,39 @@ def hashed_ngram_features(
     )
 
 
+def _quantize(x: Column, unit: int, label: str) -> Column:
+    """``floor(x*unit + 0.5)`` as BIGINT — fixed-point quantization with
+    a runtime tie-guard. ``floor`` plus an exact IEEE add replaces
+    ``round(x, 0)`` because multiply/add/floor are correctly rounded
+    and bit-identical in every engine, while round() semantics are
+    engine- and version-defined (Spark routes doubles through
+    BigDecimal.valueOf's shortest-decimal form; DuckDB through its own
+    C++ path, which has changed across releases). The guard RAISES —
+    a plain column expression, no extra job — when a value sits within
+    ``TIE_GUARD`` of a boundary, where an ulp of libm ln could flip the
+    integer between engines; tests/test_dsir_margins.py sweeps the
+    bounded grids (all 1e6 Gumbel u-values; the observed lpm counts at
+    sf0.001/sf0.01) to prove shipped data never trips it."""
+    y = x * F.lit(float(unit)) + F.lit(0.5)
+    frac = y - F.floor(y)
+    margin = F.least(frac, F.lit(1.0) - frac)
+    guarded = F.when(
+        margin < F.lit(float(TIE_GUARD)),
+        F.raise_error(
+            F.format_string(
+                f"dsir quantization tie ({label}, unit={unit}): value "
+                "%.17g is within the tie guard of a rounding boundary "
+                "- coarsen the unit",
+                y,
+            )
+        ).cast("double"),
+    ).otherwise(F.floor(y))
+    return guarded.cast("bigint")
+
+
 def _lpm(num: Column, den: Column) -> Column:
-    """ln(num/den) in integer micro-units."""
-    return F.round(F.log(num / den) * F.lit(float(MICRO)), 0).cast("bigint")
+    """ln(num/den) in integer micro-units (tie-guarded)."""
+    return _quantize(F.log(num / den), MICRO, "lpm")
 
 
 def fit_hashed_lm(
@@ -162,12 +210,16 @@ def gumbel_topk(
     proportional to ``exp(weight)`` via the Gumbel top-k trick:
     ``key = log w + Gumbel(0,1)``, take the k largest. The Gumbel
     variate comes from the row's permanent hash position
-    ``u = (hash_bucket + 0.5) / 1e6`` (never exactly 0 or 1), rounded
-    to the same micro-units as the weight so the per-row key is an
-    exact BIGINT in every engine. ``orderBy().limit(k)`` compiles to
-    TakeOrdered — no global sort shuffle."""
+    ``u = (hash_bucket + 0.5) / 1e6`` (never exactly 0 or 1),
+    quantized on the coarse tie-guarded ``GUMBEL_UNIT`` grid (see the
+    module constants) and scaled back to micro-units, so the per-row
+    key is an exact BIGINT that every engine reproduces bit-for-bit.
+    ``orderBy().limit(k)`` compiles to TakeOrdered — no global sort
+    shuffle."""
     u = (hash_bucket(id_col, seed) + F.lit(0.5)) / F.lit(float(_GUMBEL_BUCKETS))
-    g = F.round(-F.log(-F.log(u)) * F.lit(float(MICRO)), 0).cast("bigint")
+    g = _quantize(-F.log(-F.log(u)), GUMBEL_UNIT, "gumbel") * F.lit(
+        MICRO // GUMBEL_UNIT
+    )
     return (
         scored.withColumn("sel_key_micro", F.col(weight_col) + g)
         .orderBy(F.desc("sel_key_micro"), F.col(id_col))

@@ -1,0 +1,257 @@
+"""Quantization tie-margin sweeps (VERDICT r9 item 1).
+
+The micro-unit convention (``floor(ln(x)*unit + 0.5)`` as BIGINT) is
+cross-engine-exact ONLY if no quantized value sits so close to a
+rounding boundary that a last-ulp libm ``ln`` difference between the
+JVM and DuckDB could flip the integer. These sweeps prove the shipped
+grids keep a margin ORDERS OF MAGNITUDE above the worst-case
+cross-engine error, for:
+
+- the full 1e6-point Gumbel u-grid (``operators/dsir.py gumbel_topk``)
+  — data-INDEPENDENT: every corpus ever scored draws from this grid;
+- the DSIR hashed-LM lpm grids actually observed at sf0.001 and sf0.01
+  (the driver's correctness scale);
+- ``operators/lm.py``'s open-vocabulary micro-unit convention on the
+  same fixtures (lm_score / lm_buckets share the risk class), including
+  the final 6-decimal ``lm_nll`` rounding.
+
+Error budget: libm ln is <= 1-2 ulp per call in any mainstream engine;
+with |ln| <= ~20 and two chained lns in the Gumbel, the cross-engine
+divergence of a quantized value is < 1e-8 grid units. Thresholds below
+are 100-100000x above that. ``_quantize``'s runtime TIE_GUARD (1e-7)
+then catches any future data that violates the assumption, raising
+instead of silently mismatching.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+from rag_project_with_embeddings_and_vector_database_spark.operators import (
+    dsir as DS,
+)
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+_TOKS_CTE = """
+    toks AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x != ''), t -> lower(t))) AS term
+      FROM documents
+    )
+"""
+
+
+def _margins(values: np.ndarray, unit: float) -> np.ndarray:
+    """Distance of ``v*unit + 0.5`` to the nearest integer boundary —
+    the quantity that must dominate cross-engine float error for
+    ``floor(v*unit + 0.5)`` to be engine-exact."""
+    y = values * unit + 0.5
+    frac = y - np.floor(y)
+    return np.minimum(frac, 1.0 - frac)
+
+
+def test_gumbel_grid_margin_clears_tie_guard():
+    """All 1e6 possible Gumbel variates (u = (i+0.5)/1e6) quantized at
+    GUMBEL_UNIT: the worst margin is 4.265e-07 — above TIE_GUARD and
+    ~5 orders of magnitude above libm divergence. Data-independent:
+    holds at any corpus size because u only ever takes these values."""
+    i = np.arange(1_000_000, dtype=np.float64)
+    u = (i + 0.5) / 1e6
+    g = -np.log(-np.log(u))
+    m = _margins(g, float(DS.GUMBEL_UNIT))
+    assert m.min() > DS.TIE_GUARD
+    assert m.min() > 4.2e-7  # pin the measured grid constant
+
+
+def test_gumbel_grid_survives_simulated_ulp_divergence():
+    """Perturb both ln calls by +-64 ulps (far beyond any real libm
+    pair) and assert every quantized Gumbel is unchanged — the
+    end-to-end form of the margin argument."""
+    i = np.arange(1_000_000, dtype=np.float64)
+    u = (i + 0.5) / 1e6
+    eps = 64 * 2.23e-16
+    base = np.floor(-np.log(-np.log(u)) * DS.GUMBEL_UNIT + 0.5)
+    for s1 in (1 - eps, 1 + eps):
+        for s2 in (1 - eps, 1 + eps):
+            g = -np.log(-np.log(u) * s1) * s2
+            pert = np.floor(g * DS.GUMBEL_UNIT + 0.5)
+            assert (pert == base).all()
+
+
+def _dsir_grids(sf_dir: str):
+    """(counts, total) per model — the exact quantities dsir's _lpm
+    rounds at that sf (target = lang='en' slice, raw = all docs)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rows = con.execute(f"""
+        WITH {_TOKS_CTE},
+        per_doc AS (
+          SELECT doc_id, lang, count(*) AS n_tok FROM toks GROUP BY doc_id, lang
+        )
+        SELECT lang, sum(n_tok) AS uni, sum(greatest(n_tok - 1, 0)) AS bi
+        FROM per_doc GROUP BY lang
+    """).fetchall()
+    # gram totals: unigrams + bigrams per doc; split by target slice
+    n_raw = float(sum(r[1] + r[2] for r in rows))
+    n_tgt = float(sum(r[1] + r[2] for r in rows if r[0] == "en"))
+    cnts = con.execute(f"""
+        WITH {_TOKS_CTE},
+        base AS (
+          SELECT doc_id, lang,
+                 list_transform(list_filter(string_split_regex(text, '\\s+'),
+                        x -> x != ''), t -> lower(t)) AS tk
+          FROM documents
+        ),
+        tp AS (
+          SELECT doc_id, lang, u.i AS pos, u.t AS term
+          FROM (SELECT doc_id, lang,
+                       unnest(list_transform(tk,
+                              (t, i) -> struct_pack(i := i, t := t))) AS u
+                FROM base)
+        ),
+        grams AS (
+          SELECT doc_id, lang, term AS gram FROM tp
+          UNION ALL
+          SELECT a.doc_id, a.lang, a.term || ' ' || b.term
+          FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        feat AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(gram || chr(31) || '7'), 1, 15))::BIGINT
+                   % 8192 AS bucket
+          FROM grams
+        )
+        SELECT 'r' AS m, bucket, count(*) AS cnt FROM feat GROUP BY bucket
+        UNION ALL
+        SELECT 't', bucket, count(*) FROM feat WHERE lang = 'en' GROUP BY bucket
+    """).fetchall()
+    raw_c = np.array([c for m, _, c in cnts if m == "r"], dtype=np.float64)
+    tgt_c = np.array([c for m, _, c in cnts if m == "t"], dtype=np.float64)
+    assert raw_c.sum() == n_raw and tgt_c.sum() == n_tgt
+    return [(tgt_c, n_tgt), (raw_c, n_raw)]
+
+
+@pytest.mark.parametrize("sf_dir", [SF001, SF01])
+def test_dsir_lpm_margins(sf_dir):
+    """Every lpm the sf0.001/sf0.01 fixtures quantize (all observed
+    bucket counts in both models, plus the unseen-bucket default) keeps
+    a margin > 1e-5 at MICRO — 1000x the cross-engine error budget."""
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
+    for counts, n in _dsir_grids(sf_dir):
+        den = n + 0.5 * 8192
+        vals = np.log((np.concatenate([counts, [0.0]]) + 0.5) / den)
+        m = _margins(vals, float(DS.MICRO))
+        assert m.min() > 1e-5, f"lpm margin {m.min():.3e} at n={n}"
+
+
+@pytest.mark.parametrize("sf_dir", [SF001, SF01])
+def test_lm_score_convention_margins(sf_dir):
+    """operators/lm.py shares the micro-unit ln convention (round-based;
+    driver-green since r8 but same risk class — VERDICT r9 item 1 asks
+    the sweep to cover it): check every logp_micro the lm_score oracle
+    quantizes, AND the final 6-decimal lm_nll rounding, on the actual
+    fixture."""
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rows = con.execute(f"""
+        WITH {_TOKS_CTE},
+        cnts AS (
+          SELECT term, count(*) AS cnt FROM toks WHERE doc_id < 300 GROUP BY term
+        ),
+        tot AS (SELECT sum(cnt)::DOUBLE AS n, count(*)::DOUBLE AS v FROM cnts)
+        SELECT DISTINCT cnt, n, v FROM cnts, tot
+    """).fetchall()
+    n, v = float(rows[0][1]), float(rows[0][2])
+    cnts = np.array([r[0] for r in rows] + [0.0], dtype=np.float64)
+    vals = np.log((cnts + 0.5) / (n + 0.5 * (v + 1)))
+    m = _margins(vals, 1e6)
+    # round() ties sit at frac 0.5 of |x*unit|; floor ties at frac 0 of
+    # x*unit+0.5 — identical margin definition up to reflection, and
+    # _margins measures distance to the nearest boundary either way.
+    assert m.min() > 1e-5, f"lm logp_micro margin {m.min():.3e}"
+    # the per-doc 6-decimal score: sum/count pairs are exact integers,
+    # the division is one correctly-rounded IEEE op (bit-identical in
+    # both engines), so only the final rounding has a boundary
+    nll = con.execute(f"""
+        WITH {_TOKS_CTE},
+        cnts AS (
+          SELECT term, count(*) AS cnt FROM toks WHERE doc_id < 300 GROUP BY term
+        ),
+        tot AS (SELECT sum(cnt)::DOUBLE AS n, count(*)::DOUBLE AS v FROM cnts),
+        model AS (
+          SELECT term,
+                 CAST(round(ln((cnt + 0.5) / (n + 0.5 * (v + 1))) * 1000000, 0)
+                      AS BIGINT) AS lpm
+          FROM cnts, tot
+        ),
+        oov AS (
+          SELECT CAST(round(ln(0.5 / (n + 0.5 * (v + 1))) * 1000000, 0)
+                      AS BIGINT) AS lpm
+          FROM tot
+        )
+        SELECT -sum(coalesce(m.lpm, o.lpm)) / (count(*) * 1000000.0)
+        FROM toks t LEFT JOIN model m ON t.term = m.term, oov o
+        GROUP BY t.doc_id
+    """).fetchall()
+    scores = np.array([r[0] for r in nll], dtype=np.float64)
+    m6 = _margins(scores, 1e6)
+    # lm_nll = -sum/(count*1e6) is a single correctly-rounded IEEE
+    # division of exact integers — bit-identical in both engines — so
+    # EXACT .5 ties occur legitimately (e.g. odd sum, even count) and
+    # both engines break them identically (half away from zero;
+    # driver-green r8). The hazard is only a NEAR-tie, which for an
+    # exact rational input cannot arise from engine noise: assert every
+    # value is either an exact tie or comfortably far from one.
+    exact_tie = m6 == 0.0
+    if (~exact_tie).any():
+        assert m6[~exact_tie].min() > 1e-6, (
+            f"lm_nll near-tie margin {m6[~exact_tie].min():.3e}"
+        )
+
+
+def test_tie_guard_raises_on_boundary_value(spark):
+    """A value landing exactly on a rounding boundary must abort the
+    job loudly (raise_error in the projection), never silently pick a
+    side an oracle might disagree with."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.lit(0.0005).alias("x"))
+    q = df.select(DS._quantize(F.col("x"), 1000, "test").alias("q"))
+    with pytest.raises(Exception, match="quantization tie"):
+        q.collect()
+
+
+def test_quantize_matches_python_floor_convention(spark):
+    """floor(x*unit + 0.5) — pin the convention against a pure-Python
+    replay for representative magnitudes, including negative values
+    (where round-half-away and floor(x+0.5) differ at exact ties but
+    MUST agree everywhere else)."""
+    from pyspark.sql import functions as F
+
+    xs = [-18.123456789, -0.0004999, 0.0012344, 2.7182818, -14.5000262]
+    df = spark.createDataFrame([(x,) for x in xs], ["x"])
+    got = [
+        r["q"]
+        for r in df.select(DS._quantize(F.col("x"), DS.MICRO, "pin").alias("q"))
+        .orderBy("x")
+        .collect()
+    ]
+    want = [int(math.floor(x * DS.MICRO + 0.5)) for x in sorted(xs)]
+    assert got == want

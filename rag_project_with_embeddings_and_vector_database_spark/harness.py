@@ -3126,12 +3126,13 @@ def corpus_prep_lm(spark, sf_dir):
     )
 
 
-def _gopher_sql(**overrides) -> str:
+def _gopher_sql(content_sql: str = "coalesce(text, '')", **overrides) -> str:
     """DuckDB twin of operators/gopher.py gopher_rules: signals +
     verdict generated from the SAME constants (REQUIRED_STOPWORDS /
     DEFAULTS) so Spark and the oracle can never drift. Feeds the
-    corpus_prep_lm capstone oracle below; also the ready-made oracle
-    for a standalone gopher_rules registration (r10 window head)."""
+    corpus_prep_lm capstone oracle below and the standalone
+    gopher_rules registration (``content_sql`` lets that fixture plant
+    rule-tripping content in both engines)."""
     from .operators import gopher as GP
 
     t = {**GP.DEFAULTS, **overrides}
@@ -3140,9 +3141,9 @@ def _gopher_sql(**overrides) -> str:
     ellipses = " OR ".join(f"ends_with(x, {s!r})" for s in GP._ELLIPSIS_SUFFIXES)
     return f"""
     WITH t AS (
-      SELECT doc_id, coalesce(text, '') AS text,
-             list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x != '') AS tk,
-             list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)), x -> x != '') AS ln
+      SELECT doc_id, {content_sql} AS text,
+             list_filter(string_split_regex({content_sql}, '\\s+'), x -> x != '') AS tk,
+             list_filter(list_transform(string_split({content_sql}, chr(10)), x -> trim(x)), x -> x != '') AS ln
       FROM documents
     ),
     sig AS (
@@ -3150,7 +3151,8 @@ def _gopher_sql(**overrides) -> str:
              len(tk)::BIGINT AS n_words,
              round(length(array_to_string(tk, ''))::DOUBLE / greatest(len(tk), 1), 6) AS mean_word_len,
              round(((length(text) - length(replace(text, '#', ''))) +
-                    ((length(text) - length(replace(text, '...', ''))) // 3))::DOUBLE
+                    ((length(text) - length(replace(text, '...', ''))) // 3) +
+                    (length(text) - length(replace(text, '…', ''))))::DOUBLE
                    / greatest(len(tk), 1), 6) AS symbol_word_ratio,
              round(len(list_filter(ln, x -> {bullets}))::DOUBLE
                    / greatest(len(ln), 1), 6) AS bullet_line_frac,
@@ -3224,6 +3226,67 @@ def _corpus_prep_lm_gopher_sql() -> str:
 
 
 ORACLE["corpus_prep_lm"] = _corpus_prep_lm_gopher_sql()
+
+
+# gopher_rules fixture: append rule-tripping content classes keyed on
+# doc_id so every signal (symbols incl. the unicode ellipsis, bullet
+# lines, ellipsis-ending lines, non-alpha words, degenerate word
+# lengths) discriminates on the fixture — the raw corpus alone would
+# leave most Gopher signals at zero. The SQL expression and the Spark
+# column below are the same step table.
+_GOPHER_FIX_SQL = """coalesce(text, '') || CASE (doc_id % 7)
+      WHEN 0 THEN ' ' || repeat('# ', 12)
+      WHEN 1 THEN ' ' || repeat('… ', 12)
+      WHEN 2 THEN repeat(chr(10) || '• item', 40)
+      WHEN 3 THEN repeat(chr(10) || 'wait...', 20) || repeat(chr(10) || 'hold on…', 20)
+      WHEN 4 THEN ' ' || repeat('12345 ', 60)
+      WHEN 5 THEN ' ' || repeat('pneumonoultramicroscopicsilicovolcanoconiosis ', 40)
+      ELSE '' END"""
+
+
+@register("gopher_rules", _gopher_sql(content_sql=_GOPHER_FIX_SQL))
+def gopher_rules(spark, sf_dir):
+    """Standalone Gopher rule filter (operators/gopher.py, Rae et al.
+    2021 appendix A1.1; r9 queued registration — the operator already
+    earned oracle evidence inside corpus_prep_lm's kept_gopher gate).
+    All 7 rules in ONE scan-local codegen'd projection — no explode, no
+    shuffle, reads (doc_id, text); at 100 TB this runs at scan
+    bandwidth as the pipeline's first, cheapest gate. The fixture
+    plants seven content classes so every signal and the composite
+    verdict vary; the oracle replays signals AND verdict bit-for-bit
+    from the shared constants table (_gopher_sql)."""
+    from .operators import gopher as GP
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    m = F.col("doc_id") % 7
+    suffix = (
+        F.when(m == 0, F.concat(F.lit(" "), F.repeat(F.lit("# "), 12)))
+        .when(m == 1, F.concat(F.lit(" "), F.repeat(F.lit("… "), 12)))
+        .when(m == 2, F.repeat(F.lit("\n• item"), 40))
+        .when(
+            m == 3,
+            F.concat(
+                F.repeat(F.lit("\nwait..."), 20),
+                F.repeat(F.lit("\nhold on…"), 20),
+            ),
+        )
+        .when(m == 4, F.concat(F.lit(" "), F.repeat(F.lit("12345 "), 60)))
+        .when(
+            m == 5,
+            F.concat(
+                F.lit(" "),
+                F.repeat(
+                    F.lit("pneumonoultramicroscopicsilicovolcanoconiosis "), 40
+                ),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    base = d.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("content"),
+    )
+    return GP.gopher_rules(base, content_col="content")
 
 
 @register("quality_classifier")  # rows-only: L-BFGS model internals not SQL-expressible
@@ -4464,6 +4527,80 @@ def stream_windowed_counts(spark, sf_dir):
     )
 
 
+@register("stream_interval_join")  # rows-only: real streaming run, batch-parity RAISE
+def stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/ingest.py
+    interval_join_streams, r9 queued registration; pytest-pinned for
+    inner parity, left-outer NULL flush and checkpoint recovery in
+    tests/). Two REAL streams from the events table — views (left) and
+    purchases (right) per user — joined on user_id with the purchase
+    time bounded to [view_ts, view_ts + 30 min], availableNow drain to
+    a memory sink, then compared ROW-FOR-ROW against the identical
+    batch interval join; RAISES unless stream == batch exactly. The
+    time-bound + dual watermarks are the state-eviction contract that
+    keeps join state O(horizon) on an unbounded stream — the shape a
+    100 TB event pipeline needs for view->conversion attribution."""
+    import uuid
+
+    from .streaming.ingest import interval_join_streams
+
+    e = _events(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_val")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("value").alias("buy_val")
+    )
+    run_id = uuid.uuid4().hex[:10]
+    tmp = _stream_tmp("ivj")
+    views.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/views")
+    buys.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/buys")
+    vs = spark.readStream.schema(
+        "user_id bigint, view_ts timestamp, view_val double"
+    ).parquet(f"{tmp}/views")
+    bs = spark.readStream.schema(
+        "user_id bigint, buy_ts timestamp, buy_val double"
+    ).parquet(f"{tmp}/buys")
+    qname = f"ivj_stream_{run_id}"
+    q = (
+        interval_join_streams(
+            vs, bs, on="user_id", left_ts="view_ts", right_ts="buy_ts",
+            within="30 minutes", watermark="2 hours", how="inner",
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(qname)
+    cond = (
+        (views["user_id"] == buys["user_id"])
+        & (buys["buy_ts"] >= views["view_ts"])
+        & (buys["buy_ts"] <= views["view_ts"] + F.expr("INTERVAL 30 minutes"))
+    )
+    batch = views.join(buys, cond, "inner").drop(buys["user_id"])
+    cols = ["user_id", "view_ts", "view_val", "buy_ts", "buy_val"]
+    gsel, bsel = got.select(*cols), batch.select(*cols)
+    n_stream, n_batch = gsel.count(), bsel.count()
+    # multiset equality (exceptAll both ways) — a column-join count
+    # would inflate on duplicate tuples and miss multiplicity drift
+    n_extra = gsel.exceptAll(bsel).count()
+    n_missing = bsel.exceptAll(gsel).count()
+    ok = n_extra == 0 and n_missing == 0 and n_stream > 0
+    if not ok:
+        raise AssertionError(
+            f"stream/batch interval-join parity broke: n_stream={n_stream} "
+            f"n_batch={n_batch} extra={n_extra} missing={n_missing}"
+        )
+    return spark.createDataFrame(
+        [(n_stream, n_batch, ok)],
+        "n_stream long, n_batch long, ok boolean",
+    )
+
+
 @register("stream_windowed_append")  # rows-only: real streaming run, self-validating counts
 def stream_windowed_append(spark, sf_dir):
     """The BOUNDED-STATE twin of stream_windowed_counts (VERDICT r4
@@ -4849,6 +4986,27 @@ def approx_distinct(spark, sf_dir):
         F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register("hll_rollup")  # rows-only: DataSketches binaries aren't DuckDB-readable
+def hll_rollup(spark, sf_dir):
+    """STORED mergeable distinct sketches (operators/sketches.py, r9
+    queued registration): per-event-type HLL sketches whose UNION must
+    equal the one-pass global sketch bit-for-bit (register-max
+    associativity) and, in the exact sparse regime, the true distinct
+    count — hll_rollup_checked RAISES on any breach, so a green row
+    certifies all three numbers. The 100 TB pattern: roll up once per
+    partition, answer every coarser distinct query from O(groups)
+    binary blobs without rescanning the fact table. lgk=14 keeps the
+    DataSketches coupon set exact through sf0.1's 1500 distinct users;
+    the exact expand-shuffle twin is distinct_counts (oracle-green).
+    Rows-only by design: DuckDB cannot read DataSketches binaries, and
+    the self-check is stronger than a hash — it proves the estimates
+    against Spark's own exact aggregation."""
+    from .operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return SK.hll_rollup_checked(ev, ["event_type"], "user_id", lgk=14)
 
 
 @register(
@@ -5831,6 +5989,64 @@ def semantic_dedup_incremental(spark, sf_dir):
     return verdicts
 
 
+@register(
+    "semantic_dedup_incremental_hash",
+    """
+    WITH store AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, (vec_id % 8)::INT AS bucket
+      FROM embeddings
+    ),
+    delta AS (
+      SELECT vec_id + 10000000 AS vec_id, embedding::DOUBLE[] AS v,
+             ((vec_id + 10000000) % 8)::INT AS bucket
+      FROM embeddings WHERE vec_id < 20
+    ),
+    unioned AS (
+      SELECT * FROM store UNION ALL SELECT * FROM delta
+    ),
+    pairs AS (
+      SELECT DISTINCT least(d.vec_id, o.vec_id) AS id_a,
+                      greatest(d.vec_id, o.vec_id) AS id_b
+      FROM delta d JOIN unioned o
+        ON d.bucket = o.bucket AND d.vec_id != o.vec_id
+      WHERE round(list_dot_product(d.v, o.v), 6) >= 0.25
+    ),
+    dropped AS (SELECT DISTINCT id_b FROM pairs WHERE id_b >= 10000000)
+    SELECT d.vec_id, d.bucket, dropped.id_b IS NULL AS keep
+    FROM delta d LEFT JOIN dropped ON d.vec_id = dropped.id_b
+    """,
+)
+def semantic_dedup_incremental_hash(spark, sf_dir):
+    """The ENTIRE day-2 SemDeDup algebra under DETERMINISTIC
+    assignments (VERDICT r9 item 6): the r9 ``assignment`` hook that
+    made semantic_dedup_hash oracle-green composes with the delta path
+    via the new ``delta_assignment`` hook (operators/semantic.py
+    semantic_dedup_delta) — bucket = vec_id % 8 on both sides replaces
+    the frozen-centroid assignment, so the cluster pruning, the fused
+    new-vs-stored + new-vs-new pair join, min-id dominance, and the
+    per-delta verdict are all DuckDB-hash-proven. The +10_000_000
+    delta offset is a multiple of 8, so each planted copy lands in its
+    original's bucket and must be dropped — the seeded-KMeans form
+    (semantic_dedup_incremental) keeps proving the real quantizer via
+    replay; this twin proves the algebra EXACTLY."""
+    from .operators import semantic as SD
+
+    e = _par(_t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    store = e.withColumn("bucket", F.pmod("vec_id", F.lit(8)).cast("int"))
+    delta = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    )
+    delta_assigned = delta.withColumn(
+        "bucket", F.pmod("vec_id", F.lit(8)).cast("int")
+    )
+    return SD.semantic_dedup_delta(
+        store, None, delta, threshold=0.25, corpus_id="vec_id",
+        normalized=True, delta_assignment=delta_assigned,
+    )
+
+
 @register("diversity_sample")  # rows-only: seeded KMeans assignment inside
 def diversity_sample(spark, sf_dir):
     """Semantic-diversity sampling (operators/diversity.py): cluster
@@ -6018,6 +6234,137 @@ def dedup_full(spark, sf_dir):
         )
         .withColumn("kept", F.col("component") == F.col("doc_id"))
     )
+
+
+def _verified_pairs_sql(
+    verify_threshold: float = 0.5, containment_threshold: float = 0.9
+) -> str:
+    # Standalone oracle for verify_pairs_exact_jaccard (r9 queued
+    # registration): four planted candidate classes — true copies
+    # (kept via Jaccard), partial-overlap mutants (killed: Jaccard
+    # < 0.5 AND containment ~0.7 < 0.9), strict prefix subsets (kept
+    # ONLY via the containment OR-path: Jaccard ~0.4, containment
+    # 1.0), and unrelated neighbors (dropped) — so both gates and the
+    # OR-combination are load-bearing.
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 1000, 'copy ' || text FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 2000, prefix || ' ' || junk
+      FROM (
+        SELECT doc_id,
+               array_to_string(tk[1:greatest((len(tk) * 3) // 5, 1)], ' ') AS prefix,
+               array_to_string(list_transform(range(1, 21),
+                   i -> 'junk' || doc_id::VARCHAR || 'x' || i::VARCHAR), ' ') AS junk
+        FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+              FROM documents WHERE doc_id < 30)
+      )
+      UNION ALL
+      SELECT doc_id + 3000,
+             array_to_string(tk[1:greatest((len(tk) * 2) // 5, 1)], ' ')
+      FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+            FROM documents WHERE doc_id < 30)
+    ),
+    cand AS (
+      SELECT doc_id AS id_a, doc_id + 1000 AS id_b FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id, doc_id + 2000 FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id, doc_id + 3000 FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id < 30 AND doc_id % 2 = 0
+    ),
+    vg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                           i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS gs
+      FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+            FROM corpus)
+    ),
+    j AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(va.gs, vb.gs))::DOUBLE
+                   / greatest(len(va.gs) + len(vb.gs) - len(list_intersect(va.gs, vb.gs)), 1),
+                   6) AS exact_jaccard,
+             round(len(list_intersect(va.gs, vb.gs))::DOUBLE
+                   / greatest(least(len(va.gs), len(vb.gs)), 1), 6) AS containment
+      FROM cand c
+      JOIN vg va ON va.doc_id = c.id_a
+      JOIN vg vb ON vb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, exact_jaccard, containment FROM j
+    WHERE exact_jaccard >= {verify_threshold}
+       OR containment >= {containment_threshold}
+    """
+
+
+@register("dedup_verified_pairs", _verified_pairs_sql())
+def dedup_verified_pairs(spark, sf_dir):
+    """Standalone exact-Jaccard pair verification (operators/dedup.py
+    verify_pairs_exact_jaccard — already oracle-proven INSIDE
+    dedup_full since r9; this registration earns the operator its own
+    CORRECTNESS row, including the ``containment_threshold`` OR-path
+    dedup_full does not exercise). Candidates: planted copies (kept by
+    the Jaccard gate), partial-overlap mutants (killed by BOTH gates),
+    strict prefix subsets (kept ONLY by containment = |A∩B|/min — the
+    boilerplate-wrapped-repost policy), unrelated neighbors (dropped).
+    Scale shape: one shingle explode, gram-level intersection
+    equi-join linear in sum(|A∩B|) over candidates — never
+    corpus-quadratic."""
+    from .operators import dedup as DD
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    copies = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("copy "), F.col("text")).alias("text"),
+    )
+    k3 = F.greatest(F.floor(F.size(tk) * 3 / 5), F.lit(1)).cast("int")
+    junk = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.concat(
+                F.lit("junk"), F.col("doc_id").cast("string"), F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    mutants = base.select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.concat_ws(" ", F.slice(tk, F.lit(1), k3)), junk
+        ).alias("text"),
+    )
+    k2 = F.greatest(F.floor(F.size(tk) * 2 / 5), F.lit(1)).cast("int")
+    subsets = base.select(
+        (F.col("doc_id") + 3000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tk, F.lit(1), k2)).alias("text"),
+    )
+    corpus = (
+        base.unionByName(copies).unionByName(mutants).unionByName(subsets)
+    )
+    ids = base.select("doc_id")
+    cand = (
+        ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000).alias("id_b"))
+        .unionByName(ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 2000).alias("id_b")))
+        .unionByName(ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 3000).alias("id_b")))
+        .unionByName(
+            ids.filter(F.col("doc_id") % 2 == 0).select(
+                F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+            )
+        )
+    )
+    return DD.verify_pairs_exact_jaccard(
+        corpus, cand, verify_threshold=0.5, containment_threshold=0.9
+    )
+
 
 def _dedup_incremental_sql(max_bucket_size: int = 1000) -> str:
     base = _minhash_sql(source="unioned")

@@ -65,7 +65,9 @@ def gopher_signals(
 
       n_words            whitespace token count
       mean_word_len      total token chars / n_words
-      symbol_word_ratio  (#'#' + #'...') / n_words
+      symbol_word_ratio  (#'#' + #'...' + #'…') / n_words — the paper's
+                         symbol set includes the unicode ellipsis, same
+                         as the ellipsis_line_frac suffix check
       bullet_line_frac   fraction of non-empty trimmed lines starting
                          with a bullet marker (•, "- ", "* ")
       ellipsis_line_frac fraction of non-empty trimmed lines ending in
@@ -115,7 +117,11 @@ def gopher_signals(
         n_words.alias("n_words"),
         F.round(tok_chars / words_den, 6).alias("mean_word_len"),
         F.round(
-            (_count_occurrences(c, "#") + _count_occurrences(c, "..."))
+            (
+                _count_occurrences(c, "#")
+                + _count_occurrences(c, "...")
+                + _count_occurrences(c, "…")
+            )
             / words_den,
             6,
         ).alias("symbol_word_ratio"),

@@ -232,6 +232,7 @@ def semantic_dedup_delta_pairs(
     corpus_id: str = "id",
     vec_col: str = "embedding",
     normalized: bool = False,
+    delta_assignment: DataFrame | None = None,
 ) -> DataFrame:
     """DAY-2 SemDeDup: near-dup pairs TOUCHING a delta doc, probed
     against the FROZEN stored clustering — completing the incremental
@@ -256,11 +257,21 @@ def semantic_dedup_delta_pairs(
 
     Drift caveat is inherited from ``ivf_index_append``: heavy ingest
     against frozen centroids degrades the partition of space — append
-    per batch, re-cluster per snapshot."""
+    per batch, re-cluster per snapshot.
+
+    ``delta_assignment`` supplies a precomputed (corpus_id, vec_col,
+    bucket) frame for the delta and skips the centroid assignment
+    entirely (``centroids`` may then be None) — the incremental twin
+    of ``semantic_dedup_pairs``'s r9 ``assignment`` hook: with a
+    deterministic bucket expression on BOTH sides the whole day-2
+    algebra is DuckDB-provable (the ``semantic_dedup_incremental_hash``
+    harness oracle)."""
     from .retrieval import ivf_index_append
 
-    delta_assigned = ivf_index_append(
-        centroids, delta, corpus_id=corpus_id, vec_col=vec_col
+    delta_assigned = (
+        delta_assignment
+        if delta_assignment is not None
+        else ivf_index_append(centroids, delta, corpus_id=corpus_id, vec_col=vec_col)
     ).localCheckpoint()  # one assignment pass shared by discovery + probe
     return _delta_pairs_from_assigned(
         store_assigned, delta_assigned, threshold, corpus_id, vec_col, normalized
@@ -329,6 +340,7 @@ def semantic_dedup_delta(
     corpus_id: str = "id",
     vec_col: str = "embedding",
     normalized: bool = False,
+    delta_assignment: DataFrame | None = None,
 ) -> DataFrame:
     """Per-DELTA-doc incremental SemDeDup verdict: (corpus_id, bucket,
     keep) for every delta row — ``keep = false`` iff a smaller-id
@@ -338,14 +350,27 @@ def semantic_dedup_delta(
     assignment) filtered to delta ids. Built on
     ``semantic_dedup_delta_pairs``: a delta doc is dropped iff it
     appears as some pair's ``id_b`` (pairs are min-first, so being
-    ``id_b`` means a smaller-id mate exists). Stored docs' verdicts
-    never change on day 2 — a delta can only ADD smaller-id dominance
-    over itself, which is why delta-only output is the whole
-    contract."""
+    ``id_b`` means a smaller-id mate exists).
+
+    ID-ORDER CONTRACT (ADVICE r9): delta ids must be STRICTLY GREATER
+    than every stored id — the append-log convention every in-repo
+    caller follows (+10_000_000 offsets). Only then do stored docs'
+    verdicts never change on day 2 (a higher-id delta can only add
+    dominance over ITSELF), making delta-only output the whole
+    contract. A delta id smaller than a stored near-duplicate's would
+    flip that stored doc under full min-id recompute, and this
+    delta-only view would not surface it — if ids are not monotone in
+    arrival order, re-run the snapshot ``semantic_dedup`` instead.
+
+    ``delta_assignment`` passes a precomputed delta bucket frame
+    through to the pair generator (``centroids`` may then be None);
+    see ``semantic_dedup_delta_pairs``."""
     from .retrieval import ivf_index_append
 
-    delta_assigned = ivf_index_append(
-        centroids, delta, corpus_id=corpus_id, vec_col=vec_col
+    delta_assigned = (
+        delta_assignment
+        if delta_assignment is not None
+        else ivf_index_append(centroids, delta, corpus_id=corpus_id, vec_col=vec_col)
     ).localCheckpoint()  # ONE assignment pass: discovery + probe + verdict spine
     pairs = _delta_pairs_from_assigned(
         store_assigned, delta_assigned, threshold, corpus_id, vec_col, normalized

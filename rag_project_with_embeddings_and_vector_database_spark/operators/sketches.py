@@ -96,7 +96,16 @@ def hll_rollup_checked(
             ).alias("e")
         ).collect()[0].e
     )
-    exact = df.select(value_col).distinct().count()
+    # hll_sketch_agg ignores NULLs, so the exact twin must too — an
+    # unfiltered distinct() would count NULL as one extra "value" and
+    # false-trip the sparse-regime check on any nullable column
+    # (ADVICE r9).
+    exact = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(value_col)
+        .distinct()
+        .count()
+    )
     if merged != direct:
         raise AssertionError(
             f"sketch merge broke associativity: merged={merged} direct={direct}"

@@ -80,7 +80,7 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_EMBED_CACHED_SQL": {"embed_cached"},
     "_LM_SC_CTES": {"lm_score", "lm_buckets"},
     "_overlap_sql": {"corpus_overlap", "corpus_overlap_indexed"},
-    "_gopher_sql": {"corpus_prep_lm"},
+    "_gopher_sql": {"corpus_prep_lm", "gopher_rules"},
     "_corpus_prep_lm_sql": {"corpus_prep_lm"},
     "_html_sql": {"html_extract"},
     "_HTML_FIX": {"html_extract"},

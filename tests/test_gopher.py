@@ -124,3 +124,15 @@ def test_null_text_gets_definite_false_verdict(spark):
     assert rows[1].passes is False  # not None
     assert rows[1].n_words == 0
     assert rows[2].passes is True
+
+
+def test_unicode_ellipsis_counts_as_symbol(spark):
+    """ADVICE r9: the paper's symbol set includes the unicode ellipsis
+    '…' (already handled by the line-suffix check) — inline '…' must
+    raise symbol_word_ratio exactly like '...' does."""
+    r = _one(spark, "alpha … beta … gamma … delta")
+    # 7 whitespace tokens, 3 unicode-ellipsis symbols
+    assert r.n_words == 7
+    assert r.symbol_word_ratio == pytest.approx(3 / 7, abs=1e-6)
+    mixed = _one(spark, "alpha ... beta … gamma")
+    assert mixed.symbol_word_ratio == pytest.approx(2 / 5, abs=1e-6)

@@ -1665,7 +1665,9 @@ def bm25_indexed(spark, sf_dir):
     import tempfile
 
     docs = _par(_t(spark, sf_dir, "documents"))
-    postings, dfreq, stats = RK.build_text_index(docs)
+    # checkpoint=True: all three frames get written below — one
+    # tokenize pass instead of one per write (VERDICT r9 item 3)
+    postings, dfreq, stats = RK.build_text_index(docs, checkpoint=True)
     # fixed per-process path + overwrite mode: repeated invocations
     # (bench / selfcheck / driver) reuse one directory instead of
     # leaking a fresh uuid-suffixed index copy each run (ADVICE r5);
@@ -1738,7 +1740,12 @@ def bm25_indexed_incremental(spark, sf_dir):
     docs = _par(_t(spark, sf_dir, "documents"))
     old = docs.filter(F.col("doc_id") >= 50)
     new = docs.filter(F.col("doc_id") < 50)
-    postings, dfreq, stats = RK.text_index_upsert(*RK.build_text_index(old), new)
+    # checkpoint the BIG (stored) side's build: the three merged-frame
+    # writes below then re-tokenize only the 50-doc delta, never the
+    # indexed corpus (VERDICT r9 item 3)
+    postings, dfreq, stats = RK.text_index_upsert(
+        *RK.build_text_index(old, checkpoint=True), new
+    )
     tmp = os.path.join(
         tempfile.gettempdir(), f"spark_rag_bm25inc_idx_p{os.getpid()}"
     )
@@ -1803,7 +1810,7 @@ def bm25_indexed_delete(spark, sf_dir):
     import tempfile
 
     docs = _par(_t(spark, sf_dir, "documents"))
-    full = RK.build_text_index(docs)
+    full = RK.build_text_index(docs, checkpoint=True)  # 3 writes, 1 tokenize
     gone = docs.filter(F.col("doc_id") < 50).select("doc_id")
     postings, dfreq, stats = RK.text_index_delete(*full, gone)
     tmp = os.path.join(

@@ -119,6 +119,7 @@ def build_text_index(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The INDEXING job bm25_topk's docstring points at: tokenize the
     corpus once and return ``(postings, dfreq, stats)`` —
@@ -140,7 +141,12 @@ def build_text_index(
     (lowercased whitespace tokens, dl from the same token array, df
     counted over all docs containing the term), so the split pipeline
     is value-identical to the one-pass operator — pinned by
-    tests/test_round4.py against bm25_topk on the same corpus."""
+    tests/test_round4.py against bm25_topk on the same corpus.
+
+    ``checkpoint=True`` materializes the postings once (localCheckpoint)
+    and rederives dfreq/stats from the stored rows — use it when all
+    three frames will be written out, so the tokenize lineage runs once
+    instead of once per written frame; value-identical either way."""
     base = docs.select(F.col(id_col), whitespace_tokens(text_col).alias("_toks"))
     toks = base.select(
         F.col(id_col),
@@ -150,16 +156,36 @@ def build_text_index(
     postings = toks.groupBy("term", id_col).agg(
         F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
     )
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = (
-        base.select(F.size("_toks").cast("bigint").alias("_dl"))
-        .filter(F.col("_dl") > 0)
-        .agg(
-            F.avg("_dl").alias("avgdl"),
+    if checkpoint:
+        # ``checkpoint=True`` is for callers that MATERIALIZE all three
+        # frames (index-build-then-write jobs): localCheckpoint the
+        # postings once and derive dfreq AND stats from the
+        # checkpointed rows, so the tokenize+explode+agg lineage runs
+        # exactly once instead of once per written frame (VERDICT r9
+        # item 3 — the bm25 maintenance queries re-ran it 3x). Value
+        # identity of the stats rederivation: every doc with >= 1
+        # token appears in postings carrying its dl, so the distinct
+        # (id, dl) projection is the same per-doc dl multiset the base
+        # scan yields; avg over BIGINT sums exactly (Long accumulator)
+        # before one division, as the direct form does.
+        postings = postings.localCheckpoint()
+        per_doc = postings.select(F.col(id_col), "dl").distinct()
+        stats = per_doc.agg(
+            F.avg("dl").alias("avgdl"),
             F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.sum("_dl").alias("sum_dl"),
+            F.sum("dl").alias("sum_dl"),
         )
-    )
+    else:
+        stats = (
+            base.select(F.size("_toks").cast("bigint").alias("_dl"))
+            .filter(F.col("_dl") > 0)
+            .agg(
+                F.avg("_dl").alias("avgdl"),
+                F.count(F.lit(1)).cast("double").alias("n_docs"),
+                F.sum("_dl").alias("sum_dl"),
+            )
+        )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return postings, dfreq, stats
 
 

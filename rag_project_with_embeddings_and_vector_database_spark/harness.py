@@ -6885,101 +6885,66 @@ def vector_arrival_ingest(spark, sf_dir):
 # and — the standing POLICY, enforced by scripts/selfcheck.py
 # --check-window — any round that touches an operator's code or
 # fixtures must front-load that operator's queries so its latest
-# CORRECTNESS row postdates the change. r9 window (VERDICT r8 items
-# 1-5 + all four ADVICE r8 fixes): (a) the two NEW queries, (b) the
-# tool-derived closure of the files touched this round — dedup.py +
-# overlap.py + dedup_index.py (shared adaptive occupancy guard on the
-# one-shot generators, batched O(bands) partition discovery with
-# all-dirs modulus validation, bounded-delta cap), semantic.py (the
-# assignment hook + the incremental twin), diversity.py (r8
-# contract-change callout) — 31 slots, (c) the COMPLETE 13-query
-# <=r4-evidence debt (VERDICT r8 item 1's drain list), (d) 4 slots of
-# oldest r5-evidence rotation.
+# CORRECTNESS row postdates the change. r10 window (VERDICT r9 items
+# 1-6 + all ADVICE r9 fixes): (a) dsir_select front (the only red r9
+# row — floor-quantized tie-guarded micro-units, margin-swept) plus
+# the five NEW registrations, (b) the tool-derived closure of the
+# files touched this round — gopher.py (unicode-ellipsis symbol
+# parity), semantic.py (delta_assignment hook), ranking.py
+# (build_text_index checkpoint), sketches.py (NULL-safe exact twin) —
+# and the harness spans the new registrations were inserted into,
+# (c) the complete displaced-r9 + r5-evidence rotation debt, then the
+# oldest r6 fills.
 _PRIORITY = [
-    # (a) new in r9: the deterministic-assignment SemDeDup twin whose
-    # whole pair-join + min-id-dominance algebra is DuckDB-hash-proven
-    # (VERDICT r8 item 4), and the day-2 incremental SemDeDup probe
-    # against a FROZEN stored clustering, replay-self-validated
-    # (VERDICT r8 item 3) — completing the incremental dedup family
-    "semantic_dedup_hash", "semantic_dedup_incremental",
-    # (b) closure of operators/semantic.py (assignment hook) and
-    # operators/diversity.py (versionchanged callout, ADVICE r8)
-    "semantic_dedup", "diversity_sample",
-    # (b) closure of operators/dedup.py + dedup_index.py + overlap.py:
-    # the one-shot pair generators now run the shared windowed
-    # occupancy guard (VERDICT r8 item 2), the probe helpers' matched-
-    # partition discovery is batched to O(bands) driver RPCs with the
-    # modulus validated across ALL band dirs (item 5 + ADVICE r8), and
-    # probes fail fast past max_delta_docs (ADVICE r8) — every query
-    # importing the family re-earns its row on the rewritten path
-    "dedup_minhash_pairs", "simhash_pairs", "dedup_full",
-    "dedup_incremental", "simhash_incremental",
-    "dedup_embedding_incremental", "dedup_store_compact",
-    "dedup_minhash", "dedup_simhash", "dedup_exact", "dedup_embedding",
-    "bucket_stats", "connected_components", "corpus_overlap",
-    "ngram_jaccard", "dedup_spans", "dedup_strip_spans",
-    "leakage_safe_split", "decontaminate", "corpus_prep",
-    "corpus_prep_lm", "pipeline_e2e", "pipeline_reference_corpus",
-    "stream_dedup", "stream_dedup_gated", "stream_upsert",
-    "stream_windowed_append", "stream_windowed_counts",
-    "vector_arrival_ingest",
-    # (c) the complete <=r4-evidence debt (VERDICT r8 item 1): the r3
-    # seven — sink_orc and set_ops first (displaced by the late-r8
-    # registrations), then the relational-reviewer set — and the r4 six
-    "sink_orc", "set_ops", "sql_api", "string_funcs",
-    "tpch_q1", "tpch_q3", "tpch_q5",
-    "bucketed_join", "quality_filter", "semi_anti_join",
-    "sequence_pack", "sink_partitioned", "tfidf_terms",
-    # (a) new in r9, late: the stored-index corpus-overlap twin
-    # (probe_overlap_index — same bit-for-bit oracle as corpus_overlap,
-    # partition-pruned A reads), the codegen'd HTML boilerplate
-    # extractor (exact oracle from the shared step table), and the
-    # C4-style corpus-frequency line dedup; their slots displace the
-    # chunk_fixed_size, chunk_fanout and brand_revenue rotation fills
-    # to the r10 debt head
-    "corpus_overlap_indexed", "html_extract", "strip_boilerplate",
-    # (a) new in r9, last: DSIR importance resampling (operators/
-    # dsir.py) — hashed-n-gram importance weights in exact integer
-    # micro-units + hash-derived Gumbel top-k, fully DuckDB-hash-proven
+    # (a) the registry's only red r9 row, front of window (VERDICT r9
+    # item 1): dsir_select re-earns its oracle on the hardened
+    # convention — exact-IEEE floor(x*unit+0.5) in BOTH engines, coarse
+    # tie-guarded Gumbel grid, runtime raise on near-boundary values
     "dsir_select",
+    # (a) the five NEW r10 registrations (VERDICT r9 items 2 and 6)
+    "gopher_rules", "dedup_verified_pairs", "hll_rollup",
+    "stream_interval_join", "semantic_dedup_incremental_hash",
+    # (b) closure of operators/gopher.py (the paper's unicode ellipsis
+    # counted in symbol_word_ratio, ADVICE r9): the kept_gopher gate
+    "corpus_prep_lm",
+    # (b) closure of operators/semantic.py (delta_assignment hook +
+    # the delta id-order contract made explicit, ADVICE r9)
+    "semantic_dedup_hash", "semantic_dedup_incremental", "semantic_dedup",
+    # (b) closure of operators/ranking.py (build_text_index
+    # checkpoint=True: one tokenize pass per materialized index —
+    # VERDICT r9 item 3)
+    "bm25_topk", "hybrid_rrf", "bm25_indexed",
+    "bm25_indexed_incremental", "bm25_indexed_delete",
+    # (b) harness span the dedup_verified_pairs registration was
+    # inserted into (span-attribution rule)
+    "dedup_full",
+    # (c) rotation debt head (VERDICT r9 item 4): the four queries the
+    # late-r9 registrations displaced
+    "chunk_fixed_size", "chunk_fanout", "brand_revenue", "asof_join",
+    # (c) the COMPLETE r5-evidence tail — after this round no registry
+    # entry's newest driver evidence predates r6
+    "chunk_hybrid", "chunk_recursive_para", "chunk_sections",
+    "chunk_table_islands", "embed_batch", "events_hourly", "events_json",
+    "events_percentiles", "grouped_mad", "metric_avgsim", "metric_mrr",
+    "metric_topk", "multimodal_meta", "pivot_events", "rollup_lineitem",
+    "salted_join", "sessionize", "tpch_q6", "window_lag_delta",
+    "window_range_frame", "window_running_sum", "window_suite",
+    "window_value_functions",
+    # (b) vector_arrival_ingest's span is the file tail, so editing
+    # this very list flags it (span-attribution rule) — in-window
+    "vector_arrival_ingest",
+    # (c) oldest r6-population fills
+    "scan_docs", "scan_queries", "sink_csv", "topk_retrieval",
+    "stratified_sample", "approx_distinct",
 ]
-# r10 NEW REGISTRATIONS queued (operators shipped + pytest-pinned late
-# r9; the r9 window was exactly full at 37 changed-closure + 13
-# evidence-debt slots, so their @register waits for r10 slots):
-#   * gopher_rules — standalone Rae-et-al rule filter over documents;
-#     the DuckDB oracle is READY (_gopher_sql() above, canonical
-#     thresholds); the operator already earns r9 oracle evidence
-#     inside corpus_prep_lm's kept_gopher gate.
-#   * stream_interval_join — interval_join_streams drain vs the batch
-#     interval join (rows + parity raise, the stream_windowed_counts
-#     pattern); inner + left-outer forms pytest-pinned.
-#   * dedup_verified_pairs (optional) — verify_pairs_exact_jaccard
-#     standalone; already oracle-proven inside dedup_full.
-#   * hll_rollup — mergeable per-group HLL distinct sketches
-#     (operators/sketches.py hll_rollup_checked: merge==direct==exact
-#     self-check RAISES; rows-only — DuckDB cannot read DataSketches
-#     binaries; the exact twin is distinct_counts).
-# r10 WINDOW-LOCKED PERF DEBT: bm25_indexed_incremental /
-# bm25_indexed_delete re-run the index-build lineage once per written
-# frame (~6 s warm each; one localCheckpoint of the built postings
-# cuts ~2 builds) — ranking.py's closure (bm25 family) was outside the
-# r9 window; same for retrieval.py (ann_ivf_pq bundle).
-# r10 rotation debt (recorded): FIRST chunk_fixed_size, chunk_fanout,
-# brand_revenue and asof_join (displaced by the late-r9
-# corpus_overlap_indexed, html_extract, strip_boilerplate and
-# dsir_select registrations; chunk_fanout's
-# code is still exercised in-window via pipeline_e2e), then the
-# r5-evidence tail — chunk_hybrid,
-# chunk_recursive, chunk_structure_aware, chunk_table_aware,
-# embed_batch, events_hourly, events_json, events_percentiles,
-# grouped_mad, metric_avgsim, metric_mrr, metric_topk,
-# multimodal_meta, pivot_events, rollup_lineitem, salted_join,
-# sessionize, tpch_q6, window_lag_delta, window_range_frame,
-# window_running_sum, window_suite, window_value_functions — then the
-# r6 population (bm25 family, scan_docs/scan_queries, sinks,
-# topk_retrieval, stratified_sample, ...), then r7. After this round
-# all 148 registered queries have driver evidence and none predates
-# r5; no pytest-only paths remain unregistered as of r9.
+# r10 rotation debt (recorded for r11): the r6 population remainder —
+# sink_json (r8 refreshed), filter_nonempty/filter_ext/project_payload
+# and the metrics/report family (r7-r8 refreshed), the sinks and
+# joins/windows r6-r7 blocks, the ann_* family (rows r7), embed_cached
+# (r8), lm_score/lm_buckets (r8), lang_id/token_stats (r8), and the
+# streaming family (r9). Oldest-first head for r11: the r6 six
+# (dedup_* one-shot family was refreshed r9; bm25 family refreshed
+# r10), then r7's ann/stored-index blocks not bundled elsewhere.
 
 
 def _ordered(names: dict) -> list[str]:

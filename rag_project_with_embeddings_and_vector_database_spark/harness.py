@@ -3296,6 +3296,184 @@ def gopher_rules(spark, sf_dir):
     return GP.gopher_rules(base, content_col="content")
 
 
+def _repetition_sql() -> str:
+    """DuckDB twin of operators/repetition.py repetition_rules over the
+    gopher_repetition fixture: line/paragraph censuses as list
+    comprehensions, every gram size 2..10 from ONE lead() window pass,
+    top-gram fractions with the smallest-gram tie-break, and
+    duplicated-gram coverage by position union — thresholds generated
+    from the SAME DEFAULTS table as the operator."""
+    from .operators import repetition as RP
+
+    t = RP.DEFAULTS
+    leads = ", ".join(f"lead(term, {j}) OVER w AS t{j}" for j in range(1, 10))
+    # chars(gram tokens) = length(gram) - (n-1) joining spaces (tokens
+    # cannot contain whitespace) — no per-size length leads needed
+    gram_selects = " UNION ALL ".join(
+        "SELECT doc_id, pos, {n} AS n, term || ' ' || {gram} AS gram "
+        "FROM led WHERE t{last} IS NOT NULL".format(
+            n=n,
+            gram=" || ' ' || ".join(f"t{j}" for j in range(1, n)),
+            last=n - 1,
+        )
+        for n in (*RP.TOP_NS, *RP.DUP_NS)
+    )
+    top_cols = ", ".join(
+        f"coalesce(t{n}.frac, 0.0) AS top_{n}gram_char_frac" for n in RP.TOP_NS
+    )
+    top_joins = " ".join(
+        f"LEFT JOIN (SELECT doc_id, frac FROM tops WHERE n = {n}) t{n} "
+        f"ON s.doc_id = t{n}.doc_id"
+        for n in RP.TOP_NS
+    )
+    dup_cols = ", ".join(
+        f"coalesce(d{n}.frac, 0.0) AS dup_{n}gram_char_frac" for n in RP.DUP_NS
+    )
+    dup_joins = " ".join(
+        f"LEFT JOIN (SELECT doc_id, frac FROM cov WHERE n = {n}) d{n} "
+        f"ON s.doc_id = d{n}.doc_id"
+        for n in RP.DUP_NS
+    )
+    checks = " AND ".join(
+        [
+            f"dup_line_frac <= {t['max_dup_line_frac']}",
+            f"dup_para_frac <= {t['max_dup_para_frac']}",
+            f"dup_line_char_frac <= {t['max_dup_line_char_frac']}",
+            f"dup_para_char_frac <= {t['max_dup_para_char_frac']}",
+        ]
+        + [
+            f"top_{n}gram_char_frac <= {t[f'max_top_{n}gram_char_frac']}"
+            for n in RP.TOP_NS
+        ]
+        + [
+            f"dup_{n}gram_char_frac <= {t[f'max_dup_{n}gram_char_frac']}"
+            for n in RP.DUP_NS
+        ]
+    )
+    return f"""
+    WITH fixt AS (
+      SELECT doc_id,
+             coalesce(text, '') || CASE (doc_id % 5)
+               WHEN 0 THEN repeat(chr(10) || 'repeat me please now', 4)
+               WHEN 1 THEN repeat(chr(10) || chr(10) || 'copy para here', 3)
+               WHEN 2 THEN ' ' || repeat('spam ', 24)
+               WHEN 3 THEN ' ' || repeat('uno dos tres cuatro cinco seis siete ', 2)
+               ELSE '' END AS text
+      FROM documents
+    ),
+    arrs AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x != '') AS ln,
+             list_filter(list_transform(string_split(text, chr(10) || chr(10)), x -> trim(x)), x -> x != '') AS pg,
+             list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), x -> lower(x)) AS tk
+      FROM fixt
+    ),
+    spine AS (
+      SELECT doc_id,
+        round((len(ln) - len(list_distinct(ln)))::DOUBLE / greatest(len(ln), 1), 6) AS dup_line_frac,
+        round(coalesce(list_aggregate(list_transform(list_distinct(ln),
+                v -> (len(list_filter(ln, x -> x = v)) - 1) * length(v)), 'sum'), 0)::DOUBLE
+              / greatest(coalesce(list_aggregate(list_transform(ln, x -> length(x)), 'sum'), 0), 1), 6)
+          AS dup_line_char_frac,
+        round((len(pg) - len(list_distinct(pg)))::DOUBLE / greatest(len(pg), 1), 6) AS dup_para_frac,
+        round(coalesce(list_aggregate(list_transform(list_distinct(pg),
+                v -> (len(list_filter(pg, x -> x = v)) - 1) * length(v)), 'sum'), 0)::DOUBLE
+              / greatest(coalesce(list_aggregate(list_transform(pg, x -> length(x)), 'sum'), 0), 1), 6)
+          AS dup_para_char_frac
+      FROM arrs
+    ),
+    toks AS (
+      SELECT doc_id, u.i AS pos, u.t AS term, length(u.t)::BIGINT AS tlen
+      FROM (SELECT doc_id,
+                   unnest(list_transform(tk, (t, i) -> struct_pack(i := i, t := t))) AS u
+            FROM arrs)
+    ),
+    totals AS (SELECT doc_id, sum(tlen) AS total_chars FROM toks GROUP BY doc_id),
+    led AS (
+      SELECT doc_id, pos, term, {leads}
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grams AS ({gram_selects}),
+    counts AS (
+      SELECT doc_id, n, gram, count(*) AS cnt,
+             (length(gram) - (n - 1))::BIGINT AS gchars
+      FROM grams GROUP BY doc_id, n, gram
+    ),
+    tops AS (
+      SELECT doc_id, n,
+             round(cnt * gchars / greatest(total_chars, 1)::DOUBLE, 6) AS frac
+      FROM (
+        SELECT c.*, t.total_chars,
+               row_number() OVER (PARTITION BY c.doc_id, c.n
+                                  ORDER BY c.cnt DESC, c.gram ASC) AS rn
+        FROM counts c JOIN totals t ON c.doc_id = t.doc_id
+        WHERE c.n IN (2, 3, 4)
+      ) WHERE rn = 1
+    ),
+    dup_occ AS (
+      SELECT g.doc_id, g.n,
+             unnest(list_transform(range(0, g.n), x -> g.pos + x)) AS cpos
+      FROM grams g JOIN counts c
+        ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram
+      WHERE c.cnt > 1 AND g.n >= 5
+    ),
+    cov AS (
+      SELECT d.doc_id, d.n,
+             round(sum(tk.tlen) / greatest(t.total_chars, 1)::DOUBLE, 6) AS frac
+      FROM (SELECT DISTINCT doc_id, n, cpos FROM dup_occ) d
+      JOIN toks tk ON d.doc_id = tk.doc_id AND d.cpos = tk.pos
+      JOIN totals t ON d.doc_id = t.doc_id
+      GROUP BY d.doc_id, d.n, t.total_chars
+    ),
+    sig AS (
+      SELECT s.doc_id, s.dup_line_frac, s.dup_line_char_frac,
+             s.dup_para_frac, s.dup_para_char_frac, {top_cols}, {dup_cols}
+      FROM spine s {top_joins} {dup_joins}
+    )
+    SELECT *, ({checks}) AS passes FROM sig
+    """
+
+
+@register("gopher_repetition", _repetition_sql())
+def gopher_repetition(spark, sf_dir):
+    """Gopher repetition filter (operators/repetition.py, Rae et al.
+    2021 appendix A1.2) — the within-document companion to the A1.1
+    rule set (gopher_rules) and the cross-document line census
+    (strip_boilerplate): duplicate line/paragraph fractions (count and
+    character), top 2/3/4-gram character fractions, and duplicated
+    5..10-gram character coverage with positions UNIONED so
+    overlapping repeats never double count. One tokenize pass; every
+    gram size comes from a single lead() window over the document (no
+    re-explosion per n); counts/tops/coverage are doc-keyed two-phase
+    aggregations — nothing corpus-quadratic, no Python. The fixture
+    plants five content classes (dup lines, dup paragraphs, a looping
+    2-gram, a doubled 7-gram run, clean) so every signal and the
+    Table-A1 verdict vary; the oracle replays censuses, tie-breaks and
+    coverage bit-for-bit from the shared DEFAULTS table."""
+    from .operators import repetition as RP
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    m = F.col("doc_id") % 5
+    suffix = (
+        F.when(m == 0, F.repeat(F.lit("\nrepeat me please now"), 4))
+        .when(m == 1, F.repeat(F.lit("\n\ncopy para here"), 3))
+        .when(m == 2, F.concat(F.lit(" "), F.repeat(F.lit("spam "), 24)))
+        .when(
+            m == 3,
+            F.concat(
+                F.lit(" "),
+                F.repeat(F.lit("uno dos tres cuatro cinco seis siete "), 2),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    base = d.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("content"),
+    )
+    return RP.repetition_rules(base, content_col="content")
+
+
 @register("quality_classifier")  # rows-only: L-BFGS model internals not SQL-expressible
 def quality_classifier(spark, sf_dir):
     """MODEL-BASED quality filtering (operators/quality_model.py): the
@@ -6901,9 +7079,10 @@ _PRIORITY = [
     # convention — exact-IEEE floor(x*unit+0.5) in BOTH engines, coarse
     # tie-guarded Gumbel grid, runtime raise on near-boundary values
     "dsir_select",
-    # (a) the five NEW r10 registrations (VERDICT r9 items 2 and 6)
-    "gopher_rules", "dedup_verified_pairs", "hll_rollup",
-    "stream_interval_join", "semantic_dedup_incremental_hash",
+    # (a) the six NEW r10 registrations (VERDICT r9 items 2 and 6 +
+    # the A1.2 repetition filter extension)
+    "gopher_rules", "gopher_repetition", "dedup_verified_pairs",
+    "hll_rollup", "stream_interval_join", "semantic_dedup_incremental_hash",
     # (b) closure of operators/gopher.py (the paper's unicode ellipsis
     # counted in symbol_word_ratio, ADVICE r9): the kept_gopher gate
     "corpus_prep_lm",
@@ -6935,7 +7114,7 @@ _PRIORITY = [
     "vector_arrival_ingest",
     # (c) oldest r6-population fills
     "scan_docs", "scan_queries", "sink_csv", "topk_retrieval",
-    "stratified_sample", "approx_distinct",
+    "stratified_sample",
 ]
 # r10 rotation debt (recorded for r11): the r6 population remainder —
 # sink_json (r8 refreshed), filter_nonempty/filter_ext/project_payload

@@ -1,0 +1,265 @@
+"""Gopher-style repetition filtering (Rae et al. 2021, appendix A1.2)
+— the companion to the A1.1 hand rules in ``operators/gopher.py``:
+documents dominated by REPEATED content (boilerplate lines, copied
+paragraphs, looping n-grams) are the other big junk class a web-scale
+LLM corpus prep removes before any model-based scoring.
+
+The reference repo has no quality filtering at all (its loader keeps
+any non-empty extraction, /root/reference/src/document_loader.py:60-61);
+this is north-star surface next to gopher.py, functions/text.py's
+repetition_stats, and the C4-style corpus-frequency line dedup in
+operators/boilerplate.py (which censuses lines ACROSS documents; this
+module is strictly WITHIN-document).
+
+Signals (all fractions rounded to 6 decimals, oracle convention):
+
+  dup_line_frac        duplicate lines / total lines
+  dup_line_char_frac   chars in the all-but-first occurrences of
+                       duplicated lines / total line chars
+  dup_para_frac        same census over blank-line paragraphs
+  dup_para_char_frac   "
+  top_{2,3,4}gram_char_frac   chars of the most frequent word n-gram
+                       (count x sum of its token lengths; ties broken
+                       by lexicographically smallest gram) / total
+                       token chars
+  dup_{5..10}gram_char_frac   chars of token POSITIONS covered by any
+                       n-gram occurring more than once / total token
+                       chars — positions are unioned first, so
+                       overlapping duplicate occurrences never double
+                       count (the paper's stated convention)
+
+Scale shape: one tokenize pass; ONE ordered window per document
+(``lead`` builds every gram size 2..10 in the same pass — no
+re-explosion per n); one stack to (doc_id, n, gram) rows and a
+map-side-combinable count; per-(doc,n) tops via a bounded window;
+duplicated-gram coverage via position-range explode + distinct — every
+exchange is keyed on doc_id(+gram), uniform by construction. Line and
+paragraph censuses never leave the scan: they are per-document array
+expressions (O(distinct-lines x lines) inside one codegen'd
+projection, bounded by document size). Nothing is ever
+corpus-quadratic, and no Python touches the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import whitespace_tokens
+
+# Rae et al. 2021 Table A1 thresholds (keep the document only if every
+# signal is <= its bound). Exposed for per-corpus tuning; the harness
+# oracle pins the defaults.
+DEFAULTS = dict(
+    max_dup_line_frac=0.30,
+    max_dup_para_frac=0.30,
+    max_dup_line_char_frac=0.20,
+    max_dup_para_char_frac=0.20,
+    max_top_2gram_char_frac=0.20,
+    max_top_3gram_char_frac=0.18,
+    max_top_4gram_char_frac=0.16,
+    max_dup_5gram_char_frac=0.15,
+    max_dup_6gram_char_frac=0.14,
+    max_dup_7gram_char_frac=0.13,
+    max_dup_8gram_char_frac=0.12,
+    max_dup_9gram_char_frac=0.11,
+    max_dup_10gram_char_frac=0.10,
+)
+
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _dup_census(arr: Column) -> tuple[Column, Column]:
+    """(dup_frac, dup_char_frac) of a string array, computed entirely
+    inside the projection: dup_frac = (len - len(distinct)) / len;
+    dup_char_frac = sum over distinct values of (cnt-1)*len(value) /
+    sum of all lengths. O(distinct x len) comparisons per document —
+    scan-local, bounded by document size."""
+    n = F.size(arr)
+    den = F.greatest(n, F.lit(1))
+    dup_frac = (n - F.size(F.array_distinct(arr))) / den
+    total_chars = F.aggregate(
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    dup_chars = F.aggregate(
+        F.array_distinct(arr),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc
+        + (F.size(F.filter(arr, lambda x: x == v)) - F.lit(1)) * F.length(v),
+    )
+    dup_char_frac = dup_chars / F.greatest(total_chars, F.lit(1))
+    return F.round(dup_frac, 6), F.round(dup_char_frac, 6)
+
+
+def _split_nonempty(c: Column, sep: str) -> Column:
+    return F.filter(
+        F.transform(F.split(c, sep), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (see module docstring). NULL
+    text is treated as empty (zero signals, definite verdicts
+    downstream — the gopher.py convention). Documents shorter than n
+    tokens have no n-grams and score 0 for that n."""
+    c = F.coalesce(F.col(content_col), F.lit(""))
+
+    line_frac, line_char_frac = _dup_census(_split_nonempty(c, "\n"))
+    para_frac, para_char_frac = _dup_census(_split_nonempty(c, "\n\n"))
+    base = df.select(
+        F.col(id_col),
+        F.transform(whitespace_tokens(c), F.lower).alias("_tk"),
+        line_frac.alias("dup_line_frac"),
+        line_char_frac.alias("dup_line_char_frac"),
+        para_frac.alias("dup_para_frac"),
+        para_char_frac.alias("dup_para_char_frac"),
+    )
+    spine = base.drop("_tk")
+
+    toks = base.select(
+        id_col, F.posexplode("_tk").alias("pos", "term")
+    ).withColumn("tlen", F.length("term").cast("bigint"))
+    totals = toks.groupBy(id_col).agg(
+        F.sum("tlen").alias("total_chars"), F.count(F.lit(1)).alias("n_toks")
+    )
+
+    # ONE ordered pass builds every gram size: lead(term, j) for
+    # j < max(n). gram_n exists when the furthest lead is non-null.
+    # Gram char count needs no extra lead columns: tokens cannot
+    # contain whitespace, so chars(gram tokens) = length(gram) - (n-1)
+    # joining spaces.
+    w = Window.partitionBy(id_col).orderBy("pos")
+    max_n = max(max(TOP_NS), max(DUP_NS))
+    led = toks.select(
+        id_col, "pos", "term",
+        *[F.lead("term", j).over(w).alias(f"_t{j}") for j in range(1, max_n)],
+    )
+    gram_structs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ", "term", *[f"_t{j}" for j in range(1, n)]
+                ).alias("gram"),
+                F.col(f"_t{n - 1}").isNotNull().alias("complete"),
+            )
+            for n in (*TOP_NS, *DUP_NS)
+        ]
+    )
+    grams = (
+        led.select(id_col, "pos", F.explode(gram_structs).alias("g"))
+        .filter(F.col("g.complete"))
+        .select(
+            id_col,
+            F.col("pos"),
+            F.col("g.n").alias("n"),
+            F.col("g.gram").alias("gram"),
+        )
+    )
+    counts = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).withColumn(
+        "gchars", (F.length("gram") - (F.col("n") - 1)).cast("bigint")
+    )
+
+    # top n-gram char fraction (n in TOP_NS): most frequent gram,
+    # smallest-gram tie-break — deterministic in both engines
+    topw = Window.partitionBy(id_col, "n").orderBy(
+        F.desc("cnt"), F.asc("gram")
+    )
+    tops = (
+        counts.filter(F.col("n").isin(list(TOP_NS)))
+        .withColumn("_rn", F.row_number().over(topw))
+        .filter(F.col("_rn") == 1)
+        .join(totals, id_col)
+        .select(
+            id_col,
+            F.concat(F.lit("top_"), F.col("n").cast("string"), F.lit("gram_char_frac")).alias(
+                "_sig"
+            ),
+            F.round(
+                F.col("cnt") * F.col("gchars") / F.greatest("total_chars", F.lit(1)),
+                6,
+            ).alias("_v"),
+        )
+    )
+
+    # duplicated n-gram coverage (n in DUP_NS): token positions under
+    # ANY repeated n-gram, unioned before counting
+    dup_occ = grams.join(
+        counts.filter((F.col("cnt") > 1) & F.col("n").isin(list(DUP_NS))).select(
+            id_col, "n", "gram"
+        ),
+        [id_col, "n", "gram"],
+    )
+    covered = (
+        dup_occ.select(
+            id_col, "n", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)).alias("cpos")
+        )
+        .distinct()
+        .join(toks.select(id_col, F.col("pos").alias("cpos"), "tlen"), [id_col, "cpos"])
+        .groupBy(id_col, "n")
+        .agg(F.sum("tlen").alias("cov_chars"))
+        .join(totals, id_col)
+        .select(
+            id_col,
+            F.concat(F.lit("dup_"), F.col("n").cast("string"), F.lit("gram_char_frac")).alias(
+                "_sig"
+            ),
+            F.round(
+                F.col("cov_chars") / F.greatest("total_chars", F.lit(1)), 6
+            ).alias("_v"),
+        )
+    )
+
+    pivoted = (
+        tops.unionByName(covered)
+        .groupBy(id_col)
+        .pivot(
+            "_sig",
+            [f"top_{n}gram_char_frac" for n in TOP_NS]
+            + [f"dup_{n}gram_char_frac" for n in DUP_NS],
+        )
+        .agg(F.first("_v"))
+    )
+    out = spine.join(pivoted, id_col, "left")
+    for col in [f"top_{n}gram_char_frac" for n in TOP_NS] + [
+        f"dup_{n}gram_char_frac" for n in DUP_NS
+    ]:
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(0.0)))
+    return out
+
+
+def repetition_rules(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    **overrides,
+) -> DataFrame:
+    """Signals + the paper's keep/drop verdict (``passes`` boolean) —
+    a document passes iff EVERY repetition signal is at or under its
+    Table A1 bound."""
+    t = {**DEFAULTS, **overrides}
+    unknown = set(t) - set(DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown repetition_rules thresholds: {sorted(unknown)}")
+    s = repetition_signals(df, content_col, id_col)
+    passes = (
+        (F.col("dup_line_frac") <= t["max_dup_line_frac"])
+        & (F.col("dup_para_frac") <= t["max_dup_para_frac"])
+        & (F.col("dup_line_char_frac") <= t["max_dup_line_char_frac"])
+        & (F.col("dup_para_char_frac") <= t["max_dup_para_char_frac"])
+    )
+    for n in TOP_NS:
+        passes = passes & (
+            F.col(f"top_{n}gram_char_frac") <= t[f"max_top_{n}gram_char_frac"]
+        )
+    for n in DUP_NS:
+        passes = passes & (
+            F.col(f"dup_{n}gram_char_frac") <= t[f"max_dup_{n}gram_char_frac"]
+        )
+    return s.withColumn("passes", passes)

@@ -3474,6 +3474,134 @@ def gopher_repetition(spark, sf_dir):
     return RP.repetition_rules(base, content_col="content")
 
 
+def _url_sql(max_per_domain: int = 3) -> str:
+    """DuckDB twin of operators/urls.py url_normalize_table +
+    domain_cap over the synthesized URL fixture: every normalization
+    step, the registered-domain rule (MULTI_PART_SUFFIXES is the
+    shared table), the permanent-hash domain quota and the
+    url_norm-duplicate census replay bit-for-bit. All regexes live in
+    the Java-regex/RE2 common subset (no lookahead)."""
+    from .operators import urls as U
+
+    sufs = ", ".join(f"'{s}'" for s in U.MULTI_PART_SUFFIXES)
+    return f"""
+    WITH fixt AS (
+      SELECT doc_id,
+             CASE (doc_id % 6)
+               WHEN 0 THEN 'HTTP://WWW.Example' || (doc_id % 37)::VARCHAR
+                    || '.Co.UK:80/Path/' || doc_id::VARCHAR
+                    || '/?utm_source=feed&b=2&a=1#frag'
+               WHEN 1 THEN 'https://news.example' || (doc_id % 37)::VARCHAR
+                    || '.com:443/story/' || (doc_id % 50)::VARCHAR
+               WHEN 2 THEN 'https://example' || (doc_id % 37)::VARCHAR || '.com/a/b/'
+               WHEN 3 THEN 'http://blog.example' || (doc_id % 37)::VARCHAR
+                    || '.com.au/post?a=1&utm_campaign=x'
+               WHEN 4 THEN 'https://example' || (doc_id % 37)::VARCHAR || '.com/a/b'
+               ELSE 'https://Example' || (doc_id % 37)::VARCHAR || '.com/a/b?b=2&a=1'
+             END AS url
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM fixt),
+    s2 AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1))
+               || substr(u, length(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) + 1) AS u
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(u, '^(http://[^/?:]*):80($|[/?].*)', '\\1\\2'),
+               '^(https://[^/?:]*):443($|[/?].*)', '\\1\\2') AS u
+      FROM s2
+    ),
+    s4 AS (
+      SELECT doc_id, url,
+             regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\\.', '\\1') AS u
+      FROM s3
+    ),
+    s5 AS (
+      SELECT doc_id, url,
+             CASE WHEN instr(u, '?') > 0 THEN substr(u, 1, instr(u, '?') - 1) ELSE u END AS base,
+             list_sort(list_filter(
+               string_split(CASE WHEN instr(u, '?') > 0 THEN substr(u, instr(u, '?') + 1) ELSE '' END, '&'),
+               p -> p != '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=')
+             )) AS kept
+      FROM s4
+    ),
+    s6 AS (
+      SELECT doc_id, url,
+             CASE WHEN len(kept) > 0
+                  THEN regexp_replace(base, '^([a-z][a-z0-9+.-]*://[^/]+/.+?)/$', '\\1')
+                       || '?' || array_to_string(kept, '&')
+                  ELSE regexp_replace(base, '^([a-z][a-z0-9+.-]*://[^/]+/.+?)/$', '\\1')
+             END AS url_norm
+      FROM s5
+    ),
+    rd AS (
+      SELECT doc_id, url, url_norm,
+             string_split(regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1), '.') AS labels
+      FROM s6
+    ),
+    named AS (
+      SELECT doc_id, url, url_norm,
+             CASE
+               WHEN len(labels) <= 2 THEN array_to_string(labels, '.')
+               WHEN (labels[-2] || '.' || labels[-1]) IN ({sufs})
+                 THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+               ELSE labels[-2] || '.' || labels[-1]
+             END AS registered_domain
+      FROM rd
+    )
+    SELECT doc_id, url, url_norm, registered_domain,
+           row_number() OVER (
+             PARTITION BY registered_domain
+             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '42'),
+                       1, 15))::BIGINT % 1000000 ASC, doc_id ASC
+           ) <= {max_per_domain} AS kept,
+           row_number() OVER (PARTITION BY url_norm ORDER BY doc_id ASC) > 1
+             AS url_dup
+    FROM named
+    """
+
+
+@register("url_normalize", _url_sql())
+def url_normalize(spark, sf_dir):
+    """URL normalization + registered-domain extraction + per-domain
+    quota (operators/urls.py) — the URL-filtering stage a web-crawl
+    corpus runs before content dedup (CCNet/RefinedWeb shape). The
+    fixture synthesizes six URL classes per doc_id (uppercase scheme/
+    host + default port + tracking params + fragment; :443; trailing
+    slash; multi-part public suffix; a cross-class syntactic duplicate
+    pair; parameter-order shuffle), so every normalization step, the
+    suffix rule, the hash quota and the duplicate census are
+    load-bearing. Normalization is one scan-local codegen'd regex
+    chain; the cap/census are two window exchanges over (id, domain,
+    url_norm) triples — never document payloads."""
+    from .operators import urls as U
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    m = F.col("doc_id") % 6
+    did = F.col("doc_id").cast("string")
+    d37 = (F.col("doc_id") % 37).cast("string")
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW.Example"), d37, F.lit(".Co.UK:80/Path/"), did,
+            F.lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(m == 1, F.concat(
+            F.lit("https://news.example"), d37, F.lit(".com:443/story/"),
+            (F.col("doc_id") % 50).cast("string")))
+        .when(m == 2, F.concat(F.lit("https://example"), d37, F.lit(".com/a/b/")))
+        .when(m == 3, F.concat(
+            F.lit("http://blog.example"), d37,
+            F.lit(".com.au/post?a=1&utm_campaign=x")))
+        .when(m == 4, F.concat(F.lit("https://example"), d37, F.lit(".com/a/b")))
+        .otherwise(F.concat(F.lit("https://Example"), d37, F.lit(".com/a/b?b=2&a=1")))
+    )
+    normed = U.url_normalize_table(d.select("doc_id", url.alias("url")))
+    return U.domain_cap(normed, max_per_domain=3)
+
+
 @register("quality_classifier")  # rows-only: L-BFGS model internals not SQL-expressible
 def quality_classifier(spark, sf_dir):
     """MODEL-BASED quality filtering (operators/quality_model.py): the
@@ -7079,9 +7207,10 @@ _PRIORITY = [
     # convention — exact-IEEE floor(x*unit+0.5) in BOTH engines, coarse
     # tie-guarded Gumbel grid, runtime raise on near-boundary values
     "dsir_select",
-    # (a) the six NEW r10 registrations (VERDICT r9 items 2 and 6 +
-    # the A1.2 repetition filter extension)
-    "gopher_rules", "gopher_repetition", "dedup_verified_pairs",
+    # (a) the seven NEW r10 registrations (VERDICT r9 items 2 and 6 +
+    # the A1.2 repetition filter and URL-stage extensions)
+    "gopher_rules", "gopher_repetition", "url_normalize",
+    "dedup_verified_pairs",
     "hll_rollup", "stream_interval_join", "semantic_dedup_incremental_hash",
     # (b) closure of operators/gopher.py (the paper's unicode ellipsis
     # counted in symbol_word_ratio, ADVICE r9): the kept_gopher gate
@@ -7114,7 +7243,6 @@ _PRIORITY = [
     "vector_arrival_ingest",
     # (c) oldest r6-population fills
     "scan_docs", "scan_queries", "sink_csv", "topk_retrieval",
-    "stratified_sample",
 ]
 # r10 rotation debt (recorded for r11): the r6 population remainder —
 # sink_json (r8 refreshed), filter_nonempty/filter_ext/project_payload

@@ -1,0 +1,85 @@
+"""URL normalization / registered-domain / domain-cap pins
+(operators/urls.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_project_with_embeddings_and_vector_database_spark.operators import (
+    urls as U,
+)
+
+
+def _norm(spark, *urls):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    rows = U.url_normalize_table(df).orderBy("doc_id").collect()
+    return [r.url_norm for r in rows], [r.registered_domain for r in rows]
+
+
+def test_normalization_steps(spark):
+    norms, _ = _norm(
+        spark,
+        "HTTP://WWW.Example.COM:80/Path/1/?utm_source=x&b=2&a=1#frag",
+        "https://site.org:443/x",
+        "https://site.org:8443/x",          # non-default port survives
+        "https://a.net/deep/path/",          # trailing slash dropped
+        "https://a.net/",                    # root slash kept
+        "http://h.io/p?a=1&b=2",
+        "http://h.io/p?b=2&a=1",             # param order canonicalized
+        "http://h.io/p?utm_campaign=z",      # query emptied -> no '?'
+    )
+    assert norms[0] == "http://example.com/Path/1?a=1&b=2"
+    assert norms[1] == "https://site.org/x"
+    assert norms[2] == "https://site.org:8443/x"
+    assert norms[3] == "https://a.net/deep/path"
+    assert norms[4] == "https://a.net/"
+    assert norms[5] == norms[6] == "http://h.io/p?a=1&b=2"
+    assert norms[7] == "http://h.io/p"
+
+
+def test_null_url_stays_null(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, url string")
+    r = U.url_normalize_table(df).collect()[0]
+    assert r.url_norm is None
+
+
+def test_registered_domain_psl_subset(spark):
+    _, doms = _norm(
+        spark,
+        "https://news.bbc.co.uk/x",
+        "https://a.b.example.com/x",
+        "https://example.com/x",
+        "https://blog.shop.com.au/x",
+    )
+    assert doms == ["bbc.co.uk", "example.com", "example.com", "shop.com.au"]
+
+
+def test_domain_cap_and_url_dup(spark):
+    rows = [(i, f"https://host.com/page/{i % 4}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = U.domain_cap(U.url_normalize_table(df), max_per_domain=5).collect()
+    kept = [r.doc_id for r in out if r.kept]
+    assert len(kept) == 5  # quota enforced on the single domain
+    # exactly 4 distinct normalized urls -> 8 rows flagged as dups,
+    # never the smallest doc_id of a url group
+    dups = sorted(r.doc_id for r in out if r.url_dup)
+    assert len(dups) == 8 and 0 not in dups and 1 not in dups
+    # determinism under repartitioning
+    out2 = (
+        U.domain_cap(U.url_normalize_table(df.repartition(7)), max_per_domain=5)
+        .collect()
+    )
+    assert sorted((r.doc_id, r.kept, r.url_dup) for r in out) == sorted(
+        (r.doc_id, r.kept, r.url_dup) for r in out2
+    )
+
+
+def test_normalization_is_scan_local(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    plan = (
+        U.url_normalize_table(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -53,83 +53,114 @@ MULTI_PART_SUFFIXES = (
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="
 
 
-def normalize_url(url: Column | str) -> Column:
-    """Steps 1-6 of the module contract as one codegen'd expression
-    chain. NULL stays NULL (no URL is not the same as an empty one)."""
-    u = F.col(url) if isinstance(url, str) else url
-    u = F.trim(u)
-    # 2. fragment first, so later steps never see it
-    u = F.regexp_replace(u, r"#.*$", "")
-    # 1. lowercase scheme + authority only: scheme://host[:port] is
-    # everything before the first single '/'-after-authority
-    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)
-    tail = F.substring(u, F.length(head) + F.lit(1), F.lit(1 << 30))
-    u = F.concat(F.lower(head), tail)
-    # 3. default ports (lookahead-free so the oracle's RE2 replays it)
-    u = F.regexp_replace(u, r"^(http://[^/?:]*):80($|[/?].*)", r"$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/?:]*):443($|[/?].*)", r"$1$2")
-    # 4. www.
-    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)www\.", r"$1")
-    # 5. query params: split, drop tracking, sort, rebuild
-    qpos = F.instr(u, "?")
-    base = F.when(qpos > 0, F.substring(u, F.lit(1), qpos - 1)).otherwise(u)
-    query = F.when(
-        qpos > 0, F.substring(u, qpos + 1, F.lit(1 << 30))
-    ).otherwise(F.lit(""))
-    kept = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
-        )
-    )
-    # 6. trailing slash on a non-root PATH — applied to the query-less
-    # base so ".../x/?a=1" and ".../x?a=1" canonicalize together
-    base = F.regexp_replace(base, r"^([a-z][a-z0-9+.-]*://[^/]+/.+?)/$", r"$1")
-    return F.when(
-        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
-    ).otherwise(base)
-
-
-def host_of(url_norm: Column | str) -> Column:
-    """Host of a NORMALIZED url (port already stripped by step 3 when
-    default; explicit non-default ports excluded here)."""
-    u = F.col(url_norm) if isinstance(url_norm, str) else url_norm
-    return F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
-
-
-def registered_domain(url_norm: Column | str) -> Column:
-    """Last two host labels, or three when the two-label tail is a
-    known multi-part public suffix (MULTI_PART_SUFFIXES)."""
-    labels = F.split(host_of(url_norm), r"\.")
-    n = F.size(labels)
-    last2 = F.concat_ws(
-        ".",
-        F.try_element_at(labels, (n - 1).cast("int")),
-        F.try_element_at(labels, n.cast("int")),
-    )
-    last3 = F.concat_ws(
-        ".",
-        F.try_element_at(labels, (n - 2).cast("int")),
-        F.try_element_at(labels, (n - 1).cast("int")),
-        F.try_element_at(labels, n.cast("int")),
-    )
-    is_multi = F.lit(False)
-    for suf in MULTI_PART_SUFFIXES:
-        is_multi = is_multi | (last2 == F.lit(suf))
-    return F.when(n <= 2, last2).when(is_multi & (n >= 3), last3).otherwise(last2)
+def _host_of(url_norm: Column) -> Column:
+    """Host of a NORMALIZED url (default port already stripped;
+    explicit non-default ports excluded here)."""
+    return F.regexp_extract(url_norm, r"^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
 
 
 def url_normalize_table(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, url, url_norm, registered_domain) — one scan-local
-    projection; the dedup/cap stages key on its outputs."""
-    norm = normalize_url(url_col)
-    return df.select(
-        F.col(id_col),
-        F.col(url_col).alias("url"),
-        norm.alias("url_norm"),
-        registered_domain(norm).alias("registered_domain"),
+    """(id, url, url_norm, registered_domain) — the normalization
+    steps run as SUCCESSIVE NARROW PROJECTIONS (still one scan-local
+    codegen stage: Catalyst collapses adjacent projects, but each
+    step's re-references resolve to named attributes instead of
+    duplicating the upstream expression tree — a single-Column chain
+    re-expands every reuse and the generated code grows multiplicatively,
+    measured as multi-MiB task binaries that OOM a default-1g driver).
+    NULL url stays NULL throughout."""
+    keep = [F.col(id_col), F.col(url_col).alias("url")]
+    # 2. trim + fragment first, so later steps never see it
+    d = df.select(*keep, F.regexp_replace(F.trim(F.col(url_col)), r"#.*$", "").alias("_u"))
+    keep = [id_col, "url"]
+    # 1. lowercase scheme + authority only (everything before the
+    # first '/'-after-authority or '?')
+    d = d.select(
+        *keep, "_u",
+        F.regexp_extract("_u", r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1).alias("_h"),
+    )
+    d = d.select(
+        *keep,
+        F.concat(
+            F.lower("_h"),
+            F.substring(F.col("_u"), F.length("_h") + F.lit(1), F.lit(1 << 30)),
+        ).alias("_u"),
+    )
+    # 3. default ports (lookahead-free so the oracle's RE2 replays it)
+    # 4. a leading www. host label
+    d = d.select(
+        *keep,
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("_u"), r"^(http://[^/?:]*):80($|[/?].*)", r"$1$2"
+                ),
+                r"^(https://[^/?:]*):443($|[/?].*)", r"$1$2",
+            ),
+            r"^([a-z][a-z0-9+.-]*://)www\.", r"$1",
+        ).alias("_u"),
+    )
+    # 5. query params: split, drop tracking, sort, rebuild; 6. trailing
+    # slash on a non-root PATH (applied to the query-less base so
+    # ".../x/?a=1" and ".../x?a=1" canonicalize together)
+    d = d.select(*keep, "_u", F.instr("_u", "?").alias("_q"))
+    d = d.select(
+        *keep,
+        F.regexp_replace(
+            F.when(F.col("_q") > 0, F.substring(F.col("_u"), F.lit(1), F.col("_q") - 1))
+            .otherwise(F.col("_u")),
+            r"^([a-z][a-z0-9+.-]*://[^/]+/.+?)/$", r"$1",
+        ).alias("_b"),
+        F.array_sort(
+            F.filter(
+                F.split(
+                    F.when(
+                        F.col("_q") > 0,
+                        F.substring(F.col("_u"), F.col("_q") + 1, F.lit(1 << 30)),
+                    ).otherwise(F.lit("")),
+                    "&",
+                ),
+                lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ).alias("_k"),
+    )
+    d = d.select(
+        *keep,
+        F.when(
+            F.size("_k") > 0,
+            F.concat(F.col("_b"), F.lit("?"), F.array_join("_k", "&")),
+        )
+        .otherwise(F.col("_b"))
+        .alias("url_norm"),
+    )
+    # registered domain: last two host labels, or three when the
+    # two-label tail is a known multi-part public suffix
+    d = d.select(
+        *keep, "url_norm",
+        F.split(_host_of(F.col("url_norm")), r"\.").alias("_labels"),
+    )
+    d = d.select(
+        *keep, "url_norm", "_labels", F.size("_labels").alias("_n")
+    )
+    last2 = F.concat_ws(
+        ".",
+        F.try_element_at("_labels", (F.col("_n") - 1).cast("int")),
+        F.try_element_at("_labels", F.col("_n").cast("int")),
+    )
+    d = d.select(*keep, "url_norm", "_labels", "_n", last2.alias("_l2"))
+    last3 = F.concat_ws(
+        ".",
+        F.try_element_at("_labels", (F.col("_n") - 2).cast("int")),
+        F.col("_l2"),
+    )
+    is_multi = F.col("_l2").isin(*MULTI_PART_SUFFIXES)
+    return d.select(
+        *keep, "url_norm",
+        F.when(F.col("_n") <= 2, F.col("_l2"))
+        .when(is_multi & (F.col("_n") >= 3), last3)
+        .otherwise(F.col("_l2"))
+        .alias("registered_domain"),
     )
 
 

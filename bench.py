@@ -103,7 +103,14 @@ HEADLINE = [
     "semantic_dedup",
     "semantic_dedup_hash",
     "semantic_dedup_incremental",
+    "semantic_dedup_incremental_hash",
     "dsir_select",
+    # r10 registrations
+    "gopher_rules",
+    "gopher_repetition",
+    "url_normalize",
+    "dedup_verified_pairs",
+    "hll_rollup",
     # UDF-path ops
     "chunk_fanout",
     "embed_batch",
@@ -115,8 +122,10 @@ HEADLINE = [
 # twins — VERDICT r8 item 8. Reps overridden where one drain is ~50 s
 # (long runs self-average load noise; a second rep still guards
 # against a one-off stall reading as a regression).
-STREAMING_SLA_QUERIES = ["stream_dedup_gated", "vector_arrival_ingest"]
-REPS_OVERRIDE = {"stream_dedup_gated": 2}
+STREAMING_SLA_QUERIES = [
+    "stream_dedup_gated", "vector_arrival_ingest", "stream_interval_join",
+]
+REPS_OVERRIDE = {"stream_dedup_gated": 2, "stream_interval_join": 2}
 
 # Steady-state SLA targets (sec, sf0.1, local[32]; SCALING.md
 # "Steady-state SLAs" holds the measurement provenance). A bench run
@@ -139,6 +148,9 @@ SLA = {
     # 46.6 -> ~25 s warm, min-of-2)
     "stream_dedup_gated": 32.0,
     "vector_arrival_ingest": 8.0,
+    # full availableNow drain of the watermarked stream-stream interval
+    # join + batch-parity check (r10; ~9.7 s warm min-of-2, SCALING.md)
+    "stream_interval_join": 12.0,
 }
 
 

@@ -7244,6 +7244,14 @@ _PRIORITY = [
     # (c) oldest r6-population fills
     "scan_docs", "scan_queries", "sink_csv", "topk_retrieval",
 ]
+# r11 NEW registration queued (operator shipped + pytest-pinned late
+# r10; the r10 window is exactly full): stream_dedup_ttl —
+# streaming/ttl.py dedup_stream_within_watermark
+# (dropDuplicatesWithinWatermark): bounded-state TTL dedup whose state
+# is O(keys inside the horizon); pytest pins within-horizon collapse,
+# the beyond-horizon re-emit (needs a spacer micro-batch — eviction
+# runs at batch boundaries against the previous batch's watermark),
+# checkpoint recovery, and the DeduplicateWithinWatermark plan node.
 # r10 rotation debt (recorded for r11): the r6 population remainder —
 # sink_json (r8 refreshed), filter_nonempty/filter_ext/project_payload
 # and the metrics/report family (r7-r8 refreshed), the sinks and

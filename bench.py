@@ -111,6 +111,7 @@ HEADLINE = [
     "url_normalize",
     "dedup_verified_pairs",
     "hll_rollup",
+    "hard_negatives",
     # UDF-path ops
     "chunk_fanout",
     "embed_batch",
@@ -124,6 +125,7 @@ HEADLINE = [
 # against a one-off stall reading as a regression).
 STREAMING_SLA_QUERIES = [
     "stream_dedup_gated", "vector_arrival_ingest", "stream_interval_join",
+    "stream_dedup_ttl",
 ]
 REPS_OVERRIDE = {"stream_dedup_gated": 2, "stream_interval_join": 2}
 
@@ -151,6 +153,9 @@ SLA = {
     # full availableNow drain of the watermarked stream-stream interval
     # join + batch-parity check (r10; ~9.7 s warm min-of-2, SCALING.md)
     "stream_interval_join": 12.0,
+    # single-batch availableNow TTL-dedup drain + key-set parity (r10;
+    # ~6.9 s warm, SCALING.md)
+    "stream_dedup_ttl": 9.0,
 }
 
 

@@ -3602,6 +3602,70 @@ def url_normalize(spark, sf_dir):
     return U.domain_cap(normed, max_per_domain=3)
 
 
+@register(
+    "hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    s AS (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(c.embedding::DOUBLE[], q.qv) AS raw
+      FROM embeddings c, q
+    ),
+    cand AS (
+      SELECT query_id, vec_id, round(raw, 6) AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, vec_id) AS rank
+      FROM s
+    ),
+    pos AS (
+      SELECT vec_id AS query_id, vec_id AS pvec FROM embeddings WHERE vec_id < 8
+      UNION
+      SELECT vec_id, vec_id + 1 FROM embeddings WHERE vec_id < 8
+    ),
+    neg AS (
+      SELECT c.query_id, c.vec_id, c.score
+      FROM cand c LEFT JOIN pos p
+        ON c.query_id = p.query_id AND c.vec_id = p.pvec
+      WHERE c.rank <= 20 AND c.rank > 1 AND p.query_id IS NULL
+    )
+    SELECT query_id, vec_id, score, neg_rank::INT AS neg_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS neg_rank
+      FROM neg
+    ) WHERE neg_rank <= 5
+    """,
+)
+def hard_negatives(spark, sf_dir):
+    """Hard-negative mining for embedding-model training
+    (operators/negatives.py, the DPR / sentence-transformers recipe):
+    per training query, the 5 best-scoring corpus vectors that are NOT
+    labeled positives, drawn from the exact top-20 with a rank-1
+    margin against unlabeled positives. Fixture: queries are the first
+    8 corpus vectors; positives label the self-hit and the id+1
+    neighbor, so the anti-join and the margin are both load-bearing.
+    The oracle replays candidate ranking (unrounded-dot order),
+    positive exclusion, and the rounded-score re-rank bit-for-bit. At
+    100 TB the ``candidates`` hook feeds this from the STORED ANN
+    index instead of the brute-force scan."""
+    from .operators import negatives as NG
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    pos = q.select("query_id").select(
+        "query_id", F.col("query_id").alias("vec_id")
+    ).unionByName(
+        q.select("query_id", (F.col("query_id") + 1).alias("vec_id"))
+    )
+    return NG.mine_hard_negatives(
+        q, e, pos, k=20, n_negatives=5, min_rank=1,
+        corpus_id="vec_id", normalized=True,
+    )
+
+
 @register("quality_classifier")  # rows-only: L-BFGS model internals not SQL-expressible
 def quality_classifier(spark, sf_dir):
     """MODEL-BASED quality filtering (operators/quality_model.py): the
@@ -4911,6 +4975,63 @@ def stream_interval_join(spark, sf_dir):
     return spark.createDataFrame(
         [(n_stream, n_batch, ok)],
         "n_stream long, n_batch long, ok boolean",
+    )
+
+
+@register("stream_dedup_ttl")  # rows-only: real streaming run, batch-parity RAISE
+def stream_dedup_ttl(spark, sf_dir):
+    """Bounded-state streaming TTL dedup (streaming/ttl.py
+    dedup_stream_within_watermark, dropDuplicatesWithinWatermark —
+    r10-queued registration; state-eviction semantics pytest-pinned in
+    tests/test_streaming_ttl.py). The events table streams through a
+    (user_id, event_type) dedup with a horizon covering the whole
+    fixture, drained availableNow in ONE micro-batch (single source
+    file), so the emitted KEY SET must equal the batch distinct key
+    set exactly — which row of a duplicate group wins is
+    processing-order-defined, so parity compares keys, not payloads.
+    RAISES on any key-set drift. At scale the horizon bounds state to
+    the keys inside it — the only dedup contract an unbounded ingest
+    can hold; exact global dedup composes via the stored signature
+    index (stream_dedup_gated)."""
+    import uuid
+
+    from .streaming.ttl import dedup_stream_within_watermark
+
+    e = _events(spark, sf_dir).select("ts", "user_id", "event_type")
+    run_id = uuid.uuid4().hex[:10]
+    tmp = _stream_tmp("ttl")
+    e.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id bigint, event_type string"
+    ).parquet(f"{tmp}/src")
+    out = dedup_stream_within_watermark(
+        stream, ["user_id", "event_type"], ts_col="ts", horizon="365 days"
+    )
+    qname = f"ttl_stream_{run_id}"
+    q = (
+        out.select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(qname)
+    batch = e.select("user_id", "event_type").distinct()
+    n_stream, n_batch = got.count(), batch.count()
+    n_extra = got.exceptAll(batch).count()
+    n_missing = batch.exceptAll(got).count()
+    ok = n_extra == 0 and n_missing == 0 and n_stream > 0
+    if not ok:
+        raise AssertionError(
+            f"TTL-dedup key set drifted from batch distinct: "
+            f"n_stream={n_stream} n_batch={n_batch} extra={n_extra} "
+            f"missing={n_missing}"
+        )
+    return spark.createDataFrame(
+        [(n_stream, n_batch, ok)], "n_keys_stream long, n_keys_batch long, ok boolean"
     )
 
 
@@ -7207,10 +7328,11 @@ _PRIORITY = [
     # convention — exact-IEEE floor(x*unit+0.5) in BOTH engines, coarse
     # tie-guarded Gumbel grid, runtime raise on near-boundary values
     "dsir_select",
-    # (a) the seven NEW r10 registrations (VERDICT r9 items 2 and 6 +
-    # the A1.2 repetition filter and URL-stage extensions)
+    # (a) the nine NEW r10 registrations (VERDICT r9 items 2 and 6 +
+    # the A1.2 repetition, URL-stage, hard-negative and streaming-TTL
+    # extensions)
     "gopher_rules", "gopher_repetition", "url_normalize",
-    "dedup_verified_pairs",
+    "dedup_verified_pairs", "hard_negatives", "stream_dedup_ttl",
     "hll_rollup", "stream_interval_join", "semantic_dedup_incremental_hash",
     # (b) closure of operators/gopher.py (the paper's unicode ellipsis
     # counted in symbol_word_ratio, ADVICE r9): the kept_gopher gate
@@ -7242,16 +7364,8 @@ _PRIORITY = [
     # this very list flags it (span-attribution rule) — in-window
     "vector_arrival_ingest",
     # (c) oldest r6-population fills
-    "scan_docs", "scan_queries", "sink_csv", "topk_retrieval",
+    "scan_docs", "scan_queries",
 ]
-# r11 NEW registration queued (operator shipped + pytest-pinned late
-# r10; the r10 window is exactly full): stream_dedup_ttl —
-# streaming/ttl.py dedup_stream_within_watermark
-# (dropDuplicatesWithinWatermark): bounded-state TTL dedup whose state
-# is O(keys inside the horizon); pytest pins within-horizon collapse,
-# the beyond-horizon re-emit (needs a spacer micro-batch — eviction
-# runs at batch boundaries against the previous batch's watermark),
-# checkpoint recovery, and the DeduplicateWithinWatermark plan node.
 # r10 rotation debt (recorded for r11): the r6 population remainder —
 # sink_json (r8 refreshed), filter_nonempty/filter_ext/project_payload
 # and the metrics/report family (r7-r8 refreshed), the sinks and

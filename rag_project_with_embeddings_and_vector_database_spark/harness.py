@@ -2520,10 +2520,57 @@ def html_extract(spark, sf_dir):
     )
 
 
-@register(
-    "dsir_select",
-    """
-    WITH base AS (
+@register("dsir_select")
+def dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py, after Xie et al.
+    NeurIPS 2023): fit smoothed hashed-n-gram (uni+bigram, 8192
+    buckets) models on the curated target slice (lang='en' stands in
+    for the curated corpus) and on the whole raw corpus, score every
+    raw document by its importance log-weight in exact integer
+    micro-units, and Gumbel-top-k sample k=100 without replacement
+    with probability proportional to the weight -- the paper's Pile-
+    scale data-selection recipe as two map-side-combinable bucket
+    aggregations, broadcast model joins, one per-document sum, and a
+    TakeOrdered top-k (no global sort shuffle).
+
+    Cross-engine hardening history: the r9/r10 driver runs failed the
+    end-to-end hash while every local run passed, and the r10 runtime
+    tie-guard + margin sweeps PROVED the failure is not a quantization
+    rounding flip -- the engines compute different values in some
+    stage the single end-to-end hash cannot name. r11 response
+    (VERDICT r10 item 1): (a) the Gumbel stage is now SINGLE-SOURCED
+    -- operators/dsir.py gumbel_table() evaluates the double-ln once
+    in Python and BOTH engines join the same stored integers, so that
+    stage is engine-exact by construction; (b) the pipeline is
+    BISECTED into hash-oracled sub-queries registered alongside this
+    one (dsir_buckets -> dsir_models -> dsir_scores -> dsir_gumbel ->
+    dsir_keys -> dsir_select), each adding exactly one stage, so the
+    next driver run names the diverging stage instead of re-failing
+    opaquely. The lpm quantization keeps the exact-IEEE
+    floor(x*unit+0.5) convention with the runtime tie-guard
+    (tests/test_dsir_margins.py)."""
+    from .operators import dsir as DS
+
+    d, target = _dsir_inputs(spark, sf_dir)
+    sel = DS.dsir_select(d, target, k=100)
+    return sel.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "logw_micro", "n_grams", "sel_key_micro"
+    )
+
+
+def _dsir_inputs(spark, sf_dir):
+    """Shared corpus shape for the dsir query family: raw = all
+    documents, target = the lang='en' slice (stand-in for a curated
+    corpus)."""
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return _par(raw), _par(raw.filter(F.col("lang") == "en"))
+
+
+# Shared DuckDB CTE text for the dsir family (featurization + both
+# smoothed models + per-doc scores), so every bisection oracle and the
+# end-to-end oracle replay the IDENTICAL SQL stages.
+_DSIR_FEAT_CTES = """
+    base AS (
       SELECT doc_id,
              list_transform(list_filter(string_split_regex(text, '\\s+'),
                             x -> x != ''), t -> lower(t)) AS tk
@@ -2553,6 +2600,10 @@ def html_extract(spark, sf_dir):
       FROM feat f JOIN documents d ON f.doc_id = d.doc_id
       WHERE d.lang = 'en' GROUP BY bucket
     ),
+    rcnt AS (SELECT bucket, count(*) AS cnt FROM feat GROUP BY bucket)
+"""
+
+_DSIR_MODEL_CTES = """
     ttot AS (SELECT sum(cnt)::DOUBLE AS n FROM tcnt),
     tmod AS (
       SELECT bucket,
@@ -2565,7 +2616,6 @@ def html_extract(spark, sf_dir):
                AS lpm
       FROM ttot
     ),
-    rcnt AS (SELECT bucket, count(*) AS cnt FROM feat GROUP BY bucket),
     rtot AS (SELECT sum(cnt)::DOUBLE AS n FROM rcnt),
     rmod AS (
       SELECT bucket,
@@ -2577,7 +2627,10 @@ def html_extract(spark, sf_dir):
       SELECT CAST(floor(ln(0.5 / (n + 4096.0)) * 1000000 + 0.5) AS BIGINT)
                AS lpm
       FROM rtot
-    ),
+    )
+"""
+
+_DSIR_SC_CTE = """
     sc AS (
       SELECT f.doc_id,
              sum(coalesce(t.lpm_t, td.lpm) - coalesce(r.lpm_r, rd.lpm))
@@ -2587,45 +2640,204 @@ def html_extract(spark, sf_dir):
       LEFT JOIN tmod t ON f.bucket = t.bucket
       LEFT JOIN rmod r ON f.bucket = r.bucket, tdef td, rdef rd
       GROUP BY f.doc_id
-    ),
+    )
+"""
+
+# The single-sourced Gumbel grid (operators/dsir.py gumbel_table):
+# both the Spark path and these oracles join the SAME Python-computed
+# integers, so the double-transcendental is evaluated exactly once
+# anywhere and the stage cannot diverge between engines.
+_DSIR_GUMBEL_POS_SQL = (
+    "('0x' || substr(md5({id}::VARCHAR || chr(31) || '13'), 1, 15))::BIGINT"
+    " % 4096"
+)
+
+
+def _dsir_gumbel_cte() -> str:
+    from .operators.dsir import gumbel_table
+
+    vals = ", ".join(f"({p}, {g})" for p, g in gumbel_table())
+    return f"g(pos, g_micro) AS (VALUES {vals})"
+
+
+def _dsir_select_sql() -> str:
+    return f"""
+    WITH {_DSIR_FEAT_CTES}, {_DSIR_MODEL_CTES}, {_DSIR_SC_CTE},
+    {_dsir_gumbel_cte()},
     keyed AS (
       SELECT sc.doc_id, d.lang, sc.logw_micro, sc.n_grams,
-             sc.logw_micro + CAST(floor(-ln(-ln(
-               ((('0x' || substr(md5(sc.doc_id::VARCHAR || chr(31) || '13'),
-                  1, 15))::BIGINT % 1000000) + 0.5) / 1000000.0
-             )) * 1000 + 0.5) AS BIGINT) * 1000 AS sel_key_micro
+             sc.logw_micro + g.g_micro AS sel_key_micro
       FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+      JOIN g ON g.pos = {_DSIR_GUMBEL_POS_SQL.format(id="sc.doc_id")}
     )
     SELECT doc_id, lang, logw_micro, n_grams, sel_key_micro
     FROM keyed ORDER BY sel_key_micro DESC, doc_id LIMIT 100
+    """
+
+
+ORACLE["dsir_select"] = _dsir_select_sql()
+
+
+@register(
+    "dsir_buckets",
+    f"""
+    WITH {_DSIR_FEAT_CTES}
+    SELECT r.bucket, coalesce(t.cnt, 0)::BIGINT AS cnt_t,
+           r.cnt::BIGINT AS cnt_r
+    FROM rcnt r LEFT JOIN tcnt t ON r.bucket = t.bucket
     """,
 )
-def dsir_select(spark, sf_dir):
-    """DSIR importance resampling (operators/dsir.py, after Xie et al.
-    NeurIPS 2023): fit smoothed hashed-n-gram (uni+bigram, 8192
-    buckets) models on the curated target slice (lang='en' stands in
-    for the curated corpus) and on the whole raw corpus, score every
-    raw document by its importance log-weight in exact integer
-    micro-units, and Gumbel-top-k sample k=100 without replacement
-    with probability proportional to the weight — the paper's Pile-
-    scale data-selection recipe as two map-side-combinable bucket
-    aggregations, broadcast model joins, one per-document sum, and a
-    TakeOrdered top-k (no global sort shuffle). Every hash, log-prob
-    micro-unit, Gumbel variate, and the final selection replays
-    bit-for-bit in DuckDB: quantization is exact-IEEE floor(x*unit+0.5)
-    (never engine-defined round()), the Gumbel grid is coarse enough
-    that its worst-case rounding margin exceeds libm ulp divergence by
-    five orders of magnitude, and a runtime tie-guard raises rather
-    than let a near-boundary value flip between engines (r9 driver
-    hash-mismatch hardening; tests/test_dsir_margins.py)."""
+def dsir_buckets(spark, sf_dir):
+    """dsir bisection stage 1 -- FEATURIZATION ONLY (VERDICT r10 item
+    1): the per-bucket gram-occurrence counts of both corpora
+    (tokenize -> lowercase -> uni+bigram -> salted md5 -> mod 8192),
+    pure integers, no transcendental, no model, no per-doc stage. A
+    red driver row here names tokenization/hashing as the diverging
+    stage; a green row clears it. Target is a slice of raw, so every
+    target bucket exists on the raw side and the left join is
+    complete."""
     from .operators import dsir as DS
 
-    raw = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    d = _par(raw)
-    target = _par(raw.filter(F.col("lang") == "en"))
-    sel = DS.dsir_select(d, target, k=100)
-    return sel.join(d.select("doc_id", "lang"), "doc_id").select(
-        "doc_id", "lang", "logw_micro", "n_grams", "sel_key_micro"
+    d, target = _dsir_inputs(spark, sf_dir)
+    ct = DS.hashed_ngram_features(target).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_t")
+    )
+    cr = DS.hashed_ngram_features(d).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_r")
+    )
+    return cr.join(ct, "bucket", "left").select(
+        "bucket", F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"), "cnt_r"
+    )
+
+
+@register(
+    "dsir_models",
+    f"""
+    WITH {_DSIR_FEAT_CTES}, {_DSIR_MODEL_CTES}
+    SELECT 't' AS model, bucket, lpm_t AS lpm FROM tmod
+    UNION ALL SELECT 'r', bucket, lpm_r FROM rmod
+    UNION ALL SELECT 't_def', -1, lpm FROM tdef
+    UNION ALL SELECT 'r_def', -1, lpm FROM rdef
+    """,
+)
+def dsir_models(spark, sf_dir):
+    """dsir bisection stage 2 -- the QUANTIZED MODEL TABLES (VERDICT
+    r10 item 1's dsir_models): both smoothed hashed-LM models plus
+    their unseen-bucket defaults in long form (model, bucket, lpm), at
+    most 2*8192+2 rows. Adds exactly one stage over dsir_buckets: the
+    ln((cnt+alpha)/(n+alpha*B)) evaluation and its tie-guarded
+    floor(x*1e6+0.5) quantization. Green buckets + red models names
+    the lpm quantization; green models clears every transcendental in
+    the weight path (the Gumbel grid is single-sourced separately)."""
+    from .operators import dsir as DS
+
+    d, target = _dsir_inputs(spark, sf_dir)
+    tm, td = DS.fit_hashed_lm(
+        DS.hashed_ngram_features(target), cache_key="dsir_lm_target"
+    )
+    rm, rd = DS.fit_hashed_lm(
+        DS.hashed_ngram_features(d), cache_key="dsir_lm_raw"
+    )
+    return (
+        tm.select(F.lit("t").alias("model"), "bucket", "lpm")
+        .unionByName(rm.select(F.lit("r").alias("model"), "bucket", "lpm"))
+        .unionByName(
+            td.select(
+                F.lit("t_def").alias("model"),
+                F.lit(-1).cast("bigint").alias("bucket"),
+                F.col("lpm_def").alias("lpm"),
+            )
+        )
+        .unionByName(
+            rd.select(
+                F.lit("r_def").alias("model"),
+                F.lit(-1).cast("bigint").alias("bucket"),
+                F.col("lpm_def").alias("lpm"),
+            )
+        )
+    )
+
+
+@register(
+    "dsir_scores",
+    f"""
+    WITH {_DSIR_FEAT_CTES}, {_DSIR_MODEL_CTES}, {_DSIR_SC_CTE}
+    SELECT doc_id, logw_micro, n_grams FROM sc
+    """,
+)
+def dsir_scores(spark, sf_dir):
+    """dsir bisection stage 3 -- PER-DOCUMENT IMPORTANCE LOG-WEIGHTS
+    for EVERY raw document (VERDICT r10 item 1's dsir_scores): the
+    broadcast model joins and the exact integer per-doc sum, with no
+    Gumbel term and no top-k. Adds exactly the join+sum stage over
+    dsir_models; a red row here with green models names the
+    join/default-fill/sum stage."""
+    from .operators import dsir as DS
+
+    d, target = _dsir_inputs(spark, sf_dir)
+    feat_r = DS.hashed_ngram_features(d)
+    tm, td = DS.fit_hashed_lm(
+        DS.hashed_ngram_features(target), cache_key="dsir_lm_target"
+    )
+    rm, rd = DS.fit_hashed_lm(feat_r, cache_key="dsir_lm_raw")
+    return DS.dsir_logweights(feat_r, tm, td, rm, rd)
+
+
+def _dsir_gumbel_sql() -> str:
+    return f"""
+    WITH {_dsir_gumbel_cte()},
+    p AS (
+      SELECT doc_id,
+             {_DSIR_GUMBEL_POS_SQL.format(id="doc_id")} AS pos
+      FROM documents
+    )
+    SELECT p.doc_id, p.pos, g.g_micro FROM p JOIN g ON g.pos = p.pos
+    """
+
+
+@register("dsir_gumbel", _dsir_gumbel_sql())
+def dsir_gumbel(spark, sf_dir):
+    """dsir bisection stage 4 -- the GUMBEL TERM alone for every
+    document: permanent md5 grid position + the single-sourced
+    gumbel_table() lookup (operators/dsir.py, r11). Both engines join
+    the same Python-computed integers, so this row is engine-exact by
+    construction unless the salted-md5 position hash itself diverges
+    -- which dozens of driver-green queries already exercise."""
+    from .operators import dsir as DS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return DS.gumbel_terms(docs).select("doc_id", "pos", "g_micro")
+
+
+def _dsir_keys_sql() -> str:
+    return f"""
+    WITH {_DSIR_FEAT_CTES}, {_DSIR_MODEL_CTES}, {_DSIR_SC_CTE},
+    {_dsir_gumbel_cte()}
+    SELECT sc.doc_id, sc.logw_micro, sc.n_grams,
+           sc.logw_micro + g.g_micro AS sel_key_micro
+    FROM sc JOIN g
+      ON g.pos = {_DSIR_GUMBEL_POS_SQL.format(id="sc.doc_id")}
+    """
+
+
+@register("dsir_keys", _dsir_keys_sql())
+def dsir_keys(spark, sf_dir):
+    """dsir bisection stage 5 -- the FULL SELECTION KEY for every
+    document (logw_micro + Gumbel term, exact BIGINT addition), with
+    NO top-k and NO lang join. Together with dsir_select this
+    completes the bisection: green keys + red select would leave only
+    TakeOrdered/limit and the final lang join as candidate stages."""
+    from .operators import dsir as DS
+
+    d, target = _dsir_inputs(spark, sf_dir)
+    feat_r = DS.hashed_ngram_features(d)
+    tm, td = DS.fit_hashed_lm(
+        DS.hashed_ngram_features(target), cache_key="dsir_lm_target"
+    )
+    rm, rd = DS.fit_hashed_lm(feat_r, cache_key="dsir_lm_raw")
+    scored = DS.dsir_logweights(feat_r, tm, td, rm, rd)
+    return DS.gumbel_keys(scored).select(
+        "doc_id", "logw_micro", "n_grams", "sel_key_micro"
     )
 
 

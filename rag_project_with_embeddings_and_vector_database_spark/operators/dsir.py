@@ -30,10 +30,12 @@ Scale notes:
   partitions on the document id.
 - Selection is ``orderBy(key desc).limit(k)`` = TakeOrdered (per-
   partition heaps + driver merge of k), never a global sort shuffle.
-- The Gumbel noise derives from the permanent per-row hash position
-  (``sampling.hash_bucket``), so the "random" sample is reproducible
-  across runs, engines, and repartitioning — same rationale as
-  ``operators/sampling.py``.
+- The Gumbel noise derives from the permanent per-row hash position,
+  looked up in the SINGLE-SOURCED ``gumbel_table()`` grid (computed
+  once in Python, joined by every engine), so the "random" sample is
+  reproducible across runs, engines, and repartitioning — same
+  rationale as ``operators/sampling.py``, with the transcendental
+  evaluated exactly once anywhere.
 
 The reference has no data-selection stage (its corpus is 3 curated
 PDFs, `/root/reference/src/document_loader.py`); this module exists for
@@ -47,22 +49,25 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, whitespace_tokens
 from ._cache import swap_cache
-from .sampling import _BUCKETS as _GUMBEL_BUCKETS
-from .sampling import hash_bucket
 
 # Fixed-point scale for log-probabilities (micro-units). Integer sums
 # of micro-unit terms are exact in any order; see operators/lm.py.
 MICRO = 1_000_000
-# The Gumbel term quantizes at a deliberately COARSER grid (milli-units,
-# then scaled back to micro so ``sel_key_micro`` stays in one unit): the
-# u-grid is the fixed set {(i+0.5)/1e6}, and at unit 1e3 its smallest
-# distance-to-rounding-boundary is 4.265e-07 (pinned by
-# tests/test_dsir_margins.py over all 1e6 grid points) — five orders of
-# magnitude above any cross-engine libm-ln divergence, so no engine pair
-# can round a Gumbel variate differently at ANY corpus size. At unit 1e6
-# the grid's worst margin is only 1.27e-07 with a 1000x larger error
-# term.
+# Milli-unit grid for the Gumbel term (scaled back to micro so
+# ``sel_key_micro`` stays in one unit). Since r11 the Gumbel values are
+# SINGLE-SOURCED: ``gumbel_table()`` evaluates the double-ln ONCE in
+# Python and both the Spark path and any SQL oracle join the same
+# stored integers (see the r10 driver hash-mismatch history — a
+# transcendental computed independently per engine is a standing
+# divergence risk, however wide the rounding margin).
 GUMBEL_UNIT = 1_000
+# Number of permanent hash positions the Gumbel grid is defined over.
+# 4096 keeps the full (pos, g_micro) table small enough to inline in an
+# oracle SQL VALUES list and to broadcast as KB-scale planning
+# metadata, while leaving the sample's proportional-to-weight property
+# intact (the noise resolution only has to break ranking ties among
+# near-equal weights, not be continuous).
+GUMBEL_POSITIONS = 4_096
 # Runtime tie-guard: quantization aborts loudly if any value lands
 # within this distance of a rounding boundary (in grid units). The
 # cross-engine error budget — a few ulps of libm ln on |x| <= ~20,
@@ -199,6 +204,66 @@ def dsir_logweights(
     )
 
 
+def gumbel_table() -> list[tuple[int, int]]:
+    """The complete ``(pos, g_micro)`` Gumbel grid, computed ONCE in
+    Python: ``g = -ln(-ln(u))`` at ``u = (pos + 0.5) /
+    GUMBEL_POSITIONS`` (never exactly 0 or 1), quantized as
+    ``floor(g * GUMBEL_UNIT + 0.5) * (MICRO / GUMBEL_UNIT)`` so the
+    stored value is already in micro-units. Every engine — Spark via a
+    broadcast join, a SQL oracle via an inline VALUES list — consumes
+    these EXACT integers, so no transcendental is ever evaluated twice
+    and the Gumbel stage cannot diverge between engines by
+    construction."""
+    import math
+
+    scale = MICRO // GUMBEL_UNIT
+    out = []
+    for pos in range(GUMBEL_POSITIONS):
+        u = (pos + 0.5) / GUMBEL_POSITIONS
+        g = -math.log(-math.log(u))
+        out.append((pos, int(math.floor(g * GUMBEL_UNIT + 0.5)) * scale))
+    return out
+
+
+def gumbel_position(id_col: Column | str, seed: int = 13) -> Column:
+    """Permanent pseudo-random grid position in
+    ``[0, GUMBEL_POSITIONS)`` for a row id: the salted portable-md5
+    family modulo the grid size (uniform — the 60-bit hash space is an
+    exact multiple of no small modulus, but 2^60 mod 4096 == 0, so
+    every position is hit by exactly 2^48 hash values)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5_long(c.cast("string"), F.lit(str(seed))) % GUMBEL_POSITIONS
+
+
+def gumbel_terms(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 13
+) -> DataFrame:
+    """Attach ``(pos, g_micro)`` to every row: derive the row's
+    permanent grid position and broadcast-join the Python-computed
+    ``gumbel_table()`` — a KB-scale lookup, never a shuffle."""
+    spark = df.sparkSession
+    table = spark.createDataFrame(
+        gumbel_table(), "pos bigint, g_micro bigint"
+    )
+    return df.withColumn("pos", gumbel_position(id_col, seed)).join(
+        F.broadcast(table), "pos"
+    )
+
+
+def gumbel_keys(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "logw_micro",
+    seed: int = 13,
+) -> DataFrame:
+    """Every row with its selection key ``sel_key_micro = weight +
+    Gumbel term`` (exact BIGINT addition of single-sourced integers),
+    no ranking applied — the bisectable pre-top-k stage."""
+    return gumbel_terms(scored, id_col=id_col, seed=seed).withColumn(
+        "sel_key_micro", F.col(weight_col) + F.col("g_micro")
+    )
+
+
 def gumbel_topk(
     scored: DataFrame,
     k: int,
@@ -209,19 +274,14 @@ def gumbel_topk(
     """Sample ``k`` rows without replacement with probability
     proportional to ``exp(weight)`` via the Gumbel top-k trick:
     ``key = log w + Gumbel(0,1)``, take the k largest. The Gumbel
-    variate comes from the row's permanent hash position
-    ``u = (hash_bucket + 0.5) / 1e6`` (never exactly 0 or 1),
-    quantized on the coarse tie-guarded ``GUMBEL_UNIT`` grid (see the
-    module constants) and scaled back to micro-units, so the per-row
-    key is an exact BIGINT that every engine reproduces bit-for-bit.
-    ``orderBy().limit(k)`` compiles to TakeOrdered — no global sort
-    shuffle."""
-    u = (hash_bucket(id_col, seed) + F.lit(0.5)) / F.lit(float(_GUMBEL_BUCKETS))
-    g = _quantize(-F.log(-F.log(u)), GUMBEL_UNIT, "gumbel") * F.lit(
-        MICRO // GUMBEL_UNIT
-    )
+    variate is looked up from the single-sourced ``gumbel_table()``
+    grid by the row's permanent hash position, so the per-row key is
+    an exact BIGINT that every engine reproduces bit-for-bit without
+    evaluating any transcendental itself. ``orderBy().limit(k)``
+    compiles to TakeOrdered — no global sort shuffle."""
+    keyed = gumbel_keys(scored, id_col=id_col, weight_col=weight_col, seed=seed)
     return (
-        scored.withColumn("sel_key_micro", F.col(weight_col) + g)
+        keyed.drop("pos", "g_micro")
         .orderBy(F.desc("sel_key_micro"), F.col(id_col))
         .limit(k)
     )

@@ -7,8 +7,11 @@ JVM and DuckDB could flip the integer. These sweeps prove the shipped
 grids keep a margin ORDERS OF MAGNITUDE above the worst-case
 cross-engine error, for:
 
-- the full 1e6-point Gumbel u-grid (``operators/dsir.py gumbel_topk``)
-  — data-INDEPENDENT: every corpus ever scored draws from this grid;
+- the single-sourced Gumbel table (``operators/dsir.py
+  gumbel_table``, r11): the double-ln is evaluated ONCE in Python and
+  every engine joins the same stored integers, so the cross-engine
+  property is IDENTITY by construction — the tests pin the table's
+  shape and that the Spark join reproduces it bit-for-bit;
 - the DSIR hashed-LM lpm grids actually observed at sf0.001 and sf0.01
   (the driver's correctness scale);
 - ``operators/lm.py``'s open-vocabulary micro-unit convention on the
@@ -58,32 +61,47 @@ def _margins(values: np.ndarray, unit: float) -> np.ndarray:
     return np.minimum(frac, 1.0 - frac)
 
 
-def test_gumbel_grid_margin_clears_tie_guard():
-    """All 1e6 possible Gumbel variates (u = (i+0.5)/1e6) quantized at
-    GUMBEL_UNIT: the worst margin is 4.265e-07 — above TIE_GUARD and
-    ~5 orders of magnitude above libm divergence. Data-independent:
-    holds at any corpus size because u only ever takes these values."""
-    i = np.arange(1_000_000, dtype=np.float64)
-    u = (i + 0.5) / 1e6
-    g = -np.log(-np.log(u))
-    m = _margins(g, float(DS.GUMBEL_UNIT))
-    assert m.min() > DS.TIE_GUARD
-    assert m.min() > 4.2e-7  # pin the measured grid constant
+def test_gumbel_table_shape_and_values():
+    """The single-sourced Gumbel grid (r11): complete over
+    GUMBEL_POSITIONS positions, monotone increasing in u, values in
+    micro-units on the GUMBEL_UNIT sub-grid, and every entry replays
+    the documented formula ``floor(-ln(-ln((pos+0.5)/P))*unit+0.5) *
+    (MICRO/unit)``."""
+    tbl = DS.gumbel_table()
+    assert len(tbl) == DS.GUMBEL_POSITIONS
+    assert [p for p, _ in tbl] == list(range(DS.GUMBEL_POSITIONS))
+    scale = DS.MICRO // DS.GUMBEL_UNIT
+    gs = [g for _, g in tbl]
+    assert all(g % scale == 0 for g in gs)
+    assert gs == sorted(gs)
+    for pos in (0, 1, 17, 2048, DS.GUMBEL_POSITIONS - 1):
+        u = (pos + 0.5) / DS.GUMBEL_POSITIONS
+        want = int(math.floor(-math.log(-math.log(u)) * DS.GUMBEL_UNIT + 0.5)) * scale
+        assert tbl[pos][1] == want
 
 
-def test_gumbel_grid_survives_simulated_ulp_divergence():
-    """Perturb both ln calls by +-64 ulps (far beyond any real libm
-    pair) and assert every quantized Gumbel is unchanged — the
-    end-to-end form of the margin argument."""
-    i = np.arange(1_000_000, dtype=np.float64)
-    u = (i + 0.5) / 1e6
-    eps = 64 * 2.23e-16
-    base = np.floor(-np.log(-np.log(u)) * DS.GUMBEL_UNIT + 0.5)
-    for s1 in (1 - eps, 1 + eps):
-        for s2 in (1 - eps, 1 + eps):
-            g = -np.log(-np.log(u) * s1) * s2
-            pert = np.floor(g * DS.GUMBEL_UNIT + 0.5)
-            assert (pert == base).all()
+def test_gumbel_terms_spark_join_matches_table(spark):
+    """Cross-engine identity by construction: the Spark side must
+    return EXACTLY the Python-computed table value at the row's md5
+    grid position — no engine ever re-evaluates the transcendental."""
+    import duckdb as _dd
+
+    from pyspark.sql import functions as F
+
+    ids = [(i,) for i in range(64)]
+    df = spark.createDataFrame(ids, ["doc_id"])
+    got = {
+        r["doc_id"]: (r["pos"], r["g_micro"])
+        for r in DS.gumbel_terms(df).collect()
+    }
+    tbl = dict(DS.gumbel_table())
+    con = _dd.connect()
+    for (i,) in ids:
+        pos = con.execute(
+            "SELECT ('0x' || substr(md5(? || chr(31) || '13'), 1, 15))::BIGINT % 4096",
+            [str(i)],
+        ).fetchone()[0]
+        assert got[i] == (pos, tbl[pos]), f"doc {i}"
 
 
 def _dsir_grids(sf_dir: str):

@@ -3699,7 +3699,7 @@ def _url_sql(max_per_domain: int = 3) -> str:
     return f"""
     WITH fixt AS (
       SELECT doc_id,
-             CASE (doc_id % 6)
+             CASE (doc_id % 10)
                WHEN 0 THEN 'HTTP://WWW.Example' || (doc_id % 37)::VARCHAR
                     || '.Co.UK:80/Path/' || doc_id::VARCHAR
                     || '/?utm_source=feed&b=2&a=1#frag'
@@ -3709,7 +3709,11 @@ def _url_sql(max_per_domain: int = 3) -> str:
                WHEN 3 THEN 'http://blog.example' || (doc_id % 37)::VARCHAR
                     || '.com.au/post?a=1&utm_campaign=x'
                WHEN 4 THEN 'https://example' || (doc_id % 37)::VARCHAR || '.com/a/b'
-               ELSE 'https://Example' || (doc_id % 37)::VARCHAR || '.com/a/b?b=2&a=1'
+               WHEN 5 THEN 'https://Example' || (doc_id % 37)::VARCHAR || '.com/a/b?b=2&a=1'
+               WHEN 6 THEN 'HTTP://Localhost/health?b=2&utm_source=x'
+               WHEN 7 THEN 'relative/path' || doc_id::VARCHAR || '.html'
+               WHEN 8 THEN NULL
+               ELSE ''
              END AS url
       FROM documents
     ),
@@ -3782,18 +3786,22 @@ def url_normalize(spark, sf_dir):
     """URL normalization + registered-domain extraction + per-domain
     quota (operators/urls.py) — the URL-filtering stage a web-crawl
     corpus runs before content dedup (CCNet/RefinedWeb shape). The
-    fixture synthesizes six URL classes per doc_id (uppercase scheme/
+    fixture synthesizes TEN URL classes per doc_id (uppercase scheme/
     host + default port + tracking params + fragment; :443; trailing
     slash; multi-part public suffix; a cross-class syntactic duplicate
-    pair; parameter-order shuffle), so every normalization step, the
-    suffix rule, the hash quota and the duplicate census are
-    load-bearing. Normalization is one scan-local codegen'd regex
-    chain; the cap/census are two window exchanges over (id, domain,
-    url_norm) triples — never document payloads."""
+    pair; parameter-order shuffle; and — ADVICE r10 — the poison rows
+    every real crawl column contains: a single-label host
+    (localhost), a scheme-less relative path, a NULL, and an empty
+    string, which must DEGRADE to a lone-label/''/NULL registered
+    domain instead of aborting the job on try_element_at index 0), so
+    every normalization step, the suffix rule, the hash quota and the
+    duplicate census are load-bearing. Normalization is one scan-local
+    codegen'd regex chain; the cap/census are two window exchanges
+    over (id, domain, url_norm) triples — never document payloads."""
     from .operators import urls as U
 
     d = _par(_t(spark, sf_dir, "documents"))
-    m = F.col("doc_id") % 6
+    m = F.col("doc_id") % 10
     did = F.col("doc_id").cast("string")
     d37 = (F.col("doc_id") % 37).cast("string")
     url = (
@@ -3808,7 +3816,11 @@ def url_normalize(spark, sf_dir):
             F.lit("http://blog.example"), d37,
             F.lit(".com.au/post?a=1&utm_campaign=x")))
         .when(m == 4, F.concat(F.lit("https://example"), d37, F.lit(".com/a/b")))
-        .otherwise(F.concat(F.lit("https://Example"), d37, F.lit(".com/a/b?b=2&a=1")))
+        .when(m == 5, F.concat(F.lit("https://Example"), d37, F.lit(".com/a/b?b=2&a=1")))
+        .when(m == 6, F.lit("HTTP://Localhost/health?b=2&utm_source=x"))
+        .when(m == 7, F.concat(F.lit("relative/path"), did, F.lit(".html")))
+        .when(m == 8, F.lit(None).cast("string"))
+        .otherwise(F.lit(""))
     )
     normed = U.url_normalize_table(d.select("doc_id", url.alias("url")))
     return U.domain_cap(normed, max_per_domain=3)

@@ -43,6 +43,7 @@ def mine_hard_negatives(
     corpus_vec: str = "embedding",
     normalized: bool = False,
     candidates: DataFrame | None = None,
+    broadcast_positives: bool = True,
 ) -> DataFrame:
     """(query_id, corpus_id, score, neg_rank): the ``n_negatives``
     best-scoring candidates per query that are not in ``positives``
@@ -53,10 +54,11 @@ def mine_hard_negatives(
     path; the default mines from the exact brute-force top-k.
 
     The positives anti-join rides a broadcast while the label table is
-    broadcast-sized (typically a handful of labels per query); for
-    larger label tables drop the hint — both sides are keyed on
-    query_id and the join degrades to a shuffle anti-join on a uniform
-    key."""
+    broadcast-sized (typically a handful of labels per query); pass
+    ``broadcast_positives=False`` for label tables beyond the
+    broadcast/driver-memory budget (ADVICE r10) — both sides are keyed
+    on query_id and the join degrades to a shuffle anti-join on a
+    uniform key."""
     if candidates is None:
         candidates = knn_bruteforce(
             queries, corpus, k, query_id=query_id, corpus_id=corpus_id,
@@ -65,8 +67,10 @@ def mine_hard_negatives(
     pos = positives.select(
         F.col(query_id), F.col(corpus_id)
     ).distinct()
+    if broadcast_positives:
+        pos = F.broadcast(pos)
     neg = candidates.filter(F.col("rank") > min_rank).join(
-        F.broadcast(pos), [query_id, corpus_id], "left_anti"
+        pos, [query_id, corpus_id], "left_anti"
     )
     w = Window.partitionBy(query_id).orderBy(
         F.desc("score"), F.asc(corpus_id)

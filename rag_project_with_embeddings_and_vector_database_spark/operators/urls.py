@@ -135,7 +135,15 @@ def url_normalize_table(
         .alias("url_norm"),
     )
     # registered domain: last two host labels, or three when the
-    # two-label tail is a known multi-part public suffix
+    # two-label tail is a known multi-part public suffix. Labels are
+    # indexed from the END with CONSTANT negative positions — NULL-safe
+    # (try_element_at past either end is NULL, and concat_ws skips
+    # NULLs) and never index 0: the old ``_n - 1`` form evaluated
+    # index 0 whenever the host split to a single label — a
+    # single-label host (http://localhost/x) or ANY scheme-less/
+    # malformed/empty url (empty host -> one empty label) — and one
+    # such poison row aborted the whole job with INVALID_INDEX_OF_ZERO
+    # (ADVICE r10). Those rows now degrade to the lone label (or '').
     d = d.select(
         *keep, "url_norm",
         F.split(_host_of(F.col("url_norm")), r"\.").alias("_labels"),
@@ -145,22 +153,27 @@ def url_normalize_table(
     )
     last2 = F.concat_ws(
         ".",
-        F.try_element_at("_labels", (F.col("_n") - 1).cast("int")),
-        F.try_element_at("_labels", F.col("_n").cast("int")),
+        F.try_element_at("_labels", F.lit(-2)),
+        F.try_element_at("_labels", F.lit(-1)),
     )
     d = d.select(*keep, "url_norm", "_labels", "_n", last2.alias("_l2"))
     last3 = F.concat_ws(
         ".",
-        F.try_element_at("_labels", (F.col("_n") - 2).cast("int")),
+        F.try_element_at("_labels", F.lit(-3)),
         F.col("_l2"),
     )
     is_multi = F.col("_l2").isin(*MULTI_PART_SUFFIXES)
+    # the NULL guard keeps the documented "NULL url stays NULL"
+    # contract: concat_ws SKIPS nulls, so without it a NULL url's
+    # registered_domain would collapse to '' instead of NULL
     return d.select(
         *keep, "url_norm",
-        F.when(F.col("_n") <= 2, F.col("_l2"))
-        .when(is_multi & (F.col("_n") >= 3), last3)
-        .otherwise(F.col("_l2"))
-        .alias("registered_domain"),
+        F.when(
+            F.col("url_norm").isNotNull(),
+            F.when(F.col("_n") <= 2, F.col("_l2"))
+            .when(is_multi & (F.col("_n") >= 3), last3)
+            .otherwise(F.col("_l2")),
+        ).alias("registered_domain"),
     )
 
 

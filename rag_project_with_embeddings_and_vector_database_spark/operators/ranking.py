@@ -21,7 +21,7 @@ long-green tfidf_terms oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import whitespace_tokens
@@ -285,6 +285,208 @@ def text_index_delete(
         ).alias("sum_dl"),
     )
     return kept_postings, kept_dfreq, kept_stats
+
+
+# Bucket count of the stored postings layout. A real deployment would
+# bucket by raw term; partitionBy on raw terms would create one
+# directory per term, so a bounded hash bucket stands in for it.
+TERM_BUCKETS = 64
+
+
+def term_bucket(c: Column) -> Column:
+    """The SHARED writer/prober bucket expression: the writer
+    partitions postings by it and the query path re-derives its terms'
+    buckets with the same expression to prune the scan."""
+    return F.pmod(F.hash(c), F.lit(TERM_BUCKETS))
+
+
+def _sidecar_frames(dfreq: DataFrame, stats: DataFrame) -> DataFrame:
+    """dfreq + stats as ONE union-schema frame (term NULL marks the
+    stats row): the two KB-scale sidecars always materialize together,
+    so one file halves the write jobs — at bench scale the bundled
+    maintenance rows are JOB-COUNT-bound (~0.1-0.4 s per driver job on
+    local[32]), not data-bound."""
+    d = dfreq.select(
+        "term", "df",
+        F.lit(None).cast("double").alias("avgdl"),
+        F.lit(None).cast("double").alias("n_docs"),
+        F.lit(None).cast("bigint").alias("sum_dl"),
+    )
+    s = stats.select(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("bigint").alias("df"),
+        "avgdl", "n_docs", "sum_dl",
+    )
+    return d.unionByName(s)
+
+
+def _split_sidecar(side: DataFrame) -> tuple[DataFrame, DataFrame]:
+    dfreq = side.filter(F.col("term").isNotNull()).select("term", "df")
+    stats = side.filter(F.col("term").isNull()).select(
+        "avgdl", "n_docs", "sum_dl"
+    )
+    return dfreq, stats
+
+
+def write_text_index(
+    docs: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Build AND persist the split index in ONE tokenize pass with the
+    term-bucketed postings store itself as the only materialization:
+    postings are written straight off the build lineage, then dfreq
+    and stats derive from COLUMN-PRUNED reads of the stored rows —
+    value-identical to materializing all three from a checkpoint
+    (same postings rows feed the same aggregations), but one full
+    postings materialization cheaper, and both sidecars land in ONE
+    union-schema file (r10's checkpoint=True + three-write shape paid
+    the localCheckpoint AND three store writes; the r10 verdict
+    measured the remaining bundled cost in the writes). Layout:
+    ``{path}/postings`` partitioned by ``term_bucket``,
+    ``{path}/sidecar`` (dfreq rows + one stats row)."""
+    spark = docs.sparkSession
+    postings, _, _ = build_text_index(docs, text_col, id_col)
+    (
+        postings.withColumn("term_bucket", term_bucket(F.col("term")))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings")
+    )
+    stored = spark.read.parquet(f"{path}/postings")
+    dfreq = stored.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        stored.select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.avg("dl").alias("avgdl"),
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+    _sidecar_frames(dfreq, stats).write.mode("overwrite").parquet(
+        f"{path}/sidecar"
+    )
+
+
+def append_text_index(
+    path: str, new_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Day-2 index maintenance AT THE STORE: the delta's postings
+    APPEND into the bucketed postings table (disjoint doc ids cannot
+    collide on (term, id) — no indexed posting is read or rewritten),
+    and the KB-scale sidecar merges additively / by exact integer
+    totals (the ``text_index_upsert`` arithmetic) and swaps in via a
+    localCheckpoint (materialize-then-overwrite, since a parquet dir
+    cannot be overwritten while a plan still reads it). Day-2 cost is
+    proportional to the DELTA plus one tiny sidecar rewrite — never to
+    the indexed corpus."""
+    spark = new_docs.sparkSession
+    p, d, s = build_text_index(new_docs, text_col, id_col, checkpoint=True)
+    (
+        p.withColumn("term_bucket", term_bucket(F.col("term")))
+        .repartition("term_bucket")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings")
+    )
+    old_d, old_s = _split_sidecar(spark.read.parquet(f"{path}/sidecar"))
+    merged_d = (
+        old_d.unionByName(d).groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    merged_s = (
+        old_s.unionByName(s)
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+        .select(
+            (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+            "n_docs",
+            "sum_dl",
+        )
+    )
+    _sidecar_frames(merged_d, merged_s).localCheckpoint().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sidecar")
+
+
+def write_index_frames(
+    postings: DataFrame, dfreq: DataFrame, stats: DataFrame, path: str
+) -> None:
+    """Persist already-maintained index frames (the DELETE path, whose
+    postings must rewrite) through the shared store layout. Frames
+    derived from a STORED index read cheaply; the sidecar swaps in via
+    localCheckpoint for the same overwrite-while-reading reason as
+    ``append_text_index``."""
+    (
+        postings.withColumn("term_bucket", term_bucket(F.col("term")))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings")
+    )
+    _sidecar_frames(dfreq, stats).localCheckpoint().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sidecar")
+
+
+def read_text_index(
+    spark, path: str, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The stored index frames, postings UNPRUNED (maintenance reads);
+    the query path goes through ``query_text_index`` instead."""
+    dfreq, stats = _split_sidecar(spark.read.parquet(f"{path}/sidecar"))
+    return (
+        spark.read.parquet(f"{path}/postings").drop("term_bucket"),
+        dfreq,
+        stats,
+    )
+
+
+def query_text_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "query",
+) -> DataFrame:
+    """The pruned probe over the stored layout: derive the query
+    terms' buckets with the writer's exact expression (a handful of
+    ints — driver planning metadata, like any partition predicate),
+    partition-filter the postings scan to those directories, and score
+    through ``bm25_query_indexed``."""
+    qbuckets = sorted(
+        r.b
+        for r in queries.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(whitespace_tokens(query_text), F.lower)
+                )
+            ).alias("term")
+        )
+        .select(term_bucket(F.col("term")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_bucket").isin(qbuckets))
+        .drop("term_bucket")
+    )
+    dfreq, stats = _split_sidecar(spark.read.parquet(f"{path}/sidecar"))
+    return bm25_query_indexed(
+        postings,
+        dfreq,
+        stats,
+        queries,
+        k=k,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        query_id=query_id,
+        query_text=query_text,
+    )
 
 
 def bm25_query_indexed(

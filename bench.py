@@ -56,6 +56,7 @@ HEADLINE = [
     "bm25_indexed",
     "bm25_indexed_incremental",
     "bm25_indexed_delete",
+    "bm25_indexed_delete_logical",
     "ann_ivf_indexed",
     "ann_pq",
     "ann_ivf_pq",

@@ -1768,6 +1768,45 @@ def bm25_indexed_delete(spark, sf_dir):
     )
 
 
+@register(
+    "bm25_indexed_delete_logical",
+    "WITH remaining AS (SELECT * FROM documents WHERE doc_id >= 50), "
+    + f"{_bm25_ctes(source='remaining')} "
+    + "SELECT query_id, doc_id, score, rank FROM lexical",
+)
+def bm25_indexed_delete_logical(spark, sf_dir):
+    """LOGICAL (deletion-vector-style) delete for the stored BM25
+    index (operators/ranking.py tombstone_delete — new r11): where
+    bm25_indexed_delete pays a physical postings rewrite, this path
+    appends the deleted ids to a tombstone sidecar (delta-sized
+    write), maintains the KB-scale dfreq/stats sidecar EXACTLY from
+    one column-pruned read of the stored postings, and rewrites
+    nothing — probes anti-join the broadcast tombstone set after
+    partition pruning. The oracle REBUILDS over only the survivors
+    and scores through the identical CTE chain: a hash match proves
+    the logically-deleted store returns rebuild-exact scores (not the
+    stale-stats approximation naive deletion vectors settle for).
+    ``compact_text_index`` reclaims the space into a new table
+    generation later; probe identity across compaction is pinned by
+    tests/test_bm25_store.py."""
+    import os
+    import tempfile
+
+    docs = _par(_t(spark, sf_dir, "documents"))
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"spark_rag_bm25tomb_idx_p{os.getpid()}"
+    )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # tombstones APPEND: reset
+    RK.write_text_index(docs, tmp)  # day-1: the stored index
+    gone = docs.filter(F.col("doc_id") < 50).select("doc_id")
+    RK.tombstone_delete(spark, tmp, gone)  # day-2: delta-sized
+    return RK.query_text_index(
+        spark, tmp, _bm25_qdf(spark), k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 @register("ann_ivf_indexed")  # rows-only: seeded KMeans bucketing not SQL-expressible
 def ann_ivf_indexed(spark, sf_dir):
     """The PRODUCTION IVF shape: build_ivf_index clusters the corpus
@@ -7481,6 +7520,7 @@ _PRIORITY = [
     # append-only day-2 upsert, shared layout helpers)
     "bm25_topk", "hybrid_rrf", "bm25_indexed",
     "bm25_indexed_incremental", "bm25_indexed_delete",
+    "bm25_indexed_delete_logical",
     # (b) closure of operators/repetition.py (straggler-envelope note)
     # and streaming/ttl.py (stale docstring fix) — comment-only diffs,
     # front-loaded per the file-granular window policy
@@ -7498,12 +7538,14 @@ _PRIORITY = [
     "knn_bruteforce", "ann_ivf", "ann_ivf_quantized", "ann_lsh",
     "ann_ivf_indexed", "ann_ivf_append", "ann_pq", "ann_ivf_pq",
     "ann_ivf_indexed_int8", "quality_classifier", "mixture_sample",
-    "mixture_sample_tokens", "top_orders_per_customer", "vectors_upsert",
+    "mixture_sample_tokens", "top_orders_per_customer",
     # (b) vector_arrival_ingest's span is the file tail, so editing
     # this very list flags it (span-attribution rule) — in-window
     "vector_arrival_ingest",
 ]
-# r11 rotation debt (recorded for r12): the two deferred r7 mixture
+# r11 rotation debt (recorded for r12): vectors_upsert (r7, displaced
+# by the bm25_indexed_delete_logical registration) and the two
+# deferred r7 mixture
 # variants (mixture_sample_threshold, mixture_upsample — their shared
 # module code is refreshed via mixture_sample/mixture_sample_tokens
 # this round), then the r8 population (filter_ext, token_count,

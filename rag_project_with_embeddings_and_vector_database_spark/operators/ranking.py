@@ -427,11 +427,84 @@ def write_index_frames(
     ).parquet(f"{path}/sidecar")
 
 
+def _tombstones(spark, path: str, id_col: str) -> DataFrame | None:
+    """The store's tombstone set, or None when no delete ever ran."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(f"{path}/tombstones").select(id_col).distinct()
+        )
+    except AnalysisException:
+        return None
+
+
+def tombstone_delete(
+    spark, path: str, doc_ids: DataFrame, id_col: str = "doc_id"
+) -> None:
+    """LOGICAL delete for the stored BM25 index — the deletion-vector
+    shape ``text_index_delete``'s physical rewrite cannot give: the
+    ids APPEND into ``{path}/tombstones`` (delta-sized) and no
+    postings row is rewritten; probes anti-join the broadcast
+    tombstone set. The KB-scale sidecar IS maintained exactly (the
+    ``text_index_delete`` arithmetic, fed by one COLUMN-PRUNED read of
+    the stored postings — reading is the cheap half; rewriting is what
+    this avoids), so scores equal a full rebuild over the survivors —
+    not the "stale collection stats" approximation naive deletion
+    vectors settle for. Ids already tombstoned are skipped, so a
+    repeated delete cannot double-subtract. Reclaim space later with
+    ``compact_text_index``."""
+    ids = doc_ids.select(F.col(id_col)).distinct()
+    prior = _tombstones(spark, path, id_col)
+    if prior is not None:
+        ids = ids.join(F.broadcast(prior), id_col, "left_anti")
+    # materialize the new-id set once: the append below and the sidecar
+    # subtraction both read it, and the append must not race the
+    # prior-tombstone read above
+    ids = ids.localCheckpoint()
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+    stored, dfreq, stats = read_text_index(spark, path, id_col=id_col)
+    _, kept_dfreq, kept_stats = text_index_delete(
+        stored, dfreq, stats, ids, id_col=id_col
+    )
+    _sidecar_frames(kept_dfreq, kept_stats).localCheckpoint().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sidecar")
+
+
+def compact_text_index(
+    spark, src_path: str, dest_path: str, id_col: str = "doc_id"
+) -> None:
+    """Apply a store's tombstones physically into a NEW table
+    generation (the catalog-pointer-swap deployment shape — never an
+    in-place overwrite of a dir a plan may still read): surviving
+    postings rewrite bucketed, the already-exact sidecar copies over,
+    and the new generation carries no tombstones. Probe results are
+    identical before and after (pinned by tests/test_bm25_store.py)."""
+    stored = spark.read.parquet(f"{src_path}/postings")
+    tomb = _tombstones(spark, src_path, id_col)
+    if tomb is not None:
+        stored = stored.join(F.broadcast(tomb), id_col, "left_anti")
+    (
+        stored.drop("term_bucket")
+        .withColumn("term_bucket", term_bucket(F.col("term")))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{dest_path}/postings")
+    )
+    spark.read.parquet(f"{src_path}/sidecar").localCheckpoint().write.mode(
+        "overwrite"
+    ).parquet(f"{dest_path}/sidecar")
+
+
 def read_text_index(
     spark, path: str, id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The stored index frames, postings UNPRUNED (maintenance reads);
-    the query path goes through ``query_text_index`` instead."""
+    """The stored index frames, postings UNPRUNED and PHYSICAL (rows
+    of logically-deleted docs included — ``tombstone_delete``'s
+    sidecar arithmetic depends on that); the query path goes through
+    ``query_text_index``, which honors tombstones."""
     dfreq, stats = _split_sidecar(spark.read.parquet(f"{path}/sidecar"))
     return (
         spark.read.parquet(f"{path}/postings").drop("term_bucket"),
@@ -474,6 +547,12 @@ def query_text_index(
         .filter(F.col("term_bucket").isin(qbuckets))
         .drop("term_bucket")
     )
+    tomb = _tombstones(spark, path, id_col)
+    if tomb is not None:
+        # logical deletes: anti-join the broadcast tombstone set AFTER
+        # partition pruning, so the filter costs one KB-scale broadcast
+        # over only the matched postings
+        postings = postings.join(F.broadcast(tomb), id_col, "left_anti")
     dfreq, stats = _split_sidecar(spark.read.parquet(f"{path}/sidecar"))
     return bm25_query_indexed(
         postings,

@@ -108,16 +108,29 @@ def _split_nonempty(c: Column, sep: str) -> Column:
 
 
 def repetition_signals(
-    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id",
+    max_lines: int | None = None,
 ) -> DataFrame:
     """Per-document repetition signals (see module docstring). NULL
     text is treated as empty (zero signals, definite verdicts
     downstream — the gopher.py convention). Documents shorter than n
-    tokens have no n-grams and score 0 for that n."""
+    tokens have no n-grams and score 0 for that n.
+
+    ``max_lines`` (default None = unbounded, the paper's statistic)
+    caps the line/paragraph arrays the dup censuses scan — the
+    documented straggler guard for adversarial multi-100k-line
+    documents (``_dup_census`` is O(distinct x lines) per doc; see its
+    docstring). A capped census measures the PREFIX, which is the
+    standard trade a pipeline makes explicitly rather than silently."""
     c = F.coalesce(F.col(content_col), F.lit(""))
 
-    line_frac, line_char_frac = _dup_census(_split_nonempty(c, "\n"))
-    para_frac, para_char_frac = _dup_census(_split_nonempty(c, "\n\n"))
+    def _bounded(arr: Column) -> Column:
+        if max_lines is None:
+            return arr
+        return F.slice(arr, 1, max_lines)
+
+    line_frac, line_char_frac = _dup_census(_bounded(_split_nonempty(c, "\n")))
+    para_frac, para_char_frac = _dup_census(_bounded(_split_nonempty(c, "\n\n")))
     base = df.select(
         F.col(id_col),
         F.transform(whitespace_tokens(c), F.lower).alias("_tk"),

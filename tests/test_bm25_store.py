@@ -87,3 +87,46 @@ def test_delete_through_store_frames(spark, docs, tmp_path):
     got = _frames_sorted(*RK.read_text_index(spark, d1))
     want = _frames_sorted(*RK.read_text_index(spark, d2))
     assert got == want
+
+
+def test_tombstone_delete_equals_rebuild_and_survives_compaction(spark, docs, tmp_path):
+    """Logical delete (tombstone_delete): probe results must equal a
+    rebuild over the survivors WITHOUT any postings rewrite (the
+    physical rows stay; only the tombstone set and the KB sidecar
+    change), a REPEATED delete of the same ids must not
+    double-subtract the sidecar, and compacting into a new generation
+    must leave probe results identical with the deleted rows
+    physically gone."""
+    from pyspark.sql import functions as F
+
+    live, rebuilt, gen2 = (str(tmp_path / x) for x in ("live", "rebuilt", "gen2"))
+    RK.write_text_index(docs, live)
+    gone = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    RK.tombstone_delete(spark, live, gone)
+    RK.write_text_index(docs.filter(F.col("doc_id") >= 10), rebuilt)
+    qdf = spark.createDataFrame(
+        [(0, "term1 shared"), (1, "word3 tail")], "query_id long, query string"
+    )
+
+    def probe(path):
+        return sorted(map(tuple, RK.query_text_index(spark, path, qdf, k=5).collect()))
+
+    want = probe(rebuilt)
+    assert probe(live) == want
+    # physical rows still present (no rewrite happened)
+    assert (
+        spark.read.parquet(f"{live}/postings").filter(F.col("doc_id") < 10).count() > 0
+    )
+    # idempotence: deleting the same ids again must not corrupt the sidecar
+    RK.tombstone_delete(spark, live, gone)
+    assert probe(live) == want
+    d_live = sorted(map(tuple, RK.read_text_index(spark, rebuilt)[1].collect()))
+    d_side = sorted(map(tuple, RK._split_sidecar(
+        spark.read.parquet(f"{live}/sidecar"))[0].collect()))
+    assert d_side == d_live
+    # compaction: new generation, identical probes, rows physically gone
+    RK.compact_text_index(spark, live, gen2)
+    assert probe(gen2) == want
+    assert (
+        spark.read.parquet(f"{gen2}/postings").filter(F.col("doc_id") < 10).count() == 0
+    )

@@ -100,3 +100,22 @@ def test_census_is_scan_local(spark):
     spine_only = sig.select("doc_id", "dup_line_frac", "dup_para_char_frac")
     plan = spine_only._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("Join")[0].split("Window")[0]
+
+
+def test_max_lines_caps_the_dup_census(spark):
+    """The documented straggler guard (VERDICT r10 nit): max_lines
+    bounds what the line/paragraph censuses scan. Under the cap the
+    signals are identical to the unbounded default; over it the census
+    measures the prefix (here: the duplicate line sits past the cap,
+    so the capped dup_line_frac drops to 0)."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        repetition as RP,
+    )
+
+    text = "\n".join([f"line {i}" for i in range(10)] + ["line 3"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    base = RP.repetition_signals(df).collect()[0]
+    same = RP.repetition_signals(df, max_lines=100).collect()[0]
+    assert base.dup_line_frac == same.dup_line_frac > 0
+    capped = RP.repetition_signals(df, max_lines=10).collect()[0]
+    assert capped.dup_line_frac == 0.0

@@ -149,13 +149,15 @@ def test_bucketed_join_no_exchange_before_smj(spark, sf_dir):
 
 def test_bm25_indexed_reads_index_not_corpus(spark, sf_dir):
     # the stored-index query path must answer from the written index:
-    # its plan reads the postings/dfreq/stats parquet, never re-scans
-    # documents.parquet or re-tokenizes; the query terms' bucket set is
-    # a PARTITION filter on the postings scan (real directory pruning,
-    # not a post-scan row filter); query terms broadcast; no cartesian
+    # its plan reads the postings parquet + the union-schema sidecar
+    # (dfreq rows + the stats row in ONE file since r11), never
+    # re-scans documents.parquet or re-tokenizes; the query terms'
+    # bucket set is a PARTITION filter on the postings scan (real
+    # directory pruning, not a post-scan row filter); query terms
+    # broadcast; no cartesian
     plan = _plan(spark, "bm25_indexed", sf_dir)
     assert "documents.parquet" not in plan
-    assert "/postings" in plan and "/dfreq" in plan and "/stats" in plan
+    assert "/postings" in plan and "/sidecar" in plan
     assert "PartitionFilters" in plan and "term_bucket" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

@@ -2695,24 +2695,7 @@ def dsir_models(spark, sf_dir):
     rm, rd = DS.fit_hashed_lm(
         DS.hashed_ngram_features(d), cache_key="dsir_lm_raw"
     )
-    return (
-        tm.select(F.lit("t").alias("model"), "bucket", "lpm")
-        .unionByName(rm.select(F.lit("r").alias("model"), "bucket", "lpm"))
-        .unionByName(
-            td.select(
-                F.lit("t_def").alias("model"),
-                F.lit(-1).cast("bigint").alias("bucket"),
-                F.col("lpm_def").alias("lpm"),
-            )
-        )
-        .unionByName(
-            rd.select(
-                F.lit("r_def").alias("model"),
-                F.lit(-1).cast("bigint").alias("bucket"),
-                F.col("lpm_def").alias("lpm"),
-            )
-        )
-    )
+    return DS.model_table(tm, td, rm, rd)
 
 
 @register(

@@ -320,3 +320,99 @@ def dsir_select(
     )
     scored = dsir_logweights(feat_r, tm, td, rm, rd, id_col=id_col)
     return gumbel_topk(scored, k, id_col=id_col, seed=gumbel_seed)
+
+
+def model_table(
+    target_model: DataFrame,
+    target_default: DataFrame,
+    raw_model: DataFrame,
+    raw_default: DataFrame,
+) -> DataFrame:
+    """Both fitted models + their unseen-bucket defaults as ONE
+    long-form frame ``(model, bucket, lpm)`` with
+    ``model in ('t','r','t_def','r_def')`` and ``bucket = -1`` marking
+    the default rows — the registered ``dsir_models`` bisection shape
+    and the storable state of a fitted DSIR selector (at most
+    2*num_buckets + 2 integer rows)."""
+    return (
+        target_model.select(F.lit("t").alias("model"), "bucket", "lpm")
+        .unionByName(
+            raw_model.select(F.lit("r").alias("model"), "bucket", "lpm")
+        )
+        .unionByName(
+            target_default.select(
+                F.lit("t_def").alias("model"),
+                F.lit(-1).cast("bigint").alias("bucket"),
+                F.col("lpm_def").alias("lpm"),
+            )
+        )
+        .unionByName(
+            raw_default.select(
+                F.lit("r_def").alias("model"),
+                F.lit(-1).cast("bigint").alias("bucket"),
+                F.col("lpm_def").alias("lpm"),
+            )
+        )
+    )
+
+
+def write_dsir_model(
+    target_model: DataFrame,
+    target_default: DataFrame,
+    raw_model: DataFrame,
+    raw_default: DataFrame,
+    path: str,
+) -> None:
+    """Persist a fitted importance model (KB-scale integer rows) — the
+    DAY-1 half of incremental DSIR: the paper fits its models once per
+    (target, raw-snapshot) pair, and every later crawl batch is scored
+    against the STORED quantized log-probabilities without touching
+    either fitting corpus again. Because the stored lpm values are
+    exact BIGINTs, any engine that joins this table reproduces scores
+    bit-for-bit — the same single-source argument as
+    ``gumbel_table()``."""
+    model_table(target_model, target_default, raw_model, raw_default).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def read_dsir_model(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Split a stored model back into the ``dsir_logweights`` operand
+    frames ``(target_model, target_default, raw_model, raw_default)``."""
+    t = spark.read.parquet(path)
+    return (
+        t.filter(F.col("model") == "t").select("bucket", "lpm"),
+        t.filter(F.col("model") == "t_def").select(
+            F.col("lpm").alias("lpm_def")
+        ),
+        t.filter(F.col("model") == "r").select("bucket", "lpm"),
+        t.filter(F.col("model") == "r_def").select(
+            F.col("lpm").alias("lpm_def")
+        ),
+    )
+
+
+def dsir_score_incremental(
+    new_docs: DataFrame,
+    spark,
+    model_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    seed: int = 7,
+) -> DataFrame:
+    """DAY-2 DSIR: score a NEW batch of raw documents against the
+    STORED model — one delta featurization pass + the broadcast model
+    joins + the per-document integer sum; O(delta), the fitting
+    corpora are never re-read. Scores are bit-identical to what the
+    day-1 fit would assign (exact integer lpm through the parquet
+    round-trip; pinned by tests/test_dsir.py), so selection thresholds
+    learned on day 1 transfer unchanged."""
+    feat = hashed_ngram_features(
+        new_docs, text_col=text_col, id_col=id_col,
+        num_buckets=num_buckets, seed=seed,
+    )
+    tm, td, rm, rd = read_dsir_model(spark, model_path)
+    return dsir_logweights(feat, tm, td, rm, rd, id_col=id_col)

@@ -141,3 +141,39 @@ def test_dsir_select_picks_planted_target_aligned_doc(spark):
     sel = DS.dsir_select(raw, target, k=3)
     assert sel.count() == 3
     assert 999 in {r["doc_id"] for r in sel.collect()}
+
+
+def test_stored_model_scores_bit_identical(spark, tmp_path):
+    """Day-2 DSIR (r11): fit once, write the model table, score a new
+    batch against the STORED integers — logw_micro must be BIT-EQUAL
+    to what a direct in-session fit assigns (exact BIGINT lpm through
+    the parquet round-trip), so day-1 selection thresholds transfer
+    unchanged."""
+    target = spark.createDataFrame(
+        [(100, "spark catalyst tungsten shuffle")], ["doc_id", "text"]
+    )
+    raw = spark.createDataFrame(
+        [(0, "spark catalyst tungsten"), (1, "qux zot frobnicate"),
+         (2, "spark qux mixed bag")],
+        ["doc_id", "text"],
+    )
+    ft = DS.hashed_ngram_features(target)
+    fr = DS.hashed_ngram_features(raw)
+    tm, td = DS.fit_hashed_lm(ft, cache_key="t_dsir_st_t")
+    rm, rd = DS.fit_hashed_lm(fr, cache_key="t_dsir_st_r")
+    direct = {
+        r["doc_id"]: (r["logw_micro"], r["n_grams"])
+        for r in DS.dsir_logweights(fr, tm, td, rm, rd).collect()
+    }
+    p = str(tmp_path / "dsir_model")
+    DS.write_dsir_model(tm, td, rm, rd, p)
+    new_batch = raw.unionByName(
+        spark.createDataFrame([(9, "spark catalyst fresh")], ["doc_id", "text"])
+    )
+    stored = {
+        r["doc_id"]: (r["logw_micro"], r["n_grams"])
+        for r in DS.dsir_score_incremental(new_batch, spark, p).collect()
+    }
+    for k, v in direct.items():
+        assert stored[k] == v, k
+    assert 9 in stored  # unseen day-2 doc scored without any re-fit

@@ -177,3 +177,23 @@ def test_stored_model_scores_bit_identical(spark, tmp_path):
     for k, v in direct.items():
         assert stored[k] == v, k
     assert 9 in stored  # unseen day-2 doc scored without any re-fit
+
+
+def test_bisection_stage_plan_shapes(spark, tiny):
+    """The bisection stages must keep dsir's physical contract: model
+    joins and the Gumbel table lookup broadcast (never a
+    SortMergeJoin), and gumbel_terms' only join input is the KB-scale
+    table."""
+    target = tiny.filter(F.col("doc_id") < 2)
+    ft = DS.hashed_ngram_features(target)
+    fr = DS.hashed_ngram_features(tiny)
+    tm, td = DS.fit_hashed_lm(ft, cache_key="t_dsir_plan_t")
+    rm, rd = DS.fit_hashed_lm(fr, cache_key="t_dsir_plan_r")
+    scored = DS.dsir_logweights(fr, tm, td, rm, rd)
+    p1 = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p1 and "SortMergeJoin" not in p1
+    keyed = DS.gumbel_keys(scored)
+    p2 = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p2
+    p3 = DS.gumbel_terms(tiny)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p3 and "SortMergeJoin" not in p3

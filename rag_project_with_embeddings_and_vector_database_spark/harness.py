@@ -3640,7 +3640,7 @@ def _url_sql(max_per_domain: int = 3) -> str:
     WITH fixt AS (
       SELECT doc_id,
              CASE (doc_id % 10)
-               WHEN 0 THEN 'HTTP://WWW.Example' || (doc_id % 37)::VARCHAR
+               WHEN 0 THEN 'HTTP://WWW.www.Example' || (doc_id % 37)::VARCHAR
                     || '.Co.UK:80/Path/' || doc_id::VARCHAR
                     || '/?utm_source=feed&b=2&a=1#frag'
                WHEN 1 THEN 'https://news.example' || (doc_id % 37)::VARCHAR
@@ -3673,7 +3673,7 @@ def _url_sql(max_per_domain: int = 3) -> str:
     ),
     s4 AS (
       SELECT doc_id, url,
-             regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\\.', '\\1') AS u
+             regexp_replace(u, '^([a-z][a-z0-9+.-]*://)(?:www\\.)+', '\\1') AS u
       FROM s3
     ),
     s5 AS (
@@ -3746,7 +3746,7 @@ def url_normalize(spark, sf_dir):
     d37 = (F.col("doc_id") % 37).cast("string")
     url = (
         F.when(m == 0, F.concat(
-            F.lit("HTTP://WWW.Example"), d37, F.lit(".Co.UK:80/Path/"), did,
+            F.lit("HTTP://WWW.www.Example"), d37, F.lit(".Co.UK:80/Path/"), did,
             F.lit("/?utm_source=feed&b=2&a=1#frag")))
         .when(m == 1, F.concat(
             F.lit("https://news.example"), d37, F.lit(".com:443/story/"),

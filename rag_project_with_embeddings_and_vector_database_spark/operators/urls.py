@@ -98,7 +98,11 @@ def url_normalize_table(
                 ),
                 r"^(https://[^/?:]*):443($|[/?].*)", r"$1$2",
             ),
-            r"^([a-z][a-z0-9+.-]*://)www\.", r"$1",
+            # (?:www\.)+ consumes EVERY consecutive leading www label:
+            # stripping only one broke idempotence on www.www.host —
+            # normalize(normalize(x)) must equal normalize(x)
+            # (property-swept in tests/test_urls.py)
+            r"^([a-z][a-z0-9+.-]*://)(?:www\.)+", r"$1",
         ).alias("_u"),
     )
     # 5. query params: split, drop tracking, sort, rebuild; 6. trailing

@@ -108,3 +108,50 @@ def test_normalization_is_scan_local(spark):
         U.url_normalize_table(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_normalization_is_idempotent_over_adversarial_inputs(spark):
+    """normalize(normalize(x)) == normalize(x) — the canonical
+    normalization property, swept over crafted adversarial inputs AND
+    a seeded compositional family (every combination of scheme case,
+    www, default/explicit port, path shape, tracking/real params,
+    fragment), in ONE DataFrame pass: the already-normalized column is
+    re-normalized and any row where the two disagree fails with its
+    input named."""
+    import itertools
+
+    crafted = [
+        "HTTP://WWW.Example.COM:80/Path//x/?utm_source=a&b=2&a=1#f",
+        "https://www.WWW.example.co.uk:443/?ref=x",
+        "http://localhost:80/",
+        "http://localhost/x/",
+        "https://a.b.c.d.example.com.au/deep/path/?z=1&y=2&utm_a=3",
+        "ftp://Mixed.Case.Host/Path",
+        "not a url", "", "  ", "relative/p.html", "?just=query",
+        "https://h.io/p?&&&", "https://h.io/p?a=1&a=1&A=1",
+        "http://h.io:8080/p/", "https://h.io/#only-fragment",
+        "https://h.io/p?utm_=1", "https://h.io//",
+    ]
+    parts = itertools.product(
+        ["http://", "HTTPS://"], ["", "www."], ["Example7.com", "Host.co.uk"],
+        ["", ":80", ":443", ":9090"], ["/", "/A/b/", "/A/b"],
+        ["", "?b=2&a=1", "?utm_x=1&k=v", "?utm_only=1"], ["", "#frag"],
+    )
+    urls = crafted + ["".join(p) for p in parts]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    once = U.url_normalize_table(df).select(
+        "doc_id", F.col("url").alias("orig"),
+        F.col("url_norm").alias("n1"), F.col("registered_domain").alias("d1"),
+    )
+    twice = U.url_normalize_table(
+        once.select("doc_id", F.col("n1").alias("url"))
+    ).select("doc_id", F.col("url_norm").alias("n2"),
+             F.col("registered_domain").alias("d2"))
+    bad = (
+        once.join(twice, "doc_id")
+        .filter((F.col("n1") != F.col("n2")) | (F.col("d1") != F.col("d2")))
+        .collect()
+    )
+    assert not bad, bad[:5]

@@ -383,14 +383,31 @@ def main():
             print(f"ok   {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            # r11 VERDICT: the driver's checker reads oracle output via
+            # Arrow, where an uncast DuckDB integer sum() (HUGEINT)
+            # arrives as decimal128(38,0) and hash-mismatches Spark's
+            # int64 even when every VALUE is identical — fetchall()
+            # flattens it to int so value comparison can't see it.
+            # Assert NO oracle emits HUGEINT/DECIMAL output columns.
+            bad_types = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT")
+                or str(t).upper().startswith("DECIMAL")
+            ]
+            duck_cols = rel.columns
+            duck_rows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: ORACLE ERROR {str(e)[:300]}")
             continue
         problems = []
+        if bad_types:
+            problems.append(
+                f"oracle output type(s) {bad_types} would arrive as Arrow "
+                f"decimal128 on the driver — add an explicit CAST"
+            )
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
         if sorted(spark_cols) != sorted(duck_cols):

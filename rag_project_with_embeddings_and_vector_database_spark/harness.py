@@ -2631,7 +2631,11 @@ def _dsir_select_sql() -> str:
       JOIN g ON g.pos = {_DSIR_GUMBEL_POS_SQL.format(id="sc.doc_id")}
     )
     SELECT doc_id, lang, logw_micro, n_grams, sel_key_micro
-    FROM keyed ORDER BY sel_key_micro DESC, doc_id LIMIT 100
+    FROM keyed
+    ORDER BY sel_key_micro DESC,
+             ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '17'), 1, 15))::BIGINT,
+             doc_id
+    LIMIT 100
     """
 
 

@@ -68,6 +68,10 @@ GUMBEL_UNIT = 1_000
 # intact (the noise resolution only has to break ranking ties among
 # near-equal weights, not be continuous).
 GUMBEL_POSITIONS = 4_096
+# Salt for the selection tie-break hash: sel_key_micro ties (shared
+# grid position + equal weight) break by a salted hash of the id, not
+# by raw id order, so near-equal-weight ties carry no low-id bias.
+GUMBEL_TIE_SALT = 17
 # Runtime tie-guard: quantization aborts loudly if any value lands
 # within this distance of a rounding boundary (in grid units). The
 # cross-engine error budget — a few ulps of libm ln on |x| <= ~20,
@@ -278,11 +282,25 @@ def gumbel_topk(
     grid by the row's permanent hash position, so the per-row key is
     an exact BIGINT that every engine reproduces bit-for-bit without
     evaluating any transcendental itself. ``orderBy().limit(k)``
-    compiles to TakeOrdered — no global sort shuffle."""
+    compiles to TakeOrdered — no global sort shuffle.
+
+    Tie handling (r11 ADVICE): the 4096-position grid gives documents
+    at the same position an identical noise term, so ``sel_key_micro``
+    ties occur among near-equal weights; breaking them by raw id would
+    systematically prefer LOW ids — a statistical bias the
+    proportional-to-weight sample must not carry. Ties therefore break
+    by a SECOND salted hash of the id (engine-portable md5, a
+    different salt than the position hash), with the raw id only as
+    the final total-order guarantee."""
     keyed = gumbel_keys(scored, id_col=id_col, weight_col=weight_col, seed=seed)
+    c = F.col(id_col)
     return (
         keyed.drop("pos", "g_micro")
-        .orderBy(F.desc("sel_key_micro"), F.col(id_col))
+        .orderBy(
+            F.desc("sel_key_micro"),
+            md5_long(c.cast("string"), F.lit(str(GUMBEL_TIE_SALT))),
+            c,
+        )
         .limit(k)
     )
 
@@ -362,6 +380,8 @@ def write_dsir_model(
     raw_model: DataFrame,
     raw_default: DataFrame,
     path: str,
+    num_buckets: int = 8192,
+    seed: int = 7,
 ) -> None:
     """Persist a fitted importance model (KB-scale integer rows) — the
     DAY-1 half of incremental DSIR: the paper fits its models once per
@@ -370,17 +390,28 @@ def write_dsir_model(
     either fitting corpus again. Because the stored lpm values are
     exact BIGINTs, any engine that joins this table reproduces scores
     bit-for-bit — the same single-source argument as
-    ``gumbel_table()``."""
-    model_table(target_model, target_default, raw_model, raw_default).write.mode(
-        "overwrite"
-    ).parquet(path)
+    ``gumbel_table()``.
+
+    The fit's FEATURIZATION parameters (num_buckets, seed) ride along
+    as metadata rows (r11 ADVICE): a stored model scored with a
+    different hash space silently misaligns every bucket join and
+    fills defaults, so day-2 scoring derives the parameters from the
+    store instead of trusting caller defaults."""
+    meta = target_model.sparkSession.createDataFrame(
+        [("cfg_num_buckets", -1, num_buckets), ("cfg_seed", -1, seed)],
+        "model string, bucket bigint, lpm bigint",
+    )
+    model_table(target_model, target_default, raw_model, raw_default).unionByName(
+        meta
+    ).write.mode("overwrite").parquet(path)
 
 
 def read_dsir_model(
     spark, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Split a stored model back into the ``dsir_logweights`` operand
-    frames ``(target_model, target_default, raw_model, raw_default)``."""
+    frames ``(target_model, target_default, raw_model, raw_default)``
+    (metadata rows excluded; read them with ``read_dsir_model_params``)."""
     t = spark.read.parquet(path)
     return (
         t.filter(F.col("model") == "t").select("bucket", "lpm"),
@@ -394,14 +425,34 @@ def read_dsir_model(
     )
 
 
+def read_dsir_model_params(spark, path: str) -> tuple[int, int]:
+    """The stored fit's ``(num_buckets, seed)`` metadata. Models
+    written before the metadata rows existed raise — re-write them
+    with the current ``write_dsir_model`` rather than guessing a hash
+    space that would silently misalign every bucket."""
+    rows = {
+        r["model"]: int(r["lpm"])
+        for r in spark.read.parquet(path)
+        .filter(F.col("model").isin("cfg_num_buckets", "cfg_seed"))
+        .collect()
+    }
+    if "cfg_num_buckets" not in rows or "cfg_seed" not in rows:
+        raise ValueError(
+            f"dsir model at {path} records no featurization metadata "
+            "(cfg_num_buckets/cfg_seed rows); re-write it with "
+            "write_dsir_model before incremental scoring"
+        )
+    return rows["cfg_num_buckets"], rows["cfg_seed"]
+
+
 def dsir_score_incremental(
     new_docs: DataFrame,
     spark,
     model_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 8192,
-    seed: int = 7,
+    num_buckets: int | None = None,
+    seed: int | None = None,
 ) -> DataFrame:
     """DAY-2 DSIR: score a NEW batch of raw documents against the
     STORED model — one delta featurization pass + the broadcast model
@@ -409,10 +460,26 @@ def dsir_score_incremental(
     corpora are never re-read. Scores are bit-identical to what the
     day-1 fit would assign (exact integer lpm through the parquet
     round-trip; pinned by tests/test_dsir.py), so selection thresholds
-    learned on day 1 transfer unchanged."""
+    learned on day 1 transfer unchanged.
+
+    ``num_buckets``/``seed`` default to the STORE's recorded fit
+    parameters; passing a value that contradicts the store raises
+    instead of silently scoring in a misaligned hash space (r11
+    ADVICE)."""
+    stored_b, stored_s = read_dsir_model_params(spark, model_path)
+    if num_buckets is not None and num_buckets != stored_b:
+        raise ValueError(
+            f"num_buckets={num_buckets} contradicts the stored fit's "
+            f"{stored_b} at {model_path}"
+        )
+    if seed is not None and seed != stored_s:
+        raise ValueError(
+            f"seed={seed} contradicts the stored fit's {stored_s} at "
+            f"{model_path}"
+        )
     feat = hashed_ngram_features(
         new_docs, text_col=text_col, id_col=id_col,
-        num_buckets=num_buckets, seed=seed,
+        num_buckets=stored_b, seed=stored_s,
     )
     tm, td, rm, rd = read_dsir_model(spark, model_path)
     return dsir_logweights(feat, tm, td, rm, rd, id_col=id_col)

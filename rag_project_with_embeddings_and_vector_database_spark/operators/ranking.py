@@ -447,27 +447,46 @@ def tombstone_delete(
     ids APPEND into ``{path}/tombstones`` (delta-sized) and no
     postings row is rewritten; probes anti-join the broadcast
     tombstone set. The KB-scale sidecar IS maintained exactly (the
-    ``text_index_delete`` arithmetic, fed by one COLUMN-PRUNED read of
-    the stored postings — reading is the cheap half; rewriting is what
-    this avoids), so scores equal a full rebuild over the survivors —
-    not the "stale collection stats" approximation naive deletion
-    vectors settle for. Ids already tombstoned are skipped, so a
-    repeated delete cannot double-subtract. Reclaim space later with
-    ``compact_text_index``."""
+    one COLUMN-PRUNED read of the stored postings — reading is the
+    cheap half; rewriting is what this avoids), so scores equal a full
+    rebuild over the survivors — not the "stale collection stats"
+    approximation naive deletion vectors settle for.
+
+    Crash-safety (r11 ADVICE): the sidecar is recomputed as a PURE
+    FUNCTION of (stored postings, FULL tombstone set) — never by
+    subtracting only this call's delta from the current sidecar. A
+    failure between the tombstone append and the sidecar overwrite
+    therefore self-repairs on ANY retry (even with an empty or
+    already-tombstoned id set): the recompute sees the full appended
+    set and converges, where delta-subtraction would anti-join the
+    already-appended ids away and leave the sidecar permanently
+    counting the deleted docs. Same scan cost as the delta arithmetic
+    (one pruned-column pass over stored postings). Reclaim space later
+    with ``compact_text_index``."""
     ids = doc_ids.select(F.col(id_col)).distinct()
     prior = _tombstones(spark, path, id_col)
     if prior is not None:
         ids = ids.join(F.broadcast(prior), id_col, "left_anti")
-    # materialize the new-id set once: the append below and the sidecar
-    # subtraction both read it, and the append must not race the
-    # prior-tombstone read above
-    ids = ids.localCheckpoint()
-    ids.write.mode("append").parquet(f"{path}/tombstones")
-    stored, dfreq, stats = read_text_index(spark, path, id_col=id_col)
-    _, kept_dfreq, kept_stats = text_index_delete(
-        stored, dfreq, stats, ids, id_col=id_col
+    # materialize the new-id set before appending so the append cannot
+    # race the prior-tombstone read above
+    ids.localCheckpoint().write.mode("append").parquet(f"{path}/tombstones")
+    full_tomb = _tombstones(spark, path, id_col)
+    live = (
+        spark.read.parquet(f"{path}/postings")
+        .select(id_col, "term", "dl")
+        .join(F.broadcast(full_tomb), id_col, "left_anti")
     )
-    _sidecar_frames(kept_dfreq, kept_stats).localCheckpoint().write.mode(
+    new_dfreq = live.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    new_stats = (
+        live.select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.avg("dl").alias("avgdl"),
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+    _sidecar_frames(new_dfreq, new_stats).localCheckpoint().write.mode(
         "overwrite"
     ).parquet(f"{path}/sidecar")
 

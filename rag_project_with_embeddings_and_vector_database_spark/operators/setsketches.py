@@ -80,17 +80,43 @@ def theta_set_algebra(
     ``(n_left, n_right, n_union, n_intersection, n_left_only,
     n_right_only, jaccard_est)``. The two blobs broadcast-join into a
     single projection — no fact scan, no pair join; at 100 TB this is
-    how snapshot-overlap and churn reports run daily."""
-    a = sketches.filter(F.col(group_col) == left).select(
-        F.col("theta").alias("ta")
+    how snapshot-overlap and churn reports run daily.
+
+    Missing-group guard (r11 ADVICE): each side reduces through a
+    grouped-less ``theta_union_agg`` (always exactly one row, merging
+    any duplicate group rows), so a group name with NO sketch row
+    RAISES instead of silently returning an empty frame — a daily
+    churn report against a missing snapshot must fail loudly, not
+    yield no output."""
+    a = sketches.filter(F.col(group_col) == left).agg(
+        F.expr("theta_union_agg(theta)").alias("ta"),
+        F.count(F.lit(1)).alias("_ca"),
     )
-    b = sketches.filter(F.col(group_col) == right).select(
-        F.col("theta").alias("tb")
+    b = sketches.filter(F.col(group_col) == right).agg(
+        F.expr("theta_union_agg(theta)").alias("tb"),
+        F.count(F.lit(1)).alias("_cb"),
     )
     one = a.crossJoin(F.broadcast(b))
     est = lambda e: F.expr(f"theta_sketch_estimate({e})").cast("bigint")  # noqa: E731
+    # the guard wraps an ALWAYS-SELECTED output column — a standalone
+    # guard column would be pruned away unevaluated
+    n_left_guarded = (
+        F.when(
+            (F.col("_ca") == 0) | (F.col("_cb") == 0),
+            F.raise_error(
+                F.format_string(
+                    f"theta_set_algebra: group {left!r} has %d sketch "
+                    f"row(s) and group {right!r} has %d - both sides "
+                    "must exist",
+                    F.col("_ca"),
+                    F.col("_cb"),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(est("ta"))
+    )
     return one.select(
-        est("ta").alias("n_left"),
+        n_left_guarded.alias("n_left"),
         est("tb").alias("n_right"),
         est("theta_union(ta, tb)").alias("n_union"),
         est("theta_intersection(ta, tb)").alias("n_intersection"),

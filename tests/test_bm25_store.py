@@ -130,3 +130,27 @@ def test_tombstone_delete_equals_rebuild_and_survives_compaction(spark, docs, tm
     assert (
         spark.read.parquet(f"{gen2}/postings").filter(F.col("doc_id") < 10).count() == 0
     )
+
+
+def test_tombstone_delete_crash_repair(spark, docs, tmp_path):
+    """r11 ADVICE (ranking.py tombstone_delete): a failure BETWEEN the
+    tombstone append and the sidecar overwrite must self-repair on
+    retry. Simulate the torn state by appending tombstone ids directly
+    (probes honor them; the sidecar still counts the deleted docs),
+    then retry the same delete: because the sidecar is recomputed from
+    the FULL tombstone set — not by subtracting this call's
+    already-anti-joined-away delta — the retry must converge to the
+    rebuild-exact sidecar."""
+    live, rebuilt = (str(tmp_path / x) for x in ("live", "rebuilt"))
+    RK.write_text_index(docs, live)
+    gone = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    # torn write: tombstones land, sidecar overwrite never happens
+    gone.write.mode("append").parquet(f"{live}/tombstones")
+    stale = sorted(map(tuple, spark.read.parquet(f"{live}/sidecar").collect()), key=repr)
+    # retry the SAME delete (its delta anti-joins to empty)
+    RK.tombstone_delete(spark, live, gone)
+    repaired = sorted(map(tuple, spark.read.parquet(f"{live}/sidecar").collect()), key=repr)
+    assert repaired != stale
+    RK.write_text_index(docs.filter(F.col("doc_id") >= 10), rebuilt)
+    want = sorted(map(tuple, spark.read.parquet(f"{rebuilt}/sidecar").collect()), key=repr)
+    assert repaired == want

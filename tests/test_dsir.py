@@ -197,3 +197,68 @@ def test_bisection_stage_plan_shapes(spark, tiny):
     assert "SortMergeJoin" not in p2
     p3 = DS.gumbel_terms(tiny)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p3 and "SortMergeJoin" not in p3
+
+
+def test_stored_model_records_and_enforces_fit_params(spark, tmp_path):
+    """r11 ADVICE (dsir.py): the stored model records the fit's
+    featurization parameters; day-2 scoring derives them from the
+    store, and a caller-supplied value that contradicts the store
+    RAISES instead of silently scoring in a misaligned hash space."""
+    docs = spark.createDataFrame(
+        [(0, "spark catalyst"), (1, "qux zot")], ["doc_id", "text"]
+    )
+    ft = DS.hashed_ngram_features(docs, num_buckets=512, seed=3)
+    tm, td = DS.fit_hashed_lm(ft, num_buckets=512, cache_key="t_dsir_meta_t")
+    rm, rd = DS.fit_hashed_lm(ft, num_buckets=512, cache_key="t_dsir_meta_r")
+    p = str(tmp_path / "m")
+    DS.write_dsir_model(tm, td, rm, rd, p, num_buckets=512, seed=3)
+    assert DS.read_dsir_model_params(spark, p) == (512, 3)
+    # derived params: scoring works with NO caller featurization args
+    assert DS.dsir_score_incremental(docs, spark, p).count() == 2
+    with pytest.raises(ValueError, match="contradicts"):
+        DS.dsir_score_incremental(docs, spark, p, num_buckets=8192)
+    with pytest.raises(ValueError, match="contradicts"):
+        DS.dsir_score_incremental(docs, spark, p, seed=7)
+    # a legacy store with no metadata rows must refuse, not guess
+    legacy = str(tmp_path / "legacy")
+    DS.model_table(tm, td, rm, rd).write.parquet(legacy)
+    with pytest.raises(ValueError, match="no featurization metadata"):
+        DS.dsir_score_incremental(docs, spark, legacy)
+
+
+def test_gumbel_topk_ties_break_by_salted_hash_not_low_id(spark):
+    """r11 ADVICE (dsir.py): documents sharing a grid position and an
+    equal weight have identical sel_key_micro; the winner among such
+    ties must follow the SECOND salted hash of the id, not ascending
+    id (which would systematically prefer low ids)."""
+    import hashlib
+
+    def md5_long(val: str, salt: str) -> int:
+        return int(
+            hashlib.md5((val + chr(31) + salt).encode()).hexdigest()[:15], 16
+        )
+
+    def pos(i: int) -> int:
+        return md5_long(str(i), "13") % DS.GUMBEL_POSITIONS
+
+    # find an id pair sharing a gumbel position whose salted tie-break
+    # order INVERTS id order, so the two tie policies disagree
+    by_pos: dict[int, list[int]] = {}
+    pair = None
+    for i in range(100_000):
+        by_pos.setdefault(pos(i), []).append(i)
+        ids = by_pos[pos(i)]
+        if len(ids) >= 2:
+            lo, hi = ids[0], ids[-1]
+            if md5_long(str(lo), str(DS.GUMBEL_TIE_SALT)) > md5_long(
+                str(hi), str(DS.GUMBEL_TIE_SALT)
+            ):
+                pair = (lo, hi)
+                break
+    assert pair is not None
+    scored = spark.createDataFrame(
+        [(pair[0], 0, 1), (pair[1], 0, 1)],
+        "doc_id long, logw_micro long, n_grams long",
+    )
+    picked = DS.gumbel_topk(scored, k=1).collect()[0]["doc_id"]
+    assert picked == pair[1]  # the HIGHER id: salted hash rules the tie

@@ -88,3 +88,19 @@ def test_theta_null_values_are_not_set_members(spark):
     )
     sk = TS.theta_group_sketches(df, "u", ["grp"])
     assert TS.theta_estimates(sk, ["grp"]).first().distinct_est == 2
+
+
+def test_theta_set_algebra_missing_group_raises(spark):
+    """r11 ADVICE (setsketches.py): a group name with no sketch row
+    must RAISE, not return an empty frame — a churn report against a
+    missing snapshot has to fail loudly."""
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2)], ["snap", "v"]
+    )
+    sk = TS.theta_group_sketches(df, "v", ["snap"])
+    got = TS.theta_set_algebra(sk, "snap", "a", "b").collect()
+    assert len(got) == 1 and got[0]["n_union"] == 2
+    with pytest.raises(SparkRuntimeException, match="both sides must exist"):
+        TS.theta_set_algebra(sk, "snap", "a", "nope").collect()

@@ -110,6 +110,11 @@ HEADLINE = [
     "dsir_buckets",
     "dsir_scores",
     "dsir_keys",
+    # r12 registrations: day-2 stored-model scoring + the mergeable
+    # sketch family (KLL quantile rollup, Theta set algebra)
+    "dsir_score_day2",
+    "kll_quantile_rollup",
+    "theta_snapshot_algebra",
     # r10 registrations
     "gopher_rules",
     "gopher_repetition",
@@ -130,7 +135,7 @@ HEADLINE = [
 # against a one-off stall reading as a regression).
 STREAMING_SLA_QUERIES = [
     "stream_dedup_gated", "vector_arrival_ingest", "stream_interval_join",
-    "stream_dedup_ttl",
+    "stream_dedup_ttl", "stream_sketch_rollup",
 ]
 REPS_OVERRIDE = {"stream_dedup_gated": 2, "stream_interval_join": 2}
 
@@ -161,6 +166,9 @@ SLA = {
     # single-batch availableNow TTL-dedup drain + key-set parity (r10;
     # ~6.9 s warm, SCALING.md)
     "stream_dedup_ttl": 9.0,
+    # availableNow drain of the windowed Theta+KLL aggregation + the
+    # batch-merge/truth parity checks (r12; ~2.8 s warm min-of-3)
+    "stream_sketch_rollup": 4.0,
 }
 
 
@@ -394,16 +402,21 @@ def main() -> None:
             sla_violations.append((name, timings[name], target))
 
     total = round(sum(timings.values()), 3)
+    # summary scalars FIRST, the ~100-entry per-query dict LAST: the
+    # driver's record keeps a bounded tail of this line, and r11's
+    # clipped it mid-queries — ordering guarantees the headline figures
+    # survive any truncation (the complete record also lands in
+    # logs/bench_r*_local.json)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "reps": reps,
                 "agg": "min",
+                "queries": timings,
             }
         )
     )

@@ -7477,6 +7477,227 @@ def vector_arrival_ingest(spark, sf_dir):
     )
 
 
+@register("kll_quantile_rollup")  # rows-only: KLL compaction samples; the rank audit RAISES
+def kll_quantile_rollup(spark, sf_dir):
+    """Mergeable KLL quantile rollup + accuracy audit (operators/
+    quantiles.py — r11-queued registration): one fact scan of lineitem
+    builds a k=200 KLL(double) sketch of l_extendedprice PER
+    l_returnflag; the per-flag blobs then MERGE to a corpus-total
+    sketch withOUT re-reading the facts (kll_merge_agg is associative
+    — the register-algebra argument the HLL rollup pins), and every
+    (group, p) estimate is AUDITED against its exact in-group rank in
+    one broadcast-join aggregation. RAISES on any |exact_rank - p|
+    beyond the published k=200 bound (with merge slack), so a green
+    row certifies the estimates, not just the plumbing. Rows-only by
+    design: KLL compaction is sampled, so estimates are rank-bounded
+    rather than bit-deterministic, and DuckDB cannot read DataSketches
+    binaries; the audit is stronger than a value hash — it proves the
+    estimates against Spark's own exact ranks. At 100 TB: the sketch
+    table is O(groups) KB blobs appended daily; every later rollup or
+    quantile probe is a blob aggregation, never a fact rescan."""
+    from .operators import quantiles as Q
+
+    probs = [0.1, 0.5, 0.9, 0.99]
+    facts = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    per_flag = Q.kll_group_sketches(facts, "l_extendedprice", ["l_returnflag"])
+    total = Q.kll_rollup(per_flag, []).select(
+        F.lit("ALL").alias("l_returnflag"), "kll", "n_rows"
+    )
+    sketches = per_flag.unionByName(total)
+    qt = Q.kll_quantile_table(sketches, probs, ["l_returnflag"])
+    # audit facts: each row feeds its own flag AND the ALL rollup in
+    # ONE pass (explode of a 2-element array, no second scan)
+    audited_facts = facts.select(
+        F.explode(
+            F.array(F.col("l_returnflag"), F.lit("ALL"))
+        ).alias("l_returnflag"),
+        "l_extendedprice",
+    )
+    audit = Q.kll_rank_check(audited_facts, "l_extendedprice", qt, ["l_returnflag"])
+    return audit.select(
+        "l_returnflag",
+        "p",
+        F.round("est", 2).alias("est"),
+        F.round("exact_rank", 6).alias("exact_rank"),
+        F.when(
+            ~F.col("within_bound"),
+            F.raise_error(
+                F.format_string(
+                    "KLL rank audit breach: group=%s p=%s exact_rank=%s",
+                    F.col("l_returnflag"),
+                    F.col("p"),
+                    F.col("exact_rank"),
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(F.col("within_bound"))
+        .alias("within_bound"),
+    )
+
+
+@register("theta_snapshot_algebra")  # rows-only: sketch blobs; exact-twin parity RAISES
+def theta_snapshot_algebra(spark, sf_dir):
+    """Theta distinct-set algebra between two corpus snapshots
+    (operators/setsketches.py — r11-queued registration): snapshot A =
+    documents with doc_id % 10 < 7, snapshot B = doc_id % 10 >= 5 —
+    a deliberately ASYMMETRIC overlap (|A| = 70%%, |B| = 50%%, A∩B =
+    20%% of the corpus; SCALING.md r11 notes the per-flag suppkey
+    fixture is degenerate at jaccard 1.0, so this one exercises every
+    output: union, intersection, both one-sided differences, and a
+    non-trivial jaccard). lg_k=14 keeps both sides and the union in
+    the EXACT sparse regime at every shipped sf, so the row RAISES
+    unless the sketch answers equal the exact_set_algebra twin's —
+    green certifies values, not plumbing. At 100 TB the same report
+    runs on stored KB blobs with published ~1/sqrt(2^lg_k) error and
+    no fact rescan; the exact twin is the audit you run on a sampled
+    partition, not on the corpus."""
+    from .operators import setsketches as TS
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    snaps = d.filter((F.col("doc_id") % 10) < 7).select(
+        F.lit("a").alias("snap"), "doc_id"
+    ).unionByName(
+        d.filter((F.col("doc_id") % 10) >= 5).select(
+            F.lit("b").alias("snap"), "doc_id"
+        )
+    )
+    sk = TS.theta_group_sketches(snaps, "doc_id", ["snap"], lg_k=14)
+    est = TS.theta_set_algebra(sk, "snap", "a", "b", lg_k=14)
+    exact = TS.exact_set_algebra(snaps, "doc_id", "snap", "a", "b")
+    cols = [
+        "n_left", "n_right", "n_union", "n_intersection",
+        "n_left_only", "n_right_only", "jaccard_est",
+    ]
+    e = exact.select([F.col(c).alias(f"_x_{c}") for c in cols])
+    both = est.crossJoin(F.broadcast(e))
+    mismatch = None
+    for c in cols:
+        cond = F.col(c) != F.col(f"_x_{c}")
+        mismatch = cond if mismatch is None else (mismatch | cond)
+    guard = F.when(
+        mismatch,
+        F.raise_error(
+            F.format_string(
+                "theta sparse-regime exactness breach: est(n_union)=%s "
+                "exact(n_union)=%s", F.col("n_union"), F.col("_x_n_union")
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("n_left"))
+    return both.select(guard.alias("n_left"), *cols[1:])
+
+
+@register("stream_sketch_rollup")  # rows-only: real streaming run, batch+truth parity RAISE
+def stream_sketch_rollup(spark, sf_dir):
+    """STREAMING sketch rollup run as a real Structured Streaming job
+    (streaming/sketches.py — r11-queued registration): the events
+    table streams through a watermarked 6-hour-windowed Theta(user_id)
+    + KLL(value) aggregation, drains availableNow, and the emitted
+    O(windows x groups) blob table batch-merges per event_type. The
+    row RAISES unless (a) every merged Theta estimate equals the batch
+    countDistinct over the same rows — the sparse-regime exactness
+    contract (1500 distinct users << 2^12) — and (b) every merged KLL
+    median sits within the exact-rank audit bound. This is the 100
+    TB/day shape: per-window state is two KB blobs + a count, the
+    emitted table is append-only, and hourly->daily->monthly rollups
+    merge blobs without ever rescanning stream history."""
+    import uuid
+
+    from .operators import quantiles as Q
+    from .operators import setsketches as TS
+    from .streaming.sketches import merge_sketch_table, windowed_sketches
+
+    tmp = _stream_tmp("sksk")
+    e = _events(spark, sf_dir).select("ts", "user_id", "event_type", "value")
+    e.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id bigint, event_type string, value double"
+    ).parquet(f"{tmp}/src")
+    agg = windowed_sketches(
+        stream, "ts", "user_id", "value", ["event_type"],
+        window="6 hours", watermark="1 minute",
+    )
+    qname = f"sketch_rollup_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    blob_table = spark.table(qname).localCheckpoint()
+    merged = merge_sketch_table(blob_table, ["event_type"])
+    got = {
+        r.event_type: r.distinct_est
+        for r in TS.theta_estimates(merged, ["event_type"]).collect()
+    }
+    truth = {
+        r.event_type: r.d
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    qt = Q.kll_quantile_table(merged, [0.5], ["event_type"])
+    audit = Q.kll_rank_check(e, "value", qt, ["event_type"]).collect()
+    n_windows = blob_table.count()
+    ok = (
+        got == truth
+        and len(audit) == len(truth) > 0
+        and all(r.within_bound for r in audit)
+        and n_windows > len(truth)  # genuinely windowed, then merged
+    )
+    if not ok:
+        raise AssertionError(
+            f"stream sketch rollup parity broke: theta_match={got == truth} "
+            f"kll_within_bound={[r.within_bound for r in audit]} "
+            f"n_windows={n_windows}"
+        )
+    return spark.createDataFrame(
+        [(n_windows, len(truth), ok)],
+        "n_blob_rows long, n_groups long, ok boolean",
+    )
+
+
+@register("dsir_score_day2")
+def dsir_score_day2(spark, sf_dir):
+    """DAY-2 DSIR through the STORED model (operators/dsir.py
+    write_dsir_model / dsir_score_incremental — r11-queued, VERDICT
+    r11 item 4): fit both hashed-n-gram models on day 1, persist the
+    quantized integer model table (with its featurization metadata —
+    r11 ADVICE) to a per-process store, then score a DELTA slice
+    (doc_id % 5 == 0) against the store alone: one O(delta)
+    featurization pass + broadcast joins of the stored KB-scale model;
+    the fitting corpora are never re-read. Because the stored lpm
+    values are exact BIGINTs through the parquet round-trip, day-2
+    scores are BIT-EQUAL to the day-1 fit's — so the oracle is simply
+    the day-1 score CTE restricted to the delta slice, and this row is
+    hash-checked end-to-end (the r11 pytest pin, now driver-proven)."""
+    from .operators import dsir as DS
+
+    d, target = _dsir_inputs(spark, sf_dir)
+    tm, td = DS.fit_hashed_lm(
+        DS.hashed_ngram_features(target), cache_key="dsir_lm_target"
+    )
+    rm, rd = DS.fit_hashed_lm(
+        DS.hashed_ngram_features(d), cache_key="dsir_lm_raw"
+    )
+    store = f"{_proc_tmp('dsir_model')}/model"
+    DS.write_dsir_model(tm, td, rm, rd, store)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    return DS.dsir_score_incremental(delta, spark, store).select(
+        "doc_id", "logw_micro", "n_grams"
+    )
+
+
+ORACLE["dsir_score_day2"] = f"""
+    WITH {_DSIR_FEAT_CTES}, {_DSIR_MODEL_CTES}, {_DSIR_SC_CTE}
+    SELECT doc_id, logw_micro, n_grams FROM sc WHERE doc_id % 5 = 0
+    """
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01 evidence). The window ROTATES each
 # round so every registered oracle eventually earns a CORRECTNESS row,
@@ -7494,59 +7715,47 @@ def vector_arrival_ingest(spark, sf_dir):
 # (c) the complete displaced-r9 + r5-evidence rotation debt, then the
 # oldest r6 fills.
 _PRIORITY = [
-    # (a) the dsir family, front of window (VERDICT r10 item 1): the
-    # registry's only red row plus the five NEW bisection registrations
-    # — each adds exactly one pipeline stage, so this round's
-    # CORRECTNESS names the diverging stage (or goes all-green now that
-    # the Gumbel grid is single-sourced)
+    # (a) the dsir family, front of window (VERDICT r11 item 1): the
+    # three HUGEINT-red rows now carry explicit BIGINT casts in their
+    # oracles, the end-to-end select adds the salted tie-break (r11
+    # ADVICE), and the NEW day-2 registration proves the stored-model
+    # path hash-exact
     "dsir_select", "dsir_buckets", "dsir_models", "dsir_scores",
-    "dsir_gumbel", "dsir_keys",
-    # (b) closure of operators/urls.py (ADVICE r10 high: poison-row
-    # crash fix + ten-class fixture) and operators/negatives.py
-    # (ADVICE r10 low: broadcast_positives opt-out)
-    "url_normalize", "hard_negatives",
-    # (b) closure of operators/ranking.py (VERDICT r10 item 3: store
-    # writes — write_text_index single-materialization build,
-    # append-only day-2 upsert, shared layout helpers)
+    "dsir_gumbel", "dsir_keys", "dsir_score_day2",
+    # (b) closure of operators/ranking.py (r11 ADVICE medium:
+    # crash-safe tombstone sidecar recompute)
     "bm25_topk", "hybrid_rrf", "bm25_indexed",
     "bm25_indexed_incremental", "bm25_indexed_delete",
     "bm25_indexed_delete_logical",
-    # (b) closure of operators/repetition.py (straggler-envelope note)
-    # and streaming/ttl.py (stale docstring fix) — comment-only diffs,
-    # front-loaded per the file-granular window policy
-    "gopher_repetition", "stream_dedup_ttl",
-    # (c) rotation debt head (VERDICT r10 item 4), oldest first: the
-    # r5 tail of UDF-fold chunkers, then the complete r6 population
-    "chunk_recursive", "chunk_structure_aware", "chunk_table_aware",
-    "filter_nonempty", "topk_retrieval", "sink_csv",
-    "topk_retrieval_quantized", "stratified_sample", "range_join_events",
-    # (c) the r7 population (all but two mixture variants — see the
-    # ledger note below)
-    "project_payload", "pred_relevance", "resolve_expected_source",
-    "cosine_dot", "l2_normalize", "agg_config", "agg_summary",
-    "argmax_metric", "report_rank", "sink_vectors", "ddl_collections",
-    "knn_bruteforce", "ann_ivf", "ann_ivf_quantized", "ann_lsh",
-    "ann_ivf_indexed", "ann_ivf_append", "ann_pq", "ann_ivf_pq",
-    "ann_ivf_indexed_int8", "quality_classifier", "mixture_sample",
-    "mixture_sample_tokens", "top_orders_per_customer",
-    # (b) vector_arrival_ingest's span is the file tail, so editing
-    # this very list flags it (span-attribution rule) — in-window
+    # (a) the r11-queued sketch family (VERDICT r11 item 3): new
+    # modules, so the closure is exactly these three registrations
+    "kll_quantile_rollup", "theta_snapshot_algebra",
+    "stream_sketch_rollup",
+    # (b) the registrations were inserted into what was
+    # vector_arrival_ingest's file-tail span — in-window per the
+    # span-attribution rule
     "vector_arrival_ingest",
+    # (c) rotation debt (VERDICT r11 item 5), oldest first: the r7
+    # stragglers, then the r8 population head (ledger below)
+    "vectors_upsert", "mixture_sample_threshold", "mixture_upsample",
+    "filter_ext", "token_count", "sentence_split", "preprocess_text",
+    "metric_all", "report_best", "sink_json", "embed_fanout",
+    "mmr_rerank", "token_stats", "lang_id", "text_quality",
+    "embedding_quantize", "pii_scan", "pii_redact", "lm_score",
+    "lm_buckets", "hash_split_assign", "repetition_stats",
+    "doc_fingerprint", "sessionize_stateful", "global_topn",
+    "cheapest_supplier_per_part", "date_parts", "distinct_counts",
+    "approx_distinct", "big_orders", "array_ops", "orders_lineitem_smj",
+    "cube_lineitem",
 ]
-# r11 rotation debt (recorded for r12): vectors_upsert (r7, displaced
-# by the bm25_indexed_delete_logical registration) and the two
-# deferred r7 mixture
-# variants (mixture_sample_threshold, mixture_upsample — their shared
-# module code is refreshed via mixture_sample/mixture_sample_tokens
-# this round), then the r8 population (filter_ext, token_count,
-# sentence_split, preprocess_text, metric_all, report_best, sink_json,
-# embed_fanout, mmr_rerank, token_stats, lang_id, text_quality,
-# embedding_quantize, pii_scan, pii_redact, lm_score, lm_buckets,
-# hash_split_assign, repetition_stats, doc_fingerprint,
-# sessionize_stateful, global_topn, cheapest_supplier_per_part,
-# date_parts, distinct_counts, approx_distinct, big_orders, array_ops,
-# orders_lineitem_smj, cube_lineitem, embed_values, embed_cached),
-# then the r9 population.
+# r12 rotation debt (recorded for r13): the r8 population tail
+# (embed_values, embed_cached), then the r9 population, then the
+# queries displaced from the r11 window this round (url_normalize,
+# hard_negatives, gopher_repetition, stream_dedup_ttl,
+# chunk_recursive, chunk_structure_aware, chunk_table_aware,
+# filter_nonempty, topk_retrieval, sink_csv, topk_retrieval_quantized,
+# stratified_sample, range_join_events, and the r7 population
+# refreshed green in CORRECTNESS_r11).
 
 
 def _ordered(names: dict) -> list[str]:

@@ -55,11 +55,18 @@ def theta_group_sketches(
     )
 
 
-def theta_rollup(sketches: DataFrame, keep_cols: list[str]) -> DataFrame:
+def theta_rollup(
+    sketches: DataFrame, keep_cols: list[str], lg_k: int = DEFAULT_LG_K
+) -> DataFrame:
     """Distinct-set UNION to any coarser granularity: one O(groups)
-    aggregation of blobs (``theta_union_agg`` is associative)."""
+    aggregation of blobs (``theta_union_agg`` is associative).
+    ``lg_k`` must be >= the input sketches' — Spark's union gear has
+    its OWN nominal-entry budget defaulting to 12 and silently
+    DOWNSAMPLES larger inputs through it (caught at sf0.1 in r12:
+    lg_k=14 sketches unioned at the default lost exactness at 5000
+    distincts), so every union call in this module threads it."""
     return sketches.groupBy(*keep_cols).agg(
-        F.expr("theta_union_agg(theta)").alias("theta")
+        F.expr(f"theta_union_agg(theta, {int(lg_k)})").alias("theta")
     )
 
 
@@ -74,7 +81,8 @@ def theta_estimates(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
 
 
 def theta_set_algebra(
-    sketches: DataFrame, group_col: str, left, right
+    sketches: DataFrame, group_col: str, left, right,
+    lg_k: int = DEFAULT_LG_K,
 ) -> DataFrame:
     """Full set algebra between TWO named groups' sketches: one row
     ``(n_left, n_right, n_union, n_intersection, n_left_only,
@@ -89,11 +97,11 @@ def theta_set_algebra(
     churn report against a missing snapshot must fail loudly, not
     yield no output."""
     a = sketches.filter(F.col(group_col) == left).agg(
-        F.expr("theta_union_agg(theta)").alias("ta"),
+        F.expr(f"theta_union_agg(theta, {int(lg_k)})").alias("ta"),
         F.count(F.lit(1)).alias("_ca"),
     )
     b = sketches.filter(F.col(group_col) == right).agg(
-        F.expr("theta_union_agg(theta)").alias("tb"),
+        F.expr(f"theta_union_agg(theta, {int(lg_k)})").alias("tb"),
         F.count(F.lit(1)).alias("_cb"),
     )
     one = a.crossJoin(F.broadcast(b))
@@ -118,13 +126,13 @@ def theta_set_algebra(
     return one.select(
         n_left_guarded.alias("n_left"),
         est("tb").alias("n_right"),
-        est("theta_union(ta, tb)").alias("n_union"),
+        est(f"theta_union(ta, tb, {int(lg_k)})").alias("n_union"),
         est("theta_intersection(ta, tb)").alias("n_intersection"),
         est("theta_difference(ta, tb)").alias("n_left_only"),
         est("theta_difference(tb, ta)").alias("n_right_only"),
         F.round(
             est("theta_intersection(ta, tb)")
-            / F.greatest(est("theta_union(ta, tb)"), F.lit(1)),
+            / F.greatest(est(f"theta_union(ta, tb, {int(lg_k)})"), F.lit(1)),
             6,
         ).alias("jaccard_est"),
     )

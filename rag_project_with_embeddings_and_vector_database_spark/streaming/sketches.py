@@ -67,13 +67,16 @@ def windowed_sketches(
 
 
 def merge_sketch_table(
-    sketch_table: DataFrame, keep_cols: list[str]
+    sketch_table: DataFrame, keep_cols: list[str], lg_k: int = DEFAULT_LG_K
 ) -> DataFrame:
     """Roll the emitted (window, group) sketch rows up to any coarser
     granularity — one O(rows-of-blobs) aggregation, the stream history
-    is never re-read."""
+    is never re-read. ``lg_k`` must match (or exceed) the stream
+    aggregation's: Spark's union gear carries its OWN nominal-entry
+    budget defaulting to 12 and silently downsamples larger sketches
+    through it (see operators/setsketches.theta_rollup)."""
     return sketch_table.groupBy(*keep_cols).agg(
-        F.expr("theta_union_agg(theta)").alias("theta"),
+        F.expr(f"theta_union_agg(theta, {int(lg_k)})").alias("theta"),
         F.expr("kll_merge_agg_double(kll)").alias("kll"),
         F.sum("n_rows").alias("n_rows"),
     )

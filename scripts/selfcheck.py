@@ -69,6 +69,7 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_bm25": {
         "bm25_topk", "hybrid_rrf", "bm25_indexed",
         "bm25_indexed_incremental", "bm25_indexed_delete",
+        "bm25_indexed_delete_logical",
     },
     "_quality_filter_sql": {"quality_filter", "corpus_prep"},
     "_dedup_spans_sql": {"dedup_spans"},
@@ -91,14 +92,16 @@ _HARNESS_MODULE_LEVEL_DEPS = {
         "stream_windowed_counts", "stream_windowed_append",
         "stream_dedup_gated", "embed_cached", "dedup_incremental",
         "simhash_incremental", "semantic_dedup_incremental",
-        "corpus_overlap_indexed",
+        "corpus_overlap_indexed", "dsir_score_day2",
+        "stream_sketch_rollup",
     },
     "_proc_tmp": {
         "sessionize_stateful", "stream_dedup", "stream_upsert",
         "stream_windowed_counts", "stream_windowed_append",
         "stream_dedup_gated", "embed_cached", "dedup_incremental",
         "simhash_incremental", "semantic_dedup_incremental",
-        "corpus_overlap_indexed",
+        "corpus_overlap_indexed", "dsir_score_day2",
+        "stream_sketch_rollup",
     },
     "_ann_recall": {
         "ann_lsh", "ann_ivf", "ann_ivf_quantized", "ann_ivf_indexed",

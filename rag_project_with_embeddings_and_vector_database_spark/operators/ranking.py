@@ -379,7 +379,15 @@ def append_text_index(
     localCheckpoint (materialize-then-overwrite, since a parquet dir
     cannot be overwritten while a plan still reads it). Day-2 cost is
     proportional to the DELTA plus one tiny sidecar rewrite — never to
-    the indexed corpus."""
+    the indexed corpus.
+
+    Crash contract (r12): the postings append and the sidecar swap are
+    separate jobs. If a failure lands BETWEEN them, do NOT retry the
+    append (the delta postings already committed; a retry would
+    duplicate them) — call ``repair_text_index_sidecar``, which
+    recomputes the sidecar from the stored postings the committed
+    delta is already part of. A failure BEFORE the postings commit
+    left nothing behind; re-running the append is then safe."""
     spark = new_docs.sparkSession
     p, d, s = build_text_index(new_docs, text_col, id_col, checkpoint=True)
     (
@@ -427,6 +435,44 @@ def write_index_frames(
     ).parquet(f"{path}/sidecar")
 
 
+def repair_text_index_sidecar(spark, path: str, id_col: str = "doc_id") -> None:
+    """Recompute the sidecar as a PURE FUNCTION of (stored postings,
+    full tombstone set) — the store's convergence point after ANY torn
+    maintenance write. One column-pruned postings pass; the result is
+    by construction the sidecar a full rebuild over the live documents
+    would produce. Crash recipes (each maintenance op commits postings
+    and sidecar in separate jobs, so a failure can land between them):
+
+    - ``tombstone_delete`` calls this itself after the append, so its
+      retry self-repairs — but a torn delete also converges by calling
+      this directly, no retry needed.
+    - ``append_text_index`` crash AFTER the delta postings committed
+      (the sidecar swap never ran, or a retry would re-append and
+      DUPLICATE the delta): call this instead of retrying — the
+      committed postings already hold the delta, and the sidecar
+      recomputes from them. A crash BEFORE the postings commit left
+      nothing (Spark's output committer only renames completed task
+      output in), so re-running the append is safe then.
+    """
+    full_tomb = _tombstones(spark, path, id_col)
+    live = spark.read.parquet(f"{path}/postings").select(id_col, "term", "dl")
+    if full_tomb is not None:
+        live = live.join(F.broadcast(full_tomb), id_col, "left_anti")
+    new_dfreq = live.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    new_stats = (
+        live.select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.avg("dl").alias("avgdl"),
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+    _sidecar_frames(new_dfreq, new_stats).localCheckpoint().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sidecar")
+
+
 def _tombstones(spark, path: str, id_col: str) -> DataFrame | None:
     """The store's tombstone set, or None when no delete ever ran."""
     from pyspark.errors import AnalysisException
@@ -470,25 +516,7 @@ def tombstone_delete(
     # materialize the new-id set before appending so the append cannot
     # race the prior-tombstone read above
     ids.localCheckpoint().write.mode("append").parquet(f"{path}/tombstones")
-    full_tomb = _tombstones(spark, path, id_col)
-    live = (
-        spark.read.parquet(f"{path}/postings")
-        .select(id_col, "term", "dl")
-        .join(F.broadcast(full_tomb), id_col, "left_anti")
-    )
-    new_dfreq = live.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    new_stats = (
-        live.select(id_col, "dl")
-        .distinct()
-        .agg(
-            F.avg("dl").alias("avgdl"),
-            F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
-        )
-    )
-    _sidecar_frames(new_dfreq, new_stats).localCheckpoint().write.mode(
-        "overwrite"
-    ).parquet(f"{path}/sidecar")
+    repair_text_index_sidecar(spark, path, id_col=id_col)
 
 
 def compact_text_index(

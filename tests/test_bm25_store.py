@@ -154,3 +154,35 @@ def test_tombstone_delete_crash_repair(spark, docs, tmp_path):
     RK.write_text_index(docs.filter(F.col("doc_id") >= 10), rebuilt)
     want = sorted(map(tuple, spark.read.parquet(f"{rebuilt}/sidecar").collect()), key=repr)
     assert repaired == want
+
+
+def test_append_crash_repair_via_sidecar_recompute(spark, docs, tmp_path):
+    """r12 crash contract for append_text_index: simulate a failure
+    between the delta-postings commit and the sidecar swap (postings
+    hold old+delta, sidecar still counts only old), then call
+    repair_text_index_sidecar — the store must converge to exactly the
+    full-rebuild frames, and probes must match the rebuilt store."""
+    inc, full = (str(tmp_path / x) for x in ("inc", "full"))
+    old = docs.filter(F.col("doc_id") >= 10)
+    delta = docs.filter(F.col("doc_id") < 10)
+    RK.write_text_index(old, inc)
+    # torn append: ONLY the delta postings commit (replicating
+    # append_text_index's postings write verbatim), no sidecar swap
+    p, _, _ = RK.build_text_index(delta, "text", "doc_id")
+    (
+        p.withColumn("term_bucket", RK.term_bucket(F.col("term")))
+        .repartition("term_bucket")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(f"{inc}/postings")
+    )
+    RK.repair_text_index_sidecar(spark, inc)
+    RK.write_text_index(docs, full)
+    got = _frames_sorted(*RK.read_text_index(spark, inc))
+    want = _frames_sorted(*RK.read_text_index(spark, full))
+    assert got == want
+    qdf = spark.createDataFrame(
+        [(0, "term1 shared"), (1, "word3 tail")], "query_id long, query string"
+    )
+    assert sorted(map(tuple, RK.query_text_index(spark, inc, qdf, k=5).collect())) == \
+        sorted(map(tuple, RK.query_text_index(spark, full, qdf, k=5).collect()))

@@ -7686,7 +7686,15 @@ def dsir_score_day2(spark, sf_dir):
     )
     store = f"{_proc_tmp('dsir_model')}/model"
     DS.write_dsir_model(tm, td, rm, rd, store)
-    delta = d.filter(F.col("doc_id") % 5 == 0)
+    # the delta simulates a NEW day-2 batch, so derive it from the RAW
+    # scan (filter-then-repartition; filtering the _par frame would
+    # re-shuffle the whole corpus to yield the slice — the r8 measured
+    # repartition-blocks-pushdown trap)
+    delta = _par(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
     return DS.dsir_score_incremental(delta, spark, store).select(
         "doc_id", "logw_micro", "n_grams"
     )

@@ -284,3 +284,27 @@ def test_lm_score_model_broadcast_spine_smj(spark, sf_dir):
     plan = _plan(spark, "lm_score", sf_dir)
     assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_kll_rollup_two_phase_agg_broadcast_audit(spark, sf_dir):
+    """The sketch build must be a two-phase (partial/final)
+    ObjectHashAggregate — map-side combine carries partial sketches,
+    never rows — and the exact-rank audit joins the KB-scale quantile
+    table as a BROADCAST against the single fact scan; no sort-merge
+    join, no cartesian."""
+    plan = _plan(spark, "kll_quantile_rollup", sf_dir)
+    assert "ObjectHashAggregate" in plan and "partial_" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_algebra_two_phase_agg_no_fact_rejoin(spark, sf_dir):
+    """Theta set algebra must reduce each snapshot to ONE blob row via
+    two-phase sketch aggregation and combine the two rows with a
+    broadcast cross of 1-row frames — never a sort-merge join and
+    never a row-level pair join (the exact twin does the row-level
+    work; the sketch path must not)."""
+    plan = _plan(spark, "theta_snapshot_algebra", sf_dir)
+    assert "ObjectHashAggregate" in plan and "partial_" in plan
+    assert "SortMergeJoin" not in plan

@@ -167,8 +167,10 @@ SLA = {
     # ~6.9 s warm, SCALING.md)
     "stream_dedup_ttl": 9.0,
     # availableNow drain of the windowed Theta+KLL aggregation + the
-    # batch-merge/truth parity checks (r12; ~2.8 s warm min-of-3)
-    "stream_sketch_rollup": 4.0,
+    # batch-merge/truth parity checks (r12; 2.8 s standalone min-of-3,
+    # 5.2 s inside a full bench run — the in-bench figure sets the
+    # target so ambient load cannot trip the 2x bar)
+    "stream_sketch_rollup": 6.0,
 }
 
 

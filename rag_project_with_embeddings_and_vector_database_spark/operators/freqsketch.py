@@ -110,15 +110,21 @@ def cms_point_query(
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
     seed: int = 7,
+    broadcast_sketch: bool = True,
 ) -> DataFrame:
     """Estimated occurrence count for every item row:
     ``(group_cols..., value_col, est)`` with ``est = min over depth``
     of the matching counters — ALWAYS >= the true count. Items hash to
-    their (depth, bucket) probes scan-locally; the join against the
-    KB-scale sketch broadcasts whichever side is small (the sketch, at
-    production widths). An item whose probe hits an absent counter row
-    has true count 0 and est 0 (coalesced — absence means no
-    occurrence ever incremented that cell)."""
+    their (depth, bucket) probes scan-locally. An item whose probe
+    hits an absent counter row has true count 0 and est 0 (coalesced —
+    absence means no occurrence ever incremented that cell).
+
+    ``broadcast_sketch=True`` fits the common case — ONE sketch (or a
+    handful of groups), depth x width counter rows, KBs. Pass False
+    when the sketch table spans MANY groups (per-domain/per-day
+    sketches: groups x depth x width rows can exceed broadcast budget)
+    — the join then shuffles on (group, depth, bucket), which both
+    sides are already keyed by."""
     group_cols = group_cols or []
     probes = F.array(
         *[
@@ -134,7 +140,8 @@ def cms_point_query(
         .select(*group_cols, value_col, F.explode(probes).alias("_p"))
         .select(*group_cols, value_col, "_p.depth", "_p.bucket")
     )
-    j = p.join(F.broadcast(sketch), [*group_cols, "depth", "bucket"], "left")
+    side = F.broadcast(sketch) if broadcast_sketch else sketch
+    j = p.join(side, [*group_cols, "depth", "bucket"], "left")
     return j.groupBy(*group_cols, value_col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).alias("est")
     )
@@ -149,6 +156,7 @@ def cms_heavy_hitters(
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
     seed: int = 7,
+    broadcast_sketch: bool = True,
 ) -> DataFrame:
     """Candidate heavy hitters: distinct values whose CMS estimate is
     >= ``phi * N`` (N = the sketch's total occurrences, derived from
@@ -168,6 +176,7 @@ def cms_heavy_hitters(
     est = cms_point_query(
         sketch, distinct_vals, value_col, group_cols=group_cols,
         depth=depth, width=width, seed=seed,
+        broadcast_sketch=broadcast_sketch,
     )
     joined = est.join(F.broadcast(n), group_cols) if group_cols else est.crossJoin(
         F.broadcast(n)
@@ -185,6 +194,7 @@ def cms_error_audit(
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
     seed: int = 7,
+    broadcast_sketch: bool = True,
 ) -> DataFrame:
     """The estimation contract as an auditable frame: for every
     distinct value, its exact count, CMS estimate, and two flags —
@@ -202,6 +212,7 @@ def cms_error_audit(
     est = cms_point_query(
         sketch, exact.select(*group_cols, value_col), value_col,
         group_cols=group_cols, depth=depth, width=width, seed=seed,
+        broadcast_sketch=broadcast_sketch,
     )
     n = sketch.filter(F.col("depth") == 0).groupBy(*group_cols).agg(
         F.sum("cnt").alias("_n")

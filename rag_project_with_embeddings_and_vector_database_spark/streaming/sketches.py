@@ -80,3 +80,52 @@ def merge_sketch_table(
         F.expr("kll_merge_agg_double(kll)").alias("kll"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def windowed_cms(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    depth: int | None = None,
+    width: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Streaming Count-Min: because the relational CMS
+    (operators/freqsketch.py) is counter ROWS and its build is an
+    ordinary count aggregation, it runs natively as a watermarked
+    windowed streaming aggregation — no custom state store, state
+    bounded at O(windows x groups x depth x width) integer rows, final
+    counters emitted in append mode when the watermark closes the
+    window. The emitted rows merge offline with ``cms_rollup`` (exact
+    counter addition), so hourly stream output rolls to daily/monthly
+    frequency tables without rescanning history — and drain parity vs
+    the batch build is EXACT, not estimate-vs-estimate (pinned in
+    tests/test_streaming_sketches.py)."""
+    from ..operators.freqsketch import DEFAULT_DEPTH, DEFAULT_WIDTH, _bucket
+
+    depth = DEFAULT_DEPTH if depth is None else depth
+    width = DEFAULT_WIDTH if width is None else width
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                _bucket(value_col, i, width, seed).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        stream.filter(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(ts_col, *group_cols, F.explode(probes).alias("_p"))
+        .groupBy(
+            F.window(ts_col, window).alias("win"),
+            *group_cols,
+            F.col("_p.depth").alias("depth"),
+            F.col("_p.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -100,3 +100,50 @@ def test_sketch_table_merges_across_windows_and_groups(spark, drained):
     # even ids keep even residues (150 values), odd ids keep odd
     # residues shifted by 1000 (150 values) -> 300 global distincts
     assert est == 300
+
+
+def test_windowed_cms_drain_merges_to_exact_batch_counters(spark):
+    """Streaming CMS parity is EXACT, not estimate-vs-estimate: a full
+    availableNow drain of the windowed counter aggregation, rolled up
+    per group with cms_rollup (counter addition), must equal the batch
+    cms_build counter table bit-for-bit — and point queries through
+    the merged counters must never undercount."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        freqsketch as CM,
+    )
+    from rag_project_with_embeddings_and_vector_database_spark.streaming.sketches import (
+        windowed_cms,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_rag_scms_")
+    try:
+        rows = _rows(spark).selectExpr("g", "CAST(u AS STRING) AS v", "ts")
+        rows.write.parquet(f"{tmp}/src")
+        stream = spark.readStream.schema("g long, v string, ts timestamp").parquet(
+            f"{tmp}/src"
+        )
+        agg = windowed_cms(
+            stream, "ts", "v", ["g"], window="10 minutes", watermark="1 minute",
+            depth=4, width=256,
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("cms_stream")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        drained = spark.sql("SELECT g, depth, bucket, cnt FROM cms_stream")
+        merged = CM.cms_rollup(drained, ["g"])
+        batch = CM.cms_build(rows, "v", ["g"], depth=4, width=256)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+        audit = CM.cms_error_audit(
+            rows, merged, "v", ["g"], depth=4, width=256
+        ).collect()
+        assert all(r.never_undercounts for r in audit)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -308,3 +308,13 @@ def test_theta_algebra_two_phase_agg_no_fact_rejoin(spark, sf_dir):
     plan = _plan(spark, "theta_snapshot_algebra", sf_dir)
     assert "ObjectHashAggregate" in plan and "partial_" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dsir_day2_stored_model_broadcasts_never_smj(spark, sf_dir):
+    """Day-2 DSIR must join the stored KB-scale model frames as
+    BROADCASTS against the delta featurization — never a sort-merge
+    join of the corpus against the model, never a cartesian beyond the
+    1-row default frames."""
+    plan = _plan(spark, "dsir_score_day2", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

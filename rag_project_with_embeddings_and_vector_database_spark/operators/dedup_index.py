@@ -650,6 +650,7 @@ def compact_signature_store(
     partition_col: str = "band",
     bucket_from: str | None = "band_hash",
     num_buckets: int = 64,
+    dest_path: str | None = None,
 ) -> int:
     """Compact an append-mode signature store (the accumulation target
     of streaming/ingest.dedup_gated_ingest): collapse replay-duplicated
@@ -663,22 +664,37 @@ def compact_signature_store(
     (e.g. nightly) — between compactions the readers already dedup at
     read time, so compaction is purely a size/pruning optimization,
     never a correctness event. Returns the compacted row count. At
-    100 TB this is the OPTIMIZE/rewrite step of a transactional table;
-    here it is read -> dropDuplicates -> localCheckpoint (cutting the
-    read-path lineage so the same path can be overwritten) ->
-    partitioned rewrite through ``write_signature_store`` (which also
-    drops the ``_store_meta.json`` sidecar the probe helpers validate
-    and adopt). Note the readback gains a ``sig_bucket`` column; probe
+    100 TB this is the OPTIMIZE/rewrite step of a transactional table.
+
+    Crash contract: pass ``dest_path`` to write a NEW table generation
+    (the ``compact_text_index`` pointer-swap shape) — the source store
+    is never touched, so a crash mid-write costs only the incomplete
+    new directory and the source remains the store of record until the
+    caller swaps its pointer. With ``dest_path=None`` the rewrite is
+    IN-PLACE (read -> dropDuplicates -> localCheckpoint to cut the
+    read-path lineage -> overwrite of the same path) — convenient for
+    a store whose path is fixed by its readers, but a crash between
+    the delete and the commit loses the store; reserve it for stores
+    that are rebuildable from the corpus or snapshotted first. Both
+    shapes finish through ``write_signature_store`` (which also drops
+    the ``_store_meta.json`` sidecar the probe helpers validate and
+    adopt). Note the readback gains a ``sig_bucket`` column; probe
     callers that union it with an unbucketed frame drop it first
     (dedup_delta itself never references it)."""
-    df = spark.read.parquet(path).dropDuplicates(list(dedup_cols)).localCheckpoint()
+    df = spark.read.parquet(path).dropDuplicates(list(dedup_cols))
+    if dest_path is None:
+        # in-place: cut lineage so the same path can be overwritten
+        df = df.localCheckpoint()
     parts = [partition_col]
     modulus = None
     if bucket_from is not None and bucket_from in df.columns:
         df = df.withColumn("sig_bucket", F.pmod(bucket_from, F.lit(num_buckets)))
         parts.append("sig_bucket")
         modulus = num_buckets
-    write_signature_store(df, path, tuple(parts), bucket_modulus=modulus)
+    write_signature_store(
+        df, dest_path if dest_path is not None else path,
+        tuple(parts), bucket_modulus=modulus,
+    )
     return df.count()
 
 

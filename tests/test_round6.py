@@ -332,6 +332,55 @@ def test_compact_signature_store_roundtrip(spark, sf_dir, tmp_path):
     assert after == before and before
 
 
+def test_compact_signature_store_new_generation(spark, sf_dir, tmp_path):
+    """dest_path writes a NEW table generation (the compact_text_index
+    pointer-swap crash shape): the source store's bytes are untouched,
+    the new generation is the compacted pruned layout with its own
+    metadata sidecar, and probes against it match probes against the
+    deduped source exactly."""
+    from rag_project_with_embeddings_and_vector_database_spark import harness as H
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup_index as DI,
+    )
+
+    corpus = H._t(spark, sf_dir, "documents").filter("doc_id < 40").select("doc_id", "text")
+    idx = DI.build_dedup_index(corpus)
+    src = str(tmp_path / "gen0")
+    idx.write.mode("append").parquet(src)
+    idx.write.mode("append").parquet(src)  # simulated replay append
+    src_files = sorted(
+        p.name for p in (tmp_path / "gen0").iterdir() if p.suffix == ".parquet"
+    )
+    dest = str(tmp_path / "gen1")
+    n = DI.compact_signature_store(spark, src, dest_path=dest)
+    # source generation untouched (same files, duplicates still there)
+    assert sorted(
+        p.name for p in (tmp_path / "gen0").iterdir() if p.suffix == ".parquet"
+    ) == src_files
+    assert spark.read.parquet(src).count() == 2 * n
+    # new generation: pruned layout + adopted metadata sidecar
+    band0 = tmp_path / "gen1" / "band=0"
+    assert band0.exists() and any(p.name.startswith("sig_bucket=") for p in band0.iterdir())
+    assert DI.read_store_meta(spark, dest)["bucket_modulus"] == 64
+    delta = corpus.filter("doc_id < 5").select(
+        (SF.col("doc_id") + 1000).alias("doc_id"),
+        SF.concat(SF.col("text"), SF.lit(" rev")).alias("text"),
+    )
+    src_pairs = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in DI.dedup_delta(
+            spark.read.parquet(src).dropDuplicates(["doc_id", "band"]), delta
+        ).collect()
+    )
+    gen1_pairs = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in DI.dedup_delta(
+            spark.read.parquet(dest).drop("sig_bucket"), delta
+        ).collect()
+    )
+    assert gen1_pairs == src_pairs and src_pairs
+
+
 def test_multimodal_udf_values_pinned_to_recompute(spark):
     """The multimodal mapInPandas stubs are VALUE-pinned, not just
     shape-checked: frame ids and fake-decode features are recomputed

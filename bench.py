@@ -115,6 +115,8 @@ HEADLINE = [
     "dsir_score_day2",
     "kll_quantile_rollup",
     "theta_snapshot_algebra",
+    "cms_frequency",
+    "cms_merge_rollup",
     # r10 registrations
     "gopher_rules",
     "gopher_repetition",
@@ -135,7 +137,7 @@ HEADLINE = [
 # against a one-off stall reading as a regression).
 STREAMING_SLA_QUERIES = [
     "stream_dedup_gated", "vector_arrival_ingest", "stream_interval_join",
-    "stream_dedup_ttl", "stream_sketch_rollup",
+    "stream_dedup_ttl", "stream_sketch_rollup", "stream_windowed_cms",
 ]
 REPS_OVERRIDE = {"stream_dedup_gated": 2, "stream_interval_join": 2}
 
@@ -171,6 +173,10 @@ SLA = {
     # 5.2 s inside a full bench run — the in-bench figure sets the
     # target so ambient load cannot trip the 2x bar)
     "stream_sketch_rollup": 6.0,
+    # availableNow drain of the watermarked windowed CMS build + the
+    # exact cell-for-cell batch-parity check (r12; measured quiet-box
+    # min-of-3 — SCALING.md)
+    "stream_windowed_cms": 8.0,
 }
 
 

@@ -7706,6 +7706,285 @@ ORACLE["dsir_score_day2"] = f"""
     """
 
 
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketches (operators/freqsketch.py — built r12,
+# registered same-round: unlike KLL/Theta the CMS is HASH-ORACLE-ABLE —
+# the counter matrix is rows keyed by the portable salted-md5 bucket
+# hash, so DuckDB replays the ENTIRE sketch bit-for-bit and the driver
+# can hash-check it rather than trust a rows-only audit).
+
+
+def _cms_oracle_counters(
+    src: str, flag: str, val: str, depth: int, width: int, seed: int
+) -> str:
+    """Counter-table CTE body replaying cms_build: one UNION ALL branch
+    per depth row (salt = seed*1000 + d, the operator's exact salt
+    family), bucketed by the portable 60-bit md5 prefix."""
+    branches = " UNION ALL ".join(
+        f"SELECT {flag} AS flag, {i} AS depth, "
+        f"('0x' || substr(md5({val}::VARCHAR || chr(31) || "
+        f"'{seed * 1000 + i}'), 1, 15))::BIGINT % {width} AS bucket "
+        f"FROM {src} WHERE {val} IS NOT NULL"
+        for i in range(depth)
+    )
+    return (
+        f"SELECT flag, depth, bucket, count(*)::BIGINT AS cnt "
+        f"FROM ({branches}) GROUP BY flag, depth, bucket"
+    )
+
+
+@register("cms_frequency")
+def cms_frequency(spark, sf_dir):
+    """Count-Min point-query pipeline (operators/freqsketch.py
+    cms_build + cms_point_query): build one depth=4 x width=2048 CMS
+    per l_returnflag over every lineitem l_partkey occurrence (one
+    scan-local explode + a two-phase count agg, output bounded at
+    groups x depth x width integer rows), then estimate the occurrence
+    count of a fixed probe set (partkeys divisible by 97) via min-over-
+    depth of the matching counters — a KB-scale broadcast join, no
+    fact rescan. The estimates carry the CMS one-sided guarantee (never
+    under the true count); at these dimensions (2000 distinct keys in
+    2048-wide rows, depth 4) they are exact, and the oracle replays
+    build AND probe bit-for-bit through the portable md5 bucket hash —
+    the sketch family's only hash-checked member."""
+    from .operators import freqsketch as CM
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    sk = CM.cms_build(li, "l_partkey", ["l_returnflag"])
+    probes = (
+        li.filter(F.col("l_partkey") % 97 == 0)
+        .select("l_returnflag", "l_partkey")
+        .distinct()
+    )
+    return CM.cms_point_query(
+        sk, probes, "l_partkey", ["l_returnflag"]
+    ).select(
+        "l_returnflag",
+        "l_partkey",
+        F.col("est").cast("bigint").alias("est"),
+    )
+
+
+ORACLE["cms_frequency"] = f"""
+    WITH occ AS (
+      SELECT l_returnflag AS flag, l_partkey AS v FROM lineitem
+    ),
+    counters AS (
+      {_cms_oracle_counters("occ", "flag", "v", 4, 2048, 7)}
+    ),
+    probe_vals AS (
+      SELECT DISTINCT flag, v FROM occ WHERE v % 97 = 0
+    ),
+    probe_cells AS (
+      {" UNION ALL ".join(
+        f"SELECT flag, v, {i} AS depth, "
+        f"('0x' || substr(md5(v::VARCHAR || chr(31) || '{7000 + i}'), 1, 15))"
+        f"::BIGINT % 2048 AS bucket FROM probe_vals"
+        for i in range(4)
+      )}
+    )
+    SELECT p.flag AS l_returnflag, p.v AS l_partkey,
+           min(coalesce(c.cnt, 0))::BIGINT AS est
+    FROM probe_cells p
+    LEFT JOIN counters c
+      ON p.flag = c.flag AND p.depth = c.depth AND p.bucket = c.bucket
+    GROUP BY p.flag, p.v
+    """
+
+
+@register("cms_merge_rollup")
+def cms_merge_rollup(spark, sf_dir):
+    """Count-Min EXACT mergeability on the driver (operators/
+    freqsketch.py cms_rollup): build two independent sketches over
+    DISJOINT halves of lineitem (even / odd l_orderkey — the day-1 /
+    day-2 shape), then merge them by counter addition and emit the
+    merged counter table itself. The oracle builds ONE sketch over the
+    whole table: rollup(build(A) ∪ build(B)) == build(A ∪ B) holds
+    bit-for-bit because the CMS merge IS integer addition — no
+    compaction randomness, no estimate slack — so the driver hash
+    certifies the merge algebra end-to-end. width=512 (non-default)
+    keeps the emitted table at groups x 4 x 512 rows and puts 2000
+    distinct partkeys in a genuinely collision-y regime, proving the
+    parity does not depend on collision-free luck. At 100 TB this is
+    the daily frequency-table pattern: per-day sketches append as
+    plain parquet rows; any coarser rollup is a keyed sum over
+    KB-scale counter rows, never a fact rescan."""
+    from .operators import freqsketch as CM
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_partkey"
+    )
+    halves = [
+        CM.cms_build(
+            li.filter(F.col("l_orderkey") % 2 == p),
+            "l_partkey",
+            ["l_returnflag"],
+            width=512,
+        )
+        for p in (0, 1)
+    ]
+    merged = CM.cms_rollup(halves[0].unionByName(halves[1]), ["l_returnflag"])
+    return merged.select(
+        "l_returnflag",
+        "depth",
+        "bucket",
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+ORACLE["cms_merge_rollup"] = f"""
+    WITH occ AS (
+      SELECT l_returnflag AS flag, l_partkey AS v FROM lineitem
+    ),
+    counters AS (
+      {_cms_oracle_counters("occ", "flag", "v", 4, 512, 7)}
+    )
+    SELECT flag AS l_returnflag, depth, bucket, cnt FROM counters
+    """
+
+
+@register("stream_windowed_cms")  # rows-only: real streaming run, exact drain parity RAISES
+def stream_windowed_cms(spark, sf_dir):
+    """STREAMING Count-Min run as a real Structured Streaming job
+    (streaming/sketches.py windowed_cms): the events table streams
+    through a watermarked 6-hour-windowed CMS build over user_id per
+    event_type — because the relational CMS build is an ordinary count
+    aggregation it needs NO custom state store, and state is bounded
+    at O(windows x groups x depth x width) integer rows. The drained
+    per-window counter rows then merge per event_type by cms_rollup
+    (counter addition) and the row RAISES unless the merged table
+    equals the BATCH cms_build over the same events cell-for-cell —
+    the family's strongest streaming contract: parity is EXACT, not
+    estimate-vs-estimate (KLL/Theta rollups can only promise audited
+    bounds). Rows-only by design: the parity oracle runs inside the
+    query; a green row certifies stream==batch==true counters."""
+    import uuid
+
+    from .operators import freqsketch as CM
+    from .streaming.sketches import windowed_cms
+
+    tmp = _stream_tmp("wcms")
+    e = _events(spark, sf_dir).select("ts", "user_id", "event_type")
+    e.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id bigint, event_type string"
+    ).parquet(f"{tmp}/src")
+    # width=256 keeps streaming-agg STATE at O(windows x types x 4 x
+    # 256) rows — the drain cost is state-store row traffic, and the
+    # parity contract is width-independent (stream and batch collide
+    # identically; the comparison is exact either way)
+    agg = windowed_cms(
+        stream, "ts", "user_id", ["event_type"],
+        window="6 hours", watermark="1 minute", width=256,
+    )
+    qname = f"wcms_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(qname).localCheckpoint()
+    merged = CM.cms_rollup(emitted, ["event_type"])
+    batch = CM.cms_build(e, "user_id", ["event_type"], width=256)
+    diff = (
+        merged.withColumnRenamed("cnt", "s_cnt")
+        .join(
+            batch.withColumnRenamed("cnt", "b_cnt"),
+            ["event_type", "depth", "bucket"],
+            "full_outer",
+        )
+        .filter(
+            ~(F.col("s_cnt").eqNullSafe(F.col("b_cnt")))
+        )
+        .count()
+    )
+    n_windows = emitted.select("win").distinct().count()
+    if diff != 0 or n_windows <= 1:
+        raise AssertionError(
+            f"streaming CMS drain parity broke: {diff} mismatched "
+            f"cells, {n_windows} windows"
+        )
+    summary = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.when(F.col("depth") == 0, F.col("cnt"))).alias("n_occurrences"),
+    )
+    return summary.select(
+        "event_type",
+        "n_cells",
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        F.lit(True).alias("drain_parity"),
+    )
+
+
+def _star_dedup_sql() -> str:
+    """DuckDB replay of the star-edge minhash dedup: signatures and
+    band hashes reuse the dedup_minhash CTEs, star edges are the
+    bucket-min join, components are the recursive reach closure (the
+    leakage_safe_split pattern), and the keep set left-joins back to
+    the corpus with the singleton fallback."""
+    base = _minhash_sql()
+    band_exprs = []
+    for band in range(4):
+        cols = " || '_' || ".join(
+            f"sig[{band * 4 + r + 1}]::VARCHAR" for r in range(4)
+        )
+        band_exprs.append(
+            f"SELECT doc_id, {band} AS band, "
+            f"('0x' || substr(md5({cols}), 1, 15))::BIGINT AS band_hash "
+            f"FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_exprs)
+    return f"""
+    WITH RECURSIVE sigs AS ({base}),
+    banded AS ({bands}),
+    mins AS (
+      SELECT band, band_hash, min(doc_id) AS root
+      FROM banded GROUP BY band, band_hash
+    ),
+    e0 AS (
+      SELECT DISTINCT m.root AS id_a, b.doc_id AS id_b
+      FROM banded b
+      JOIN mins m ON b.band = m.band AND b.band_hash = m.band_hash
+      WHERE b.doc_id != m.root
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM e0 UNION SELECT id_b, id_a FROM e0),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           d.doc_id = coalesce(c.component, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+
+
+@register("dedup_minhash_star", _star_dedup_sql())
+def dedup_minhash_star(spark, sf_dir):
+    """LINEAR minhash dedup clustering (operators/cluster.py — r12):
+    star edges (every bucket member linked to the bucket MIN — same
+    transitive closure as within-bucket all-pairs, pinned in
+    tests/test_cluster.py) -> min-label connected components -> the
+    keep-one-per-cluster set. This closes the pair path's
+    architectural ceiling: no occupancy guard, no dropped buckets, no
+    self-join — a degenerate 100k-doc boilerplate bucket costs 1e5
+    edges where the pair form costs 5e9 pairs, so the clustering path
+    survives ANY bucket-size skew. The oracle replays signatures,
+    band hashes, star edges and the component closure bit-for-bit."""
+    from .operators import cluster as CL
+
+    return CL.minhash_dedup_star(
+        _par(_t(spark, sf_dir, "documents")), num_perm=16, num_bands=4, seed=42
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01 evidence). The window ROTATES each
 # round so every registered oracle eventually earns a CORRECTNESS row,
@@ -7739,6 +8018,18 @@ _PRIORITY = [
     # modules, so the closure is exactly these three registrations
     "kll_quantile_rollup", "theta_snapshot_algebra",
     "stream_sketch_rollup",
+    # (b) the Count-Min family, built r12 and registered SAME round
+    # (closure of the new operators/freqsketch.py + the r12 edits to
+    # streaming/sketches.py): the CMS replays bit-for-bit in DuckDB
+    # (pytest-pinned before registration), so two rows are
+    # hash-oracled and the streaming drain carries an exact-parity
+    # RAISE — same-round evidence beats queueing when the oracle is
+    # already proven portable
+    "cms_frequency", "cms_merge_rollup", "stream_windowed_cms",
+    # (b) star-edge LSH clustering (new operators/cluster.py — r12):
+    # the linear-cost answer to the pair path's occupancy-guard
+    # ceiling; new module, so the closure is exactly this entry
+    "dedup_minhash_star",
     # (b) the registrations were inserted into what was
     # vector_arrival_ingest's file-tail span — in-window per the
     # span-attribution rule
@@ -7756,7 +8047,10 @@ _PRIORITY = [
     "approx_distinct", "big_orders", "array_ops", "orders_lineitem_smj",
     "cube_lineitem",
 ]
-# r12 rotation debt (recorded for r13): the r8 population tail
+# r12 rotation debt (recorded for r13): the four tail entries the
+# CMS + star-clustering registrations displaced from this round's
+# window (big_orders, array_ops, orders_lineitem_smj, cube_lineitem —
+# r8 evidence, untouched code), then the r8 population tail
 # (embed_values, embed_cached), then the r9 population, then the
 # queries displaced from the r11 window this round (url_normalize,
 # hard_negatives, gopher_repetition, stream_dedup_ttl,

@@ -1,0 +1,122 @@
+"""Linear-cost LSH dedup clustering — star edges instead of
+within-bucket pairs.
+
+Every prior fuzzy-dedup path (``dedup.minhash_lsh_pairs``,
+``simhash_pairs``) generates WITHIN-BUCKET PAIRS, which is quadratic in
+bucket size; the occupancy guard (``dedup._occupancy_guard``) therefore
+DROPS buckets above ``max_bucket_size`` before the self-join — the
+right failure mode when each pair must be individually scored or
+verified, but an architectural ceiling for the pure CLUSTERING use
+(keep-one-per-near-dup-cluster): a degenerate 100k-doc boilerplate
+bucket is exactly where dedup matters most, and it was the one place
+the pipeline skipped.
+
+The fix is a graph identity: connected components only need
+CONNECTIVITY, and within one bucket a STAR (every member linked to the
+bucket's minimum id) has the same transitive closure as the complete
+pair set. So candidate edges become one ``groupBy(bucket).min(id)`` +
+one join — O(n * bands) edges TOTAL, with NO guard, NO drop, and no
+self-join anywhere:
+
+  * a bucket of size m emits m - 1 edges where the pair form emits
+    m * (m-1) / 2 (100k-doc bucket: 1e5 edges vs 5e9 pairs);
+  * components over star edges are IDENTICAL to components over
+    all-pairs edges (pinned in tests/test_cluster.py), so nothing is
+    lost for clustering;
+  * the min aggregation is map-side combinable (partial min per
+    partition — a hot bucket never concentrates rows to one reducer),
+    and the min-to-member join is an equi-join AQE can skew-split; the
+    quadratic blowup the guard existed to prevent cannot occur at any
+    bucket size.
+
+What this deliberately does NOT replace: pair-level verification
+(``dedup.verify_pairs_exact_jaccard``) scores each candidate pair
+individually — inherently pairwise, so the guarded pair generators
+remain the front end for verified dedup, with exact_dedup collapsing
+degenerate buckets first. Star clustering is the UNVERIFIED banded
+dedup shape (SlimPajama / BigCode near-dedup): trust the band
+collision, collapse the cluster.
+
+New module (r12) so the registration closure is exactly its own
+harness entry; primitives are imported from ``dedup`` unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ._cache import swap_cache as _swap_cache
+from .dedup import connected_components, minhash_bands, minhash_signatures
+
+
+def lsh_star_edges(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate dup-graph edges ``(id_a=bucket-min, id_b=member)`` for
+    every LSH band bucket, LINEAR in corpus size: each (band,
+    band_hash) bucket of size m contributes m - 1 star edges — same
+    connected components as the m*(m-1)/2 within-bucket pairs, no
+    occupancy guard needed at ANY bucket size.
+
+    Shuffle profile: one explode to (doc, band) rows, one map-side
+    combinable min aggregation on (band, band_hash), one equi-join of
+    members to bucket mins (AQE-splittable if a bucket is hot), one
+    distinct on the edge. The banded frame is cached once — it feeds
+    both the min aggregation and the member side (same placement
+    rationale as minhash_lsh_pairs' persist)."""
+    rows_per_band = num_perm // num_bands
+    sig = minhash_signatures(df, content_col, id_col, shingle_n, num_perm, seed)
+    banded = sig.select(
+        id_col,
+        F.explode(minhash_bands("sig", num_bands, rows_per_band)).alias("bb"),
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+    banded = _swap_cache("lsh_star_edges", banded)
+    mins = banded.groupBy("band", "band_hash").agg(F.min(id_col).alias("_root"))
+    return (
+        banded.join(mins, ["band", "band_hash"])
+        .filter(F.col(id_col) != F.col("_root"))
+        .select(F.col("_root").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_star(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep-one-per-cluster minhash dedup with NO quadratic stage and
+    NO dropped buckets: star edges -> min-label connected components ->
+    ``(id, component, keep)`` where ``keep`` marks the cluster minimum
+    (singletons keep themselves). The end-to-end cost is O(n * bands)
+    rows through three keyed exchanges — the 100 TB-safe form of
+    ``dedup_minhash``'s keep set for corpora where degenerate
+    boilerplate buckets would trip the pair path's guard."""
+    edges = lsh_star_edges(
+        df, content_col, id_col, shingle_n, num_perm, num_bands, seed
+    )
+    comp = connected_components(edges).withColumnRenamed("id", id_col)
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("component"))
+    )

@@ -8030,6 +8030,13 @@ _PRIORITY = [
     # the linear-cost answer to the pair path's occupancy-guard
     # ceiling; new module, so the closure is exactly this entry
     "dedup_minhash_star",
+    # (b) closure of the r12 dedup_index.py change (new-generation
+    # dest_path on compact_signature_store): every query whose path
+    # flows through the signature-store layer re-earns driver
+    # evidence postdating the edit (selfcheck --check-window closure)
+    "dedup_store_compact", "dedup_incremental", "simhash_incremental",
+    "dedup_embedding_incremental", "corpus_overlap",
+    "corpus_overlap_indexed", "stream_dedup_gated",
     # (b) the registrations were inserted into what was
     # vector_arrival_ingest's file-tail span — in-window per the
     # span-attribution rule
@@ -8047,10 +8054,13 @@ _PRIORITY = [
     "approx_distinct", "big_orders", "array_ops", "orders_lineitem_smj",
     "cube_lineitem",
 ]
-# r12 rotation debt (recorded for r13): the four tail entries the
-# CMS + star-clustering registrations displaced from this round's
-# window (big_orders, array_ops, orders_lineitem_smj, cube_lineitem —
-# r8 evidence, untouched code), then the r8 population tail
+# r12 rotation debt (recorded for r13): the eleven tail entries the
+# CMS + star-clustering registrations and the dedup_index closure
+# displaced from this round's window (doc_fingerprint,
+# sessionize_stateful, global_topn, cheapest_supplier_per_part,
+# date_parts, distinct_counts, approx_distinct, big_orders,
+# array_ops, orders_lineitem_smj, cube_lineitem — r8 evidence,
+# untouched code), then the r8 population tail
 # (embed_values, embed_cached), then the r9 population, then the
 # queries displaced from the r11 window this round (url_normalize,
 # hard_negatives, gopher_repetition, stream_dedup_ttl,

@@ -99,6 +99,8 @@ HEADLINE = [
     "lm_buckets",
     "corpus_prep_lm",
     "decontaminate",
+    "bloom_decontaminate",
+    "dedup_minhash_star",
     "chunk_sections",
     "pii_redact",
     "semantic_dedup",

@@ -7985,6 +7985,81 @@ def dedup_minhash_star(spark, sf_dir):
     )
 
 
+def _bloom_decon_sql(k: int = 5, m_bits: int = 1 << 16, seed: int = 77) -> str:
+    """DuckDB replay of the Bloom decontamination verdict. Spark ships
+    a PACKED bitset (array<long> words, bit_get probes); the oracle
+    replays the equivalent predicate on the positions SET — every one
+    of a gram's k salted-md5 positions must be present — which is the
+    same membership test by construction (packed==set equivalence
+    pytest-pinned in tests/test_bloom.py)."""
+
+    def pos(i: int, src_col: str) -> str:
+        return (
+            f"('0x' || substr(md5({src_col}::VARCHAR || chr(31) || "
+            f"'{seed * 1000 + i}'), 1, 15))::BIGINT % {m_bits}"
+        )
+
+    bench_pos = " UNION ".join(
+        f"SELECT {pos(i, 'gh')} AS pos FROM bench_g" for i in range(k)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT doc_id, gh, {pos(i, 'gh')} AS pos FROM corpus_g"
+        for i in range(k)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(list_distinct(list_transform(range(0, greatest(len(tk) - 5, 0) + 1),
+                     i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))))), 1, 15))::BIGINT AS gh
+      FROM tk
+    ),
+    bench_g AS (SELECT DISTINCT gh FROM grams WHERE doc_id < 10),
+    corpus_g AS (SELECT doc_id, gh FROM grams WHERE doc_id >= 10),
+    bench_pos AS ({bench_pos}),
+    probe_cells AS ({probe_cells}),
+    flagged AS (
+      SELECT p.doc_id, p.gh
+      FROM probe_cells p LEFT JOIN bench_pos b ON p.pos = b.pos
+      GROUP BY p.doc_id, p.gh
+      HAVING count(b.pos) = {k}
+    ),
+    perdoc AS (SELECT doc_id, count(*) AS n_flagged FROM flagged GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_flagged, 0)::BIGINT AS n_flagged,
+           coalesce(p.n_flagged, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM tk WHERE doc_id >= 10) d
+    LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    """
+
+
+@register("bloom_decontaminate", _bloom_decon_sql())
+def bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter benchmark decontamination (operators/bloom.py —
+    r12): the exact `decontaminate` row broadcasts the benchmark's
+    distinct hashed 5-grams (payload grows linearly with the eval
+    suite — tens of MB for a full union); this path compresses the
+    same membership question into an m-BIT packed bitset (m/8 bytes
+    regardless of gram count) with ZERO false negatives and a bounded
+    false-positive overquarantine rate — the 100 TB decontamination
+    shape. Plan: benchmark grams -> k salted-md5 positions -> a
+    JVM-side bit_or packing (never collected to the driver), one-row
+    broadcast attach, scan-local forall/bit_get probe over exploded
+    corpus grams; the only exchange is the O(docs) flagged-gram count.
+    The oracle replays the positions-set membership predicate —
+    identical to the packed bit test by construction (equivalence
+    pytest-pinned)."""
+    from .operators import bloom as BL
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10)
+    corpus = _par(d.filter(F.col("doc_id") >= 10)).select("doc_id", "text")
+    return BL.bloom_decontaminate(corpus, bench)
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01 evidence). The window ROTATES each
 # round so every registered oracle eventually earns a CORRECTNESS row,
@@ -8030,6 +8105,10 @@ _PRIORITY = [
     # the linear-cost answer to the pair path's occupancy-guard
     # ceiling; new module, so the closure is exactly this entry
     "dedup_minhash_star",
+    # (b) Bloom-filter decontamination (new operators/bloom.py — r12):
+    # packed-bitset probe, no-false-negative contract; new module, so
+    # the closure is exactly this entry
+    "bloom_decontaminate",
     # (b) closure of the r12 dedup_index.py change (new-generation
     # dest_path on compact_signature_store): every query whose path
     # flows through the signature-store layer re-earns driver
@@ -8054,13 +8133,14 @@ _PRIORITY = [
     "approx_distinct", "big_orders", "array_ops", "orders_lineitem_smj",
     "cube_lineitem",
 ]
-# r12 rotation debt (recorded for r13): the eleven tail entries the
-# CMS + star-clustering registrations and the dedup_index closure
-# displaced from this round's window (doc_fingerprint,
-# sessionize_stateful, global_topn, cheapest_supplier_per_part,
-# date_parts, distinct_counts, approx_distinct, big_orders,
-# array_ops, orders_lineitem_smj, cube_lineitem — r8 evidence,
-# untouched code), then the r8 population tail
+# r12 rotation debt (recorded for r13): the twelve tail entries the
+# CMS + star-clustering + bloom registrations and the dedup_index
+# closure displaced from this round's window (repetition_stats,
+# doc_fingerprint, sessionize_stateful, global_topn,
+# cheapest_supplier_per_part, date_parts, distinct_counts,
+# approx_distinct, big_orders, array_ops, orders_lineitem_smj,
+# cube_lineitem — r8 evidence, untouched code), then the r8
+# population tail
 # (embed_values, embed_cached), then the r9 population, then the
 # queries displaced from the r11 window this round (url_normalize,
 # hard_negatives, gopher_repetition, stream_dedup_ttl,

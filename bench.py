@@ -176,9 +176,9 @@ SLA = {
     # target so ambient load cannot trip the 2x bar)
     "stream_sketch_rollup": 6.0,
     # availableNow drain of the watermarked windowed CMS build + the
-    # exact cell-for-cell batch-parity check (r12; measured quiet-box
+    # exact cell-for-cell batch-parity check (r12; 9.1 s quiet-box
     # min-of-3 — SCALING.md)
-    "stream_windowed_cms": 8.0,
+    "stream_windowed_cms": 10.0,
 }
 
 

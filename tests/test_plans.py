@@ -318,3 +318,38 @@ def test_dsir_day2_stored_model_broadcasts_never_smj(spark, sf_dir):
     plan = _plan(spark, "dsir_score_day2", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_attaches_bitset_without_corpus_shuffle(spark, sf_dir):
+    """The packed Bloom bitset must attach to the corpus-gram stream as
+    a 1-row broadcast (nested loop of one row = free column attach) and
+    the probe must stay scan-local: no cartesian product, and the
+    documents scan reads only the two columns the verdict needs."""
+    plan = _plan(spark, "bloom_decontaminate", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all(
+        ("doc_id" in r) and ("lang" not in r) for r in reads
+    ), reads
+
+
+def test_star_edges_partial_min_agg_no_self_join(spark, sf_dir):
+    """Star-edge candidate generation must be groupBy-min (partial +
+    final aggregate — a hot bucket combines map-side, never
+    concentrating raw rows on one reducer) plus one equi-join; no
+    cartesian, and exactly one Generate (the band explode) feeding the
+    cached frame both sides reuse."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        cluster as CL,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = CL.lsh_star_edges(docs)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        edges._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final min
+    assert plan.count("InMemoryTableScan") >= 2  # banded cached, reused
+    spark.catalog.clearCache()

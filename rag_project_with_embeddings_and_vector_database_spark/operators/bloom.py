@@ -200,6 +200,49 @@ def bloom_decontaminate(
     )
 
 
+def bloom_flag_docs(
+    docs: DataFrame,
+    packed: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
+    seed: int = 77,
+    flag_col: str = "contaminated",
+) -> DataFrame:
+    """STATELESS per-document contamination flag: EXISTS over the
+    document's shingle array, each gram tested against the attached
+    bitset by the same forall/bit_get probe — no explode, no
+    aggregation, no state of any kind, so the identical expression
+    runs over a BATCH frame or a Structured Streaming micro-batch
+    (stream-static broadcast of the 1-row bitset; append mode, no
+    watermark needed). This is the streaming ingest gate: quarantine
+    contaminated documents at arrival, before they reach the corpus
+    store — batch/stream parity is pytest-pinned. Verdict-only (the
+    per-gram count needs the exploded aggregation in
+    ``bloom_decontaminate``); same no-false-negative contract."""
+    from .dedup import shingles
+
+    def gram_hits(g):
+        return F.forall(
+            _positions(md5_long(g), k, m_bits, seed),
+            lambda p: F.bit_get(
+                F.coalesce(
+                    F.try_element_at("bits", (p / 64).cast("int") + 1),
+                    F.lit(0).cast("bigint"),
+                ),
+                (p % 64).cast("int"),
+            )
+            == 1,
+        )
+
+    return (
+        docs.crossJoin(F.broadcast(packed))
+        .withColumn(flag_col, F.exists(shingles(text_col, n), gram_hits))
+        .drop("bits")
+    )
+
+
 def bloom_fp_audit(
     corpus_grams: DataFrame,
     bench_grams: DataFrame,

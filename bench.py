@@ -119,6 +119,7 @@ HEADLINE = [
     "theta_snapshot_algebra",
     "cms_frequency",
     "cms_merge_rollup",
+    "cms_store_day2",
     # r10 registrations
     "gopher_rules",
     "gopher_repetition",

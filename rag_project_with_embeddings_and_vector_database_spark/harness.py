@@ -7920,6 +7920,59 @@ def stream_windowed_cms(spark, sf_dir):
     )
 
 
+@register("cms_store_day2")
+def cms_store_day2(spark, sf_dir):
+    """DAY-2 stored Count-Min (operators/freqsketch.py write_cms_store
+    / read_cms_store): day-1 and day-2 sketches (disjoint l_orderkey
+    halves) append to a parquet store as SEPARATE batch partitions,
+    the day-2 write is then REPLAYED (the crash-retry shape — counter
+    rows are additive, so idempotence must come from the batch key
+    overwriting its own directory, not from blind appends), and the
+    store reads back through one keyed sum. The oracle builds ONE
+    sketch over the whole table: a hash-green row therefore certifies
+    the parquet round-trip, the batch merge AND the retry idempotence
+    bit-for-bit on the driver. At 100 TB: each day appends KB-scale
+    counter rows; any rollup or probe is O(batches x sketch) — the
+    facts behind old batches are never re-read."""
+    from .operators import freqsketch as CM
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_partkey"
+    )
+    store = f"{_proc_tmp('cms_store')}/sketch"
+    for p, batch in ((0, "day1"), (1, "day2")):
+        CM.write_cms_store(
+            CM.cms_build(
+                li.filter(F.col("l_orderkey") % 2 == p),
+                "l_partkey",
+                ["l_returnflag"],
+                width=512,
+            ),
+            store,
+            batch,
+        )
+    # replay day-2: the retry must overwrite its own batch, not double it
+    CM.write_cms_store(
+        CM.cms_build(
+            li.filter(F.col("l_orderkey") % 2 == 1),
+            "l_partkey",
+            ["l_returnflag"],
+            width=512,
+        ),
+        store,
+        "day2",
+    )
+    return CM.read_cms_store(spark, store, ["l_returnflag"]).select(
+        "l_returnflag",
+        "depth",
+        "bucket",
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+ORACLE["cms_store_day2"] = ORACLE["cms_merge_rollup"]
+
+
 def _star_dedup_sql() -> str:
     """DuckDB replay of the star-edge minhash dedup: signatures and
     band hashes reuse the dedup_minhash CTEs, star edges are the
@@ -8101,6 +8154,7 @@ _PRIORITY = [
     # RAISE — same-round evidence beats queueing when the oracle is
     # already proven portable
     "cms_frequency", "cms_merge_rollup", "stream_windowed_cms",
+    "cms_store_day2",
     # (b) star-edge LSH clustering (new operators/cluster.py — r12):
     # the linear-cost answer to the pair path's occupancy-guard
     # ceiling; new module, so the closure is exactly this entry
@@ -8133,9 +8187,10 @@ _PRIORITY = [
     "approx_distinct", "big_orders", "array_ops", "orders_lineitem_smj",
     "cube_lineitem",
 ]
-# r12 rotation debt (recorded for r13): the twelve tail entries the
-# CMS + star-clustering + bloom registrations and the dedup_index
-# closure displaced from this round's window (repetition_stats,
+# r12 rotation debt (recorded for r13): the thirteen tail entries the
+# CMS + star-clustering + bloom + cms-store registrations and the
+# dedup_index closure displaced from this round's window
+# (hash_split_assign, repetition_stats,
 # doc_fingerprint, sessionize_stateful, global_topn,
 # cheapest_supplier_per_part, date_parts, distinct_counts,
 # approx_distinct, big_orders, array_ops, orders_lineitem_smj,

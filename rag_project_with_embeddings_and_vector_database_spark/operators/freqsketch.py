@@ -186,6 +186,34 @@ def cms_heavy_hitters(
     ).select(*group_cols, value_col, "est")
 
 
+def write_cms_store(
+    sketch: DataFrame, path: str, batch_id: str
+) -> None:
+    """Append one day's sketch to a stored CMS as its OWN batch
+    partition (``{path}/batch=<id>``, overwrite). Counter rows are
+    ADDITIVE, so a blindly-appended retry after a crash would DOUBLE
+    whatever the torn write landed — unlike the signature stores,
+    where replayed duplicates are only a size cost. The batch key
+    makes the append IDEMPOTENT instead: a retry overwrites exactly
+    its own directory, other batches' bytes are never touched, and a
+    crash costs at most one incomplete batch dir that the retry
+    replaces (pinned in tests/test_freqsketch.py)."""
+    sketch.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+
+def read_cms_store(spark, path: str, group_cols: list[str] | None = None) -> DataFrame:
+    """The stored CMS at full resolution: partition discovery lists
+    the batch dirs, and one keyed sum collapses them — O(batches x
+    sketch-rows) KB-scale rows, the facts behind any batch are never
+    re-read. Day-N rollups/probes run on this frame exactly as on a
+    freshly built sketch (merge == build over the union, bit-for-bit,
+    because the CMS merge is counter addition)."""
+    group_cols = group_cols or []
+    return cms_rollup(
+        spark.read.parquet(path).drop("batch"), group_cols
+    )
+
+
 def cms_error_audit(
     df: DataFrame,
     sketch: DataFrame,

@@ -121,3 +121,21 @@ def test_sketch_replays_bit_for_bit_in_duckdb(spark, stream):
     ).fetchall()
     got = _counters(CM.cms_build(stream, "v", ["g"]))
     assert sorted(duck) == got
+
+
+def test_store_day2_roundtrip_and_idempotent_retry(spark, stream, tmp_path):
+    """Stored CMS: day-1 + day-2 batches through the parquet store
+    must equal the direct build over the union bit-for-bit, and
+    REPLAYING a batch write (the crash-retry shape) must change
+    nothing — counter rows are additive, so idempotence has to come
+    from the batch key, not from blind appends."""
+    path = str(tmp_path / "cms_store")
+    day1 = stream.filter(F.col("id") < 3000).drop("id")
+    day2 = stream.filter(F.col("id") >= 3000).drop("id")
+    CM.write_cms_store(CM.cms_build(day1, "v", ["g"]), path, "d1")
+    CM.write_cms_store(CM.cms_build(day2, "v", ["g"]), path, "d2")
+    direct = _counters(CM.cms_build(stream.drop("id"), "v", ["g"]))
+    assert _counters(CM.read_cms_store(spark, path, ["g"])) == direct
+    # retry day-2 (same batch id): store must be unchanged
+    CM.write_cms_store(CM.cms_build(day2, "v", ["g"]), path, "d2")
+    assert _counters(CM.read_cms_store(spark, path, ["g"])) == direct

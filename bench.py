@@ -101,6 +101,7 @@ HEADLINE = [
     "decontaminate",
     "bloom_decontaminate",
     "dedup_minhash_star",
+    "star_cluster_purity",
     "chunk_sections",
     "pii_redact",
     "semantic_dedup",

@@ -8019,6 +8019,88 @@ def _star_dedup_sql() -> str:
     """
 
 
+def _star_purity_sql(
+    sample_per_cluster: int = 4, purity_threshold: float = 0.5
+) -> str:
+    """DuckDB replay of the star-cluster purity audit: the star
+    component CTEs (shared construction with _star_dedup_sql), the
+    salted-hash deterministic member sample, exact list-Jaccard
+    against each cluster root, and the per-cluster rollup. Integer
+    sums carry explicit BIGINT casts (the r11 HUGEINT lesson)."""
+    star = _star_dedup_sql()
+    # reuse everything up to the final SELECT: strip the trailing
+    # projection and re-terminate with the purity CTEs
+    body = star[: star.rindex("SELECT d.doc_id,")].rstrip()
+    return f"""{body},
+    allc AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    nm AS (SELECT component, count(*) AS n_members FROM allc GROUP BY component),
+    memb AS (SELECT doc_id, component FROM allc WHERE doc_id != component),
+    samp AS (
+      SELECT component AS id_a, doc_id AS id_b FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY component
+          ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'star_purity'), 1, 15))::BIGINT,
+                   doc_id
+        ) AS rn FROM memb
+      ) WHERE rn <= {sample_per_cluster}
+    ),
+    ptk AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+      FROM documents
+    ),
+    pg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                           i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS gs
+      FROM ptk
+    ),
+    sc AS (
+      SELECT s.id_a, s.id_b,
+             round(len(list_intersect(a.gs, b.gs))::DOUBLE
+                   / greatest(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)), 1),
+                   6) AS j
+      FROM samp s
+      JOIN pg a ON a.doc_id = s.id_a
+      JOIN pg b ON b.doc_id = s.id_b
+    ),
+    per AS (
+      SELECT id_a AS component,
+             count(*)::BIGINT AS n_sampled,
+             sum(CASE WHEN j >= {purity_threshold} THEN 1 ELSE 0 END)::BIGINT AS n_pure,
+             min(j) AS min_jaccard
+      FROM sc GROUP BY id_a
+    )
+    SELECT p.component, nm.n_members::BIGINT AS n_members, p.n_sampled,
+           p.n_pure, p.min_jaccard,
+           round(p.n_pure::DOUBLE / p.n_sampled, 6) AS purity
+    FROM per p JOIN nm ON nm.component = p.component
+    """
+
+
+@register("star_cluster_purity", _star_purity_sql())
+def star_cluster_purity(spark, sf_dir):
+    """Purity audit of the unverified star clustering (operators/
+    cluster.py star_cluster_purity): a deterministic salted-hash
+    sample of up to 4 members per multi-member cluster is scored by
+    EXACT shingle-set Jaccard against its cluster root — O(clusters x
+    sample) exact pairs, never O(members^2) — and rolled up to
+    ``(component, n_members, n_sampled, n_pure, min_jaccard,
+    purity)``. This is the bounded-cost check that keeps the
+    no-verification cost model of star clustering honest: band-
+    collision false positives surface here as low-purity clusters.
+    The oracle replays components, the hash-ordered sample, the list
+    Jaccard and the rollup bit-for-bit (zero-overlap pairs kept at
+    jaccard 0 through the left join on both engines)."""
+    from .operators import cluster as CL
+
+    return CL.star_cluster_purity(
+        _par(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    )
+
+
 @register("dedup_minhash_star", _star_dedup_sql())
 def dedup_minhash_star(spark, sf_dir):
     """LINEAR minhash dedup clustering (operators/cluster.py — r12):
@@ -8157,8 +8239,9 @@ _PRIORITY = [
     "cms_store_day2",
     # (b) star-edge LSH clustering (new operators/cluster.py — r12):
     # the linear-cost answer to the pair path's occupancy-guard
-    # ceiling; new module, so the closure is exactly this entry
-    "dedup_minhash_star",
+    # ceiling, plus its sampled exact-Jaccard purity audit; new
+    # module, so the closure is exactly these entries
+    "dedup_minhash_star", "star_cluster_purity",
     # (b) Bloom-filter decontamination (new operators/bloom.py — r12):
     # packed-bitset probe, no-false-negative contract; new module, so
     # the closure is exactly this entry
@@ -8187,10 +8270,10 @@ _PRIORITY = [
     "approx_distinct", "big_orders", "array_ops", "orders_lineitem_smj",
     "cube_lineitem",
 ]
-# r12 rotation debt (recorded for r13): the thirteen tail entries the
-# CMS + star-clustering + bloom + cms-store registrations and the
-# dedup_index closure displaced from this round's window
-# (hash_split_assign, repetition_stats,
+# r12 rotation debt (recorded for r13): the fourteen tail entries the
+# CMS + star-clustering(+purity) + bloom + cms-store registrations and
+# the dedup_index closure displaced from this round's window
+# (lm_buckets, hash_split_assign, repetition_stats,
 # doc_fingerprint, sessionize_stateful, global_topn,
 # cheapest_supplier_per_part, date_parts, distinct_counts,
 # approx_distinct, big_orders, array_ops, orders_lineitem_smj,

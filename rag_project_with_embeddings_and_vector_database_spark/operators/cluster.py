@@ -46,8 +46,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import md5_long
 from ._cache import swap_cache as _swap_cache
-from .dedup import connected_components, minhash_bands, minhash_signatures
+from .dedup import connected_components, minhash_bands, minhash_signatures, shingles
 
 
 def lsh_star_edges(
@@ -119,4 +120,98 @@ def minhash_dedup_star(
             F.coalesce("component", F.col(id_col)).alias("component"),
         )
         .withColumn("keep", F.col(id_col) == F.col("component"))
+    )
+
+
+def star_cluster_purity(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+    sample_per_cluster: int = 4,
+    purity_threshold: float = 0.5,
+) -> DataFrame:
+    """Quality audit of the UNVERIFIED star clustering: for each
+    multi-member cluster, a deterministic sample of members (ordered
+    by a salted hash of the id — replayable, not rand()) is scored by
+    EXACT shingle-set Jaccard against the cluster root, yielding
+    ``(component, n_members, n_sampled, n_pure, min_jaccard,
+    purity)``. Star clustering trusts band collisions (that is its
+    cost model — no per-pair verification stage); this frame is the
+    bounded-cost check a pipeline runs alongside it: O(clusters x
+    sample) exact-Jaccard pairs, never O(members^2), with the gram
+    intersection computed by the same linear equi-join shape as
+    verify_pairs_exact_jaccard. Zero-overlap member/root pairs (the
+    truly impure ones) are KEPT at jaccard 0 via the left join — the
+    verify path's inner intersection join would silently drop exactly
+    the rows this audit exists to surface."""
+    comp = minhash_dedup_star(
+        df, content_col, id_col, shingle_n, num_perm, num_bands, seed
+    )
+    members = comp.filter(F.col(id_col) != F.col("component"))
+    from pyspark.sql import Window
+
+    order_hash = md5_long(
+        F.col(id_col).cast("string"), F.lit("star_purity")
+    )
+    w = Window.partitionBy("component").orderBy(order_hash.asc(), F.col(id_col).asc())
+    sampled = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_per_cluster)
+        .select(F.col("component").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    sh = df.select(
+        id_col, F.explode(shingles(content_col, shingle_n)).alias("gram")
+    )
+    sh = _swap_cache("star_cluster_purity", sh)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_grams"))
+    inter = (
+        sampled.join(sh.select(F.col(id_col).alias("id_a"), "gram"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "gram"), ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_n_inter"))
+    )
+    scored = (
+        sampled.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_n_grams").alias("_n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_n_grams").alias("_n_b")),
+            "id_b",
+        )
+        .withColumn("_ni", F.coalesce("_n_inter", F.lit(0)))
+        .withColumn(
+            "_j",
+            F.round(
+                F.col("_ni")
+                / F.greatest(F.col("_n_a") + F.col("_n_b") - F.col("_ni"), F.lit(1)),
+                6,
+            ),
+        )
+    )
+    n_members = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    per_cluster = scored.groupBy(F.col("id_a").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(
+            F.when(F.col("_j") >= purity_threshold, 1).otherwise(0)
+        ).alias("n_pure"),
+        F.min("_j").alias("min_jaccard"),
+    )
+    return (
+        per_cluster.join(n_members, "component")
+        .select(
+            "component",
+            "n_members",
+            "n_sampled",
+            "n_pure",
+            "min_jaccard",
+            F.round(F.col("n_pure") / F.col("n_sampled"), 6).alias("purity"),
+        )
     )

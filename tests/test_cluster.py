@@ -97,3 +97,30 @@ def test_keep_marks_cluster_min_and_singletons(spark, corpus):
     # singletons keep themselves
     singles = [r for r in out if r.doc_id >= 1000]
     assert all(r.keep and r.component == r.doc_id for r in singles)
+
+
+def test_purity_audit_on_planted_families(spark, corpus):
+    """Identical-doc families must audit at purity 1.0 / jaccard 1.0,
+    every multi-member cluster gets a row, sample size respects the
+    bound, and singletons produce no row."""
+    out = {r.component: r for r in CL.star_cluster_purity(corpus).collect()}
+    assert set(out) == {0, 100, 200}
+    for comp, r in out.items():
+        assert r.n_members == 4
+        assert r.n_sampled == min(3, 4)  # 3 non-root members, bound 4
+        assert r.n_pure == r.n_sampled
+        assert r.min_jaccard == 1.0 and r.purity == 1.0
+
+
+def test_purity_audit_sample_bound_and_low_purity_visibility(spark):
+    """A 50-doc identical-text cluster (the degenerate-bucket shape)
+    must audit with at most sample_per_cluster scored members — the
+    bounded-cost contract that makes the audit runnable alongside
+    guard-free clustering."""
+    docs = [(i, "repeated boilerplate mirror page with stable tokens across every copy") for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = CL.star_cluster_purity(df, sample_per_cluster=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_members == 50 and r.n_sampled == 4
+    assert r.purity == 1.0

@@ -102,6 +102,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "dedup_minhash_star",
     "star_cluster_purity",
+    "dedup_star_incremental",
     "chunk_sections",
     "pii_redact",
     "semantic_dedup",

@@ -8019,6 +8019,35 @@ def _star_dedup_sql() -> str:
     """
 
 
+@register("dedup_star_incremental")
+def dedup_star_incremental(spark, sf_dir):
+    """DAY-2 incremental star clustering (operators/cluster_index.py
+    write_star_index / star_assign_incremental): day 1 (doc_id % 4
+    != 0) persists its component table and LSH bucket roots; the
+    day-2 delta probes the stored buckets — O(delta x bands) rows
+    against an O(buckets) index, day-1 text never re-read — and
+    connected components run over the CONTRACTED graph only (delta
+    ids + touched day-1 component labels as supernodes). Cluster
+    merges caused by a bridging delta doc propagate through a
+    KB-scale broadcast remap instead of a corpus rewrite. The oracle
+    is the from-scratch star recompute over ALL documents: a
+    hash-green row certifies incremental == full bit-for-bit (the
+    contraction/min-label identity, pytest-pinned across
+    bridge-merge, small-id-relabel and delta-only-cluster shapes in
+    tests/test_cluster_index.py)."""
+    from .operators import cluster_index as CI
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    day1 = _par(d.filter(F.col("doc_id") % 4 != 0))
+    delta = _par(d.filter(F.col("doc_id") % 4 == 0))
+    store = f"{_proc_tmp('star_idx')}/idx"
+    CI.write_star_index(day1, store)
+    return CI.star_assign_incremental(spark, delta, store)
+
+
+ORACLE["dedup_star_incremental"] = _star_dedup_sql()
+
+
 def _star_purity_sql(
     sample_per_cluster: int = 4, purity_threshold: float = 0.5
 ) -> str:
@@ -8242,6 +8271,7 @@ _PRIORITY = [
     # ceiling, plus its sampled exact-Jaccard purity audit; new
     # module, so the closure is exactly these entries
     "dedup_minhash_star", "star_cluster_purity",
+    "dedup_star_incremental",
     # (b) Bloom-filter decontamination (new operators/bloom.py — r12):
     # packed-bitset probe, no-false-negative contract; new module, so
     # the closure is exactly this entry
@@ -8270,10 +8300,11 @@ _PRIORITY = [
     "approx_distinct", "big_orders", "array_ops", "orders_lineitem_smj",
     "cube_lineitem",
 ]
-# r12 rotation debt (recorded for r13): the fourteen tail entries the
-# CMS + star-clustering(+purity) + bloom + cms-store registrations and
-# the dedup_index closure displaced from this round's window
-# (lm_buckets, hash_split_assign, repetition_stats,
+# r12 rotation debt (recorded for r13): the sixteen tail entries the
+# CMS + star-clustering(+purity/+day-2) + bloom + cms-store
+# registrations and the dedup_index closure displaced from this
+# round's window (lm_score, lm_buckets, hash_split_assign,
+# repetition_stats,
 # doc_fingerprint, sessionize_stateful, global_topn,
 # cheapest_supplier_per_part, date_parts, distinct_counts,
 # approx_distinct, big_orders, array_ops, orders_lineitem_smj,

@@ -1,0 +1,182 @@
+"""Day-2 incremental star clustering — the stored-index twin of
+``cluster.minhash_dedup_star`` (the same daily-batch shape as
+``dedup_index`` / ``semantic_dedup_incremental`` / day-2 DSIR).
+
+Day 1 persists two tables: the corpus's component assignment and the
+LSH BUCKET ROOTS ``(band, band_hash, root)`` — the minimum member id
+per occupied bucket, O(distinct buckets) <= n * bands rows. Day 2
+never re-reads the day-1 corpus:
+
+  1. the delta's banded signatures equi-join the stored bucket roots —
+     a delta doc sharing any bucket with day 1 gets an edge to that
+     bucket's root's COMPONENT label;
+  2. delta-delta star edges come from the same groupBy-min as the
+     one-shot path (new buckets the day-1 corpus never occupied);
+  3. connected components run over this SMALL graph only — delta ids
+     plus touched day-1 component labels as contracted supernodes.
+     Contracting a connected subgraph (a day-1 cluster) to one node
+     preserves component structure, and because day-1 labels are
+     min-member ids, the min label over a merged group equals the min
+     over ALL underlying member ids — so the incremental result is
+     BIT-EQUAL to a full star recompute over day1 ∪ delta (the pinned
+     contract, and the driver oracle);
+  4. component merges caused by a bridging delta doc surface as a
+     KB-scale REMAP table (old_label -> new_label) applied to the
+     day-1 assignment as a broadcast join — the deletion-vector style
+     trade: day 2 writes O(delta + merges) rows, never rewrites the
+     corpus assignment.
+
+Cost: O(delta * bands) probe rows against an O(buckets) store, CC over
+O(delta + touched components) nodes. Degenerate buckets stay linear
+for the same star reason as day 1.
+
+New module (r12): the registration closure is its own harness entry;
+primitives import from ``cluster`` / ``dedup`` unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cluster import lsh_star_edges, minhash_dedup_star
+from .dedup import connected_components, minhash_bands, minhash_signatures
+
+
+def _banded(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    shingle_n: int,
+    num_perm: int,
+    num_bands: int,
+    seed: int,
+) -> DataFrame:
+    sig = minhash_signatures(df, content_col, id_col, shingle_n, num_perm, seed)
+    return sig.select(
+        id_col,
+        F.explode(minhash_bands("sig", num_bands, num_perm // num_bands)).alias("bb"),
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
+def write_star_index(
+    df: DataFrame,
+    path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+) -> None:
+    """Persist the day-1 clustering state: ``{path}/components``
+    (id, component) and ``{path}/buckets`` (band, band_hash, root =
+    min member id per occupied bucket). Both are plain parquet,
+    O(corpus) and O(buckets) rows of integers; the corpus text is
+    never needed again by the day-2 path."""
+    comp = minhash_dedup_star(
+        df, content_col, id_col, shingle_n, num_perm, num_bands, seed
+    )
+    comp.select(id_col, "component").write.mode("overwrite").parquet(
+        f"{path}/components"
+    )
+    banded = _banded(df, content_col, id_col, shingle_n, num_perm, num_bands, seed)
+    banded.groupBy("band", "band_hash").agg(
+        F.min(id_col).alias("root")
+    ).write.mode("overwrite").parquet(f"{path}/buckets")
+
+
+def star_assign_incremental(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign a day-2 delta against the stored day-1 clustering and
+    return the FULL updated assignment ``(id, component, keep)`` —
+    bit-equal to a from-scratch star recompute over day1 ∪ delta
+    (pinned in tests/test_cluster_index.py; hash-oracled on the
+    driver). A production pipeline persists only the delta rows and
+    the remap table this derives (O(delta + merges)); the day-1 side
+    of the returned frame is the stored assignment passed through one
+    broadcast remap join, reproduced here so the contract is checkable
+    end-to-end."""
+    day1_comp = spark.read.parquet(f"{path}/components")
+    buckets = spark.read.parquet(f"{path}/buckets")
+
+    delta_banded = _banded(
+        delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
+    ).localCheckpoint(eager=True)
+
+    # (1) delta -> day-1 component edges through shared buckets. The
+    # bucket root is a day-1 doc; its component label contracts the
+    # whole day-1 cluster to one supernode.
+    root_comp = day1_comp.select(
+        F.col(id_col).alias("root"), F.col("component").alias("_c1")
+    )
+    cross_edges = (
+        delta_banded.join(buckets, ["band", "band_hash"])
+        .join(root_comp, "root")
+        .select(F.col(id_col).alias("id_a"), F.col("_c1").alias("id_b"))
+        .distinct()
+    )
+    # (2) delta-delta star edges (buckets day 1 never occupied join
+    # among themselves exactly like the one-shot path)
+    delta_edges = (
+        delta_banded.groupBy("band", "band_hash")
+        .agg(F.min(id_col).alias("_root"))
+        .join(delta_banded, ["band", "band_hash"])
+        .filter(F.col(id_col) != F.col("_root"))
+        .select(F.col("_root").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    # (3) components over the contracted graph only
+    small = connected_components(cross_edges.unionByName(delta_edges))
+
+    # (4) remap for day-1 labels that merged (or were relabeled by a
+    # smaller delta id); KB-scale — broadcast over the stored frame
+    labels = small.withColumnRenamed("id", "_node")
+    remap = (
+        day1_comp.select(F.col("component").alias("old_label"))
+        .distinct()
+        .join(
+            labels.select(
+                F.col("_node").alias("old_label"),
+                F.col("component").alias("new_label"),
+            ),
+            "old_label",
+        )
+        .filter(F.col("old_label") != F.col("new_label"))
+    )
+    day1_updated = (
+        day1_comp.join(
+            F.broadcast(remap),
+            day1_comp.component == remap.old_label,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("new_label", "component").alias("component"),
+        )
+    )
+    delta_assigned = (
+        delta.select(id_col)
+        .join(labels.select(F.col("_node").alias(id_col), "component"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    return (
+        day1_updated.unionByName(delta_assigned)
+        .withColumn("keep", F.col(id_col) == F.col("component"))
+    )

@@ -1,0 +1,105 @@
+"""Day-2 incremental star clustering pins (operators/cluster_index.py
+— r12): incremental assignment must be BIT-EQUAL to a from-scratch
+star recompute over day1 ∪ delta, across the shapes that stress the
+contraction argument — a delta doc bridging two day-1 clusters (the
+remap/merge path), a delta id smaller than its day-1 cluster label
+(the relabel path), delta-only new clusters, and an unconnected
+delta."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_project_with_embeddings_and_vector_database_spark.operators import (
+    cluster as CL,
+    cluster_index as CI,
+)
+
+
+def _assign(df):
+    return {r.doc_id: (r.component, r.keep) for r in df.collect()}
+
+
+def _check_parity(spark, day1, delta, tmp_path, tag):
+    path = str(tmp_path / f"idx_{tag}")
+    CI.write_star_index(day1, path)
+    inc = _assign(CI.star_assign_incremental(spark, delta, path))
+    full = _assign(CL.minhash_dedup_star(day1.unionByName(delta)))
+    assert inc == full, {
+        k: (inc.get(k), full.get(k)) for k in inc if inc.get(k) != full.get(k)
+    }
+    return inc
+
+
+def test_bridge_merges_two_day1_clusters(spark, tmp_path):
+    """Two textually distinct day-1 clusters; the delta doc contains
+    BOTH texts, so its shingles share buckets with each — day 2 must
+    merge the two day-1 components through the remap path, exactly as
+    the full recompute does."""
+    # deterministic bridge fixture, found by replaying the md5/LCG
+    # hash family offline: the concatenation band-collides with BOTH
+    # source texts under seed 42 while a and b never collide directly
+    # (matching a band requires the union's four perm-minima to all
+    # come from one side — rare by design, so it is searched for, not
+    # assumed)
+    a = "w15 w83 w174 w132 w135 w142 w123 w198 w27 w143"
+    b = "w14 w63 w48 w70 w10 w197 w25 w129 w115 w143"
+    day1 = spark.createDataFrame(
+        [(10, a), (11, a), (20, b), (21, b)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(30, a + " " + b)], "doc_id long, text string"
+    )
+    inc = _check_parity(spark, day1, delta, tmp_path, "bridge")
+    comps = {c for c, _ in inc.values()}
+    assert comps == {10}, comps  # one merged cluster labeled by min id
+
+
+def test_small_delta_id_relabels_day1_cluster(spark, tmp_path):
+    """A delta doc with an id SMALLER than its day-1 cluster's label
+    must relabel the whole cluster (min-label identity) — the remap
+    path in the other direction."""
+    t = "identical mirrored boilerplate body with plenty of stable tokens for shingling"
+    day1 = spark.createDataFrame(
+        [(100, t), (101, t)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame([(5, t)], "doc_id long, text string")
+    inc = _check_parity(spark, day1, delta, tmp_path, "relabel")
+    assert inc[100] == (5, False) and inc[101] == (5, False) and inc[5] == (5, True)
+
+
+def test_delta_only_cluster_and_singletons(spark, tmp_path):
+    """Delta docs forming a brand-new cluster in buckets day 1 never
+    occupied, plus unconnected delta singletons, plus an untouched
+    day-1 cluster."""
+    day1 = spark.createDataFrame(
+        [
+            (1, "day one cluster text about resistors capacitors and oscillators in circuits"),
+            (2, "day one cluster text about resistors capacitors and oscillators in circuits"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (50, "new arrival topic with entirely fresh vocabulary about orchards and beekeeping"),
+            (51, "new arrival topic with entirely fresh vocabulary about orchards and beekeeping"),
+            (60, " ".join(f"solo60tok{t}" for t in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    inc = _check_parity(spark, day1, delta, tmp_path, "newcluster")
+    assert inc[1] == (1, True) and inc[2] == (1, False)
+    assert inc[50] == (50, True) and inc[51] == (50, False)
+    assert inc[60] == (60, True)
+
+
+def test_parity_on_testdata_quarter_split(spark, tmp_path):
+    """The fixture-corpus version of the contract: a 25% delta over
+    the sf0.001 documents table, incremental == full bit-for-bit."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    day1 = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    _check_parity(spark, day1, delta, tmp_path, "sf")

@@ -90,6 +90,51 @@ def write_star_index(
     ).write.mode("overwrite").parquet(f"{path}/buckets")
 
 
+def update_star_index(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Fold a day-2 delta INTO the stored index so day 3 can probe it:
+    components become the incremental assignment (day-1 remapped +
+    delta), buckets become min(stored root, delta members) per bucket
+    — after which the store is indistinguishable from one built from
+    scratch over day1 ∪ delta (pinned: a day-3 incremental against
+    the updated store equals the three-day full recompute). Both
+    tables are rewritten via a localCheckpoint barrier (read and
+    overwrite of the same path — the same self-overwrite hazard every
+    store-compaction path in this repo guards against); day-N
+    chaining therefore costs O(store) rewrite, not O(corpus) text
+    reprocessing. Returns the updated assignment frame."""
+    updated = star_assign_incremental(
+        spark, delta, path, content_col, id_col,
+        shingle_n, num_perm, num_bands, seed,
+    ).localCheckpoint(eager=True)
+    delta_buckets = (
+        _banded(delta, content_col, id_col, shingle_n, num_perm, num_bands, seed)
+        .groupBy("band", "band_hash")
+        .agg(F.min(id_col).alias("root"))
+    )
+    merged_buckets = (
+        spark.read.parquet(f"{path}/buckets")
+        .unionByName(delta_buckets)
+        .groupBy("band", "band_hash")
+        .agg(F.min("root").alias("root"))
+        .localCheckpoint(eager=True)
+    )
+    updated.select(id_col, "component").write.mode("overwrite").parquet(
+        f"{path}/components"
+    )
+    merged_buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+    return updated
+
+
 def star_assign_incremental(
     spark: SparkSession,
     delta: DataFrame,

@@ -103,3 +103,39 @@ def test_parity_on_testdata_quarter_split(spark, tmp_path):
     day1 = docs.filter(F.col("doc_id") % 4 != 0)
     delta = docs.filter(F.col("doc_id") % 4 == 0)
     _check_parity(spark, day1, delta, tmp_path, "sf")
+
+
+def test_day3_chain_through_updated_store(spark, tmp_path):
+    """update_star_index folds day 2 into the store; a day-3
+    incremental against the UPDATED store must equal the full
+    three-day recompute — the multi-day chaining contract (each day
+    costs O(store + delta), never a corpus reprocess)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    day1 = docs.filter(F.col("doc_id") % 3 == 0)
+    day2 = docs.filter(F.col("doc_id") % 3 == 1)
+    day3 = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "chain_idx")
+    CI.write_star_index(day1, path)
+    CI.update_star_index(spark, day2, path)
+    inc = _assign(CI.star_assign_incremental(spark, day3, path))
+    full = _assign(CL.minhash_dedup_star(docs))
+    assert inc == full
+
+
+def test_dedup_keep_set_is_fixed_point(spark):
+    """Idempotence of the dedup verdict: re-clustering the KEPT docs
+    must yield all singletons — any two kept roots sharing a bucket
+    would have been one component in the first pass (the star-family
+    analogue of the f∘f == f normalizer sweeps)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    first = CL.minhash_dedup_star(docs)
+    kept_ids = first.filter("keep").select("doc_id")
+    kept_docs = docs.join(kept_ids, "doc_id")
+    second = CL.minhash_dedup_star(kept_docs)
+    non_singleton = second.filter("doc_id != component").count()
+    assert non_singleton == 0
+    assert second.count() == kept_ids.count()

@@ -92,6 +92,7 @@ HEADLINE = [
     "hash_split_assign",
     "mixture_sample",
     "mixture_sample_tokens",
+    "mixture_temperature",
     "leakage_safe_split",
     "diversity_sample",
     "quality_classifier",

@@ -4050,6 +4050,51 @@ def mixture_sample_threshold(spark, sf_dir):
     ).select("lang", "doc_id", MX.hash_bucket("doc_id").alias("bucket"))
 
 
+_TEMP_ALPHA = 0.5
+
+
+@register(
+    "mixture_temperature",
+    f"""
+    WITH sup AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    tot AS (SELECT sum(c)::DOUBLE AS n FROM sup),
+    -- p_d = share_d^alpha; z summed in SORTED-domain order (the
+    -- operator's left-fold pin, mixing.mixture_temperature)
+    pw AS (SELECT lang, c, pow(c / n, {_TEMP_ALPHA}) AS p FROM sup, tot),
+    z AS (SELECT sum(p ORDER BY lang) AS z FROM pw),
+    tgt AS (
+      SELECT pw.lang,
+             least(CAST(floor((p / z.z) * {_MIXTURE_TOTAL} + 0.5) AS BIGINT), pw.c) AS t
+      FROM pw, z
+    ),
+    ranked AS (
+      SELECT lang, doc_id, {_HASH_BUCKET_SQL} AS bucket,
+             row_number() OVER (PARTITION BY lang ORDER BY {_HASH_BUCKET_SQL}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, bucket FROM ranked JOIN tgt USING (lang) WHERE rn <= t
+    """,
+)
+def mixture_temperature(spark, sf_dir):
+    """TEMPERATURE (alpha) SAMPLING (operators/mixing.py
+    mixture_temperature): mixture weights derived from the corpus's
+    own shares, p_d ∝ share_d^alpha with alpha=0.5 — the multilingual
+    tail-upweighting recipe (mBERT/XLM-R) for when a hand-tuned
+    weights table is impractical. Every domain participates (weights
+    cover the observed domains), targets clamp to supply, and
+    selection reuses the permanent-hash exact machinery, so the
+    oracle replays the share power, the sorted-order normalizer fold,
+    the floor(x+0.5) targets AND the member selection bit-for-bit;
+    the fixture's targets are pytest-swept away from the rounding
+    boundary so an ulp of libm pow() cannot flip one."""
+    from .operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return MX.mixture_temperature(
+        d, "lang", _TEMP_ALPHA, _MIXTURE_TOTAL
+    ).select("lang", "doc_id", MX.hash_bucket("doc_id").alias("bucket"))
+
+
 _UPSAMPLE_WEIGHTS = {"en": 0.5, "de": 0.5}
 _UPSAMPLE_TOTAL = 400
 
@@ -8289,6 +8334,9 @@ _PRIORITY = [
     "vector_arrival_ingest",
     # (c) rotation debt (VERDICT r11 item 5), oldest first: the r7
     # stragglers, then the r8 population head (ledger below)
+    # (b) closure of the r12 mixing.py edit (mixture_temperature):
+    # the whole mixture family re-earns evidence postdating the change
+    "mixture_temperature", "mixture_sample", "mixture_sample_tokens",
     "vectors_upsert", "mixture_sample_threshold", "mixture_upsample",
     "filter_ext", "token_count", "sentence_split", "preprocess_text",
     "metric_all", "report_best", "sink_json", "embed_fanout",
@@ -8300,11 +8348,12 @@ _PRIORITY = [
     "approx_distinct", "big_orders", "array_ops", "orders_lineitem_smj",
     "cube_lineitem",
 ]
-# r12 rotation debt (recorded for r13): the sixteen tail entries the
-# CMS + star-clustering(+purity/+day-2) + bloom + cms-store
-# registrations and the dedup_index closure displaced from this
-# round's window (lm_score, lm_buckets, hash_split_assign,
-# repetition_stats,
+# r12 rotation debt (recorded for r13): the nineteen tail entries
+# this round's new registrations (CMS family + store, star clustering
+# + purity + day-2, bloom, mixture_temperature) and the
+# dedup_index/mixing closures displaced from the window
+# (embedding_quantize, pii_scan, pii_redact, lm_score, lm_buckets,
+# hash_split_assign, repetition_stats,
 # doc_fingerprint, sessionize_stateful, global_topn,
 # cheapest_supplier_per_part, date_parts, distinct_counts,
 # approx_distinct, big_orders, array_ops, orders_lineitem_smj,

@@ -290,3 +290,47 @@ def mixture_upsample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_reps") - 1)))
         .drop("_rn", "_reps")
     )
+
+
+def mixture_temperature(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float,
+    total: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "exact",
+    salt_partitions: int = 32,
+) -> DataFrame:
+    """Temperature (alpha) sampling — mixture weights DERIVED from the
+    corpus's own shares, p_d ∝ share_d^alpha (the multilingual
+    recipe popularized by mBERT/XLM-R): alpha=1 reproduces natural
+    proportions, alpha -> 0 flattens toward uniform — the
+    tail-upweighting knob used when hand-tuning a weights table is
+    impractical (hundreds of languages/domains). One O(domains)
+    planning aggregate derives the weights, which then feed the
+    identical exact/threshold machinery of ``mixture_sample`` —
+    determinism, hot-domain salting, supply clamping and oracle
+    replay carry over unchanged.
+
+    Cross-engine float discipline: the share power and normalizer are
+    evaluated in SORTED-domain order on both engines (left-fold sum),
+    the target arithmetic keeps mixture_sample's pinned
+    floor(x + 0.5), and the shipped fixtures' targets are pytest-swept
+    to sit away from the .5 boundary under ulp-scale perturbation —
+    so a last-ulp libm pow() difference cannot flip a target."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    supply = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = float(sum(supply.values()))
+    pw = {d: (c / n) ** alpha for d, c in sorted(supply.items())}
+    z = 0.0
+    for d in sorted(pw):
+        z += pw[d]
+    weights = {d: pw[d] / z for d in sorted(pw)}
+    return mixture_sample(
+        df, domain_col, weights, total, id_col, seed, method, salt_partitions
+    )

@@ -200,6 +200,26 @@ def bloom_decontaminate(
     )
 
 
+def write_bloom_store(positions: DataFrame, path: str) -> None:
+    """Append a benchmark suite's set-bit positions to a stored Bloom
+    filter. Append-mode is CORRECT here without any batch keying —
+    the exact opposite of the CMS store's discipline — because the
+    Bloom state is a SET: replayed or duplicated appends change
+    nothing after the read-side distinct (union is idempotent), and a
+    torn write can only lose rows it would re-append on retry, never
+    corrupt counts. Day-2 suites therefore just append their
+    positions; no compaction is ever required for correctness (a
+    periodic distinct-rewrite is purely a size optimization)."""
+    positions.write.mode("append").parquet(path)
+
+
+def read_bloom_store(spark, path: str) -> DataFrame:
+    """The stored filter's distinct positions — feed to ``bloom_pack``
+    for probing. O(set bits) rows regardless of how many suites (or
+    retried appends) landed."""
+    return spark.read.parquet(path).select("pos").distinct()
+
+
 def bloom_flag_docs(
     docs: DataFrame,
     packed: DataFrame,

@@ -100,3 +100,25 @@ def test_document_verdict_catches_planted_contamination(spark):
     out = {r.doc_id: r for r in BL.bloom_decontaminate(corpus, bench).collect()}
     assert out[10].contaminated and out[10].n_flagged > 0
     assert not out[11].contaminated and out[11].n_flagged == 0
+
+
+def test_store_append_is_idempotent_and_merges_suites(spark, grams, tmp_path):
+    """Two benchmark suites append their positions; a REPLAYED append
+    (the crash-retry shape) must change nothing — Bloom state is a
+    set, so union idempotence makes blind appends safe, the exact
+    opposite of the CMS store's batch-keying requirement. The stored
+    filter must equal the filter built over the suite union."""
+    path = str(tmp_path / "bloom_store")
+    suite_a = grams.filter(F.col("gh") % 3 == 0)
+    suite_b = grams.filter(F.col("gh") % 3 == 1)
+    pa = BL.bloom_positions(suite_a, "gh")
+    pb = BL.bloom_positions(suite_b, "gh")
+    BL.write_bloom_store(pa, path)
+    BL.write_bloom_store(pb, path)
+    BL.write_bloom_store(pb, path)  # replayed append: harmless
+    stored = BL.read_bloom_store(spark, path)
+    direct = BL.bloom_positions(
+        suite_a.unionByName(suite_b), "gh"
+    )
+    assert stored.exceptAll(direct).count() == 0
+    assert direct.exceptAll(stored).count() == 0

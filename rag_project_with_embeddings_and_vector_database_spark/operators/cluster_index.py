@@ -150,7 +150,11 @@ def star_assign_incremental(
     return the FULL updated assignment ``(id, component, keep)`` —
     bit-equal to a from-scratch star recompute over day1 ∪ delta
     (pinned in tests/test_cluster_index.py; hash-oracled on the
-    driver). A production pipeline persists only the delta rows and
+    driver). The delta must be ID-DISJOINT from day 1 — the same
+    daily-batch contract every incremental path in this repo carries
+    (dedup_index probes, semantic deltas, day-2 DSIR); a re-submitted
+    day-1 id would emit two assignment rows rather than deduplicate.
+    A production pipeline persists only the delta rows and
     the remap table this derives (O(delta + merges)); the day-1 side
     of the returned frame is the stored assignment passed through one
     broadcast remap join, reproduced here so the contract is checkable

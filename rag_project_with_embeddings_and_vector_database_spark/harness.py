@@ -7888,6 +7888,62 @@ ORACLE["cms_merge_rollup"] = f"""
     """
 
 
+@register("cms_heavy_hitters")
+def cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter candidates from the CMS (operators/freqsketch.py
+    cms_heavy_hitters): values whose sketch estimate clears
+    phi * N, where N derives from one depth row of the sketch itself
+    (every depth sums to N). Because estimates never under-count, the
+    candidate set has NO false negatives at the threshold — the
+    contract that makes a 24 KB sketch a safe pre-filter for exact
+    counting at 100 TB. Fixture: lineitem quantities (50 integral
+    values, each ~2%% of rows) at phi=0.0205, so the threshold cuts
+    INSIDE the distribution and the emitted set is a non-trivial,
+    SF-dependent subset (21 values at sf0.001, 7 at sf0.01; at sf0.1
+    the uniform shares concentrate below the threshold and the
+    truthful answer is empty). The oracle replays build, probe, N and the
+    threshold comparison bit-for-bit (integer value casts both
+    sides; N cast BIGINT — the r11 HUGEINT lesson)."""
+    from .operators import freqsketch as CM
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q")
+    )
+    sk = CM.cms_build(li, "q")
+    return CM.cms_heavy_hitters(li, sk, "q", phi=0.0205).select(
+        "q", F.col("est").cast("bigint").alias("est")
+    )
+
+
+ORACLE["cms_heavy_hitters"] = f"""
+    WITH occ AS (
+      SELECT 1 AS flag, CAST(l_quantity AS BIGINT) AS v FROM lineitem
+    ),
+    counters AS (
+      {_cms_oracle_counters("occ", "flag", "v", 4, 2048, 7)}
+    ),
+    n AS (
+      SELECT sum(cnt)::BIGINT AS n FROM counters WHERE depth = 0
+    ),
+    probe_vals AS (SELECT DISTINCT v FROM occ),
+    probe_cells AS (
+      {" UNION ALL ".join(
+        f"SELECT v, {i} AS depth, "
+        f"('0x' || substr(md5(v::VARCHAR || chr(31) || '{7000 + i}'), 1, 15))"
+        f"::BIGINT % 2048 AS bucket FROM probe_vals"
+        for i in range(4)
+      )}
+    ),
+    est AS (
+      SELECT p.v, min(coalesce(c.cnt, 0))::BIGINT AS est
+      FROM probe_cells p
+      LEFT JOIN counters c ON p.depth = c.depth AND p.bucket = c.bucket
+      GROUP BY p.v
+    )
+    SELECT est.v AS q, est.est FROM est, n WHERE est.est >= n.n * 0.0205
+    """
+
+
 @register("stream_windowed_cms")  # rows-only: real streaming run, exact drain parity RAISES
 def stream_windowed_cms(spark, sf_dir):
     """STREAMING Count-Min run as a real Structured Streaming job
@@ -8310,7 +8366,7 @@ _PRIORITY = [
     # RAISE — same-round evidence beats queueing when the oracle is
     # already proven portable
     "cms_frequency", "cms_merge_rollup", "stream_windowed_cms",
-    "cms_store_day2",
+    "cms_store_day2", "cms_heavy_hitters",
     # (b) star-edge LSH clustering (new operators/cluster.py — r12):
     # the linear-cost answer to the pair path's occupancy-guard
     # ceiling, plus its sampled exact-Jaccard purity audit; new
@@ -8348,7 +8404,7 @@ _PRIORITY = [
     "approx_distinct", "big_orders", "array_ops", "orders_lineitem_smj",
     "cube_lineitem",
 ]
-# r12 rotation debt (recorded for r13): the nineteen tail entries
+# r12 rotation debt (recorded for r13): the twenty tail entries
 # this round's new registrations (CMS family + store, star clustering
 # + purity + day-2, bloom, mixture_temperature) and the
 # dedup_index/mixing closures displaced from the window

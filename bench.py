@@ -123,6 +123,12 @@ HEADLINE = [
     "cms_frequency",
     "cms_merge_rollup",
     "cms_store_day2",
+    # r13: the CMS sibling that missed the r12 HEADLINE (ADVICE r12),
+    # plus the round's new registrations
+    "cms_heavy_hitters",
+    "cms_error_audit",
+    "bloom_store_day2",
+    "star_update_chain",
     # r10 registrations
     "gopher_rules",
     "gopher_repetition",

@@ -39,8 +39,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cluster import lsh_star_edges, minhash_dedup_star
-from .dedup import connected_components, minhash_bands, minhash_signatures
+from .cluster import components_checked, minhash_dedup_star
+from .dedup import minhash_bands, minhash_signatures
+from .dedup_index import (
+    STORE_META_FILE,
+    _discover_keys,
+    _read_matched_partitions,
+    _resolve_store_layout,
+    write_signature_store,
+)
+
+# the shared pmod convention every band-partitioned store in this repo
+# uses (dedup_index signature stores, bm25 term buckets)
+DEFAULT_NUM_BUCKETS = 64
 
 
 def _banded(
@@ -74,10 +85,15 @@ def write_star_index(
     seed: int = 42,
 ) -> None:
     """Persist the day-1 clustering state: ``{path}/components``
-    (id, component) and ``{path}/buckets`` (band, band_hash, root =
-    min member id per occupied bucket). Both are plain parquet,
-    O(corpus) and O(buckets) rows of integers; the corpus text is
-    never needed again by the day-2 path."""
+    (id, component — plain parquet, O(corpus) integer rows) and
+    ``{path}/buckets`` (band, band_hash, root = min member id per
+    occupied bucket) in the BAND-PARTITIONED signature-store layout
+    (VERDICT r12 item 4; precedent ``dedup_index.write_signature_store``):
+    ``partitionBy(band, sig_bucket)`` with the shared pmod-64 bucket of
+    band_hash plus the ``_store_meta.json`` sidecar, so day-2 probes
+    prune to exactly the delta's matched partitions with O(bands)
+    discovery RPCs instead of scanning every stored bucket. The corpus
+    text is never needed again by the day-2 path."""
     comp = minhash_dedup_star(
         df, content_col, id_col, shingle_n, num_perm, num_bands, seed
     )
@@ -85,9 +101,17 @@ def write_star_index(
         f"{path}/components"
     )
     banded = _banded(df, content_col, id_col, shingle_n, num_perm, num_bands, seed)
-    banded.groupBy("band", "band_hash").agg(
-        F.min(id_col).alias("root")
-    ).write.mode("overwrite").parquet(f"{path}/buckets")
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.min(id_col).alias("root"))
+        .withColumn(
+            "sig_bucket", F.pmod(F.col("band_hash"), F.lit(DEFAULT_NUM_BUCKETS))
+        )
+    )
+    write_signature_store(
+        buckets, f"{path}/buckets", ("band", "sig_bucket"),
+        bucket_modulus=DEFAULT_NUM_BUCKETS,
+    )
 
 
 def update_star_index(
@@ -100,18 +124,30 @@ def update_star_index(
     num_perm: int = 16,
     num_bands: int = 4,
     seed: int = 42,
+    dest_path: str | None = None,
 ) -> DataFrame:
     """Fold a day-2 delta INTO the stored index so day 3 can probe it:
     components become the incremental assignment (day-1 remapped +
     delta), buckets become min(stored root, delta members) per bucket
     — after which the store is indistinguishable from one built from
     scratch over day1 ∪ delta (pinned: a day-3 incremental against
-    the updated store equals the three-day full recompute). Both
-    tables are rewritten via a localCheckpoint barrier (read and
-    overwrite of the same path — the same self-overwrite hazard every
-    store-compaction path in this repo guards against); day-N
+    the updated store equals the three-day full recompute). Day-N
     chaining therefore costs O(store) rewrite, not O(corpus) text
-    reprocessing. Returns the updated assignment frame."""
+    reprocessing. Returns the updated assignment frame.
+
+    Crash contract (ADVICE r12): pass ``dest_path`` to write BOTH
+    tables into a NEW generation directory — the source store is never
+    touched, a crash costs only the incomplete new directory, and a
+    retry re-reads the ORIGINAL store so the id-disjoint delta
+    contract holds across retries (the ``compact_signature_store``
+    dest_path shape); the caller swaps its pointer when both tables
+    land. With ``dest_path=None`` the rewrite is IN-PLACE (two
+    sequential overwrites behind localCheckpoint barriers) — a crash
+    BETWEEN the two overwrites leaves a mixed-generation store, and a
+    retry would re-submit delta ids already folded into components
+    (violating the id-disjoint contract, duplicating assignment rows);
+    reserve it for stores that are snapshotted or rebuildable."""
+    out = dest_path if dest_path is not None else path
     updated = star_assign_incremental(
         spark, delta, path, content_col, id_col,
         shingle_n, num_perm, num_bands, seed,
@@ -123,15 +159,24 @@ def update_star_index(
     )
     merged_buckets = (
         spark.read.parquet(f"{path}/buckets")
+        .drop("sig_bucket")
         .unionByName(delta_buckets)
         .groupBy("band", "band_hash")
         .agg(F.min("root").alias("root"))
-        .localCheckpoint(eager=True)
+        .withColumn(
+            "sig_bucket", F.pmod(F.col("band_hash"), F.lit(DEFAULT_NUM_BUCKETS))
+        )
     )
+    if dest_path is None:
+        # in-place: cut lineage so the same paths can be overwritten
+        merged_buckets = merged_buckets.localCheckpoint(eager=True)
     updated.select(id_col, "component").write.mode("overwrite").parquet(
-        f"{path}/components"
+        f"{out}/components"
     )
-    merged_buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+    write_signature_store(
+        merged_buckets, f"{out}/buckets", ("band", "sig_bucket"),
+        bucket_modulus=DEFAULT_NUM_BUCKETS,
+    )
     return updated
 
 
@@ -160,11 +205,34 @@ def star_assign_incremental(
     broadcast remap join, reproduced here so the contract is checkable
     end-to-end."""
     day1_comp = spark.read.parquet(f"{path}/components")
-    buckets = spark.read.parquet(f"{path}/buckets")
 
     delta_banded = _banded(
         delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
     ).localCheckpoint(eager=True)
+
+    # partition-pruned bucket probe (VERDICT r12 item 4): the store is
+    # band/sig_bucket-partitioned, so the delta's distinct partition
+    # keys (bounded at num_bands x modulus) select exactly the matched
+    # directories — O(bands) discovery RPCs, stored buckets the delta
+    # never addresses are never read. The delta is NOT broadcast on
+    # this path (the probe is a plain equi-join), so no
+    # max_delta_docs contract applies.
+    num_buckets = _resolve_store_layout(
+        spark, f"{path}/buckets", ("band", "sig_bucket"), DEFAULT_NUM_BUCKETS
+    )
+    keys = _discover_keys(
+        delta_banded, "band", "band_hash", num_buckets, num_bands,
+        "star_assign_incremental", None,
+    )
+    buckets = _read_matched_partitions(
+        spark,
+        f"{path}/buckets",
+        [(("band", b), ("sig_bucket", sb)) for b, sb in keys],
+        empty_like=delta_banded.select(
+            "band", "band_hash", F.col(id_col).alias("root")
+        ),
+        bucket_modulus=num_buckets,
+    ).drop("sig_bucket")
 
     # (1) delta -> day-1 component edges through shared buckets. The
     # bucket root is a day-1 doc; its component label contracts the
@@ -188,8 +256,9 @@ def star_assign_incremental(
         .select(F.col("_root").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
-    # (3) components over the contracted graph only
-    small = connected_components(cross_edges.unionByName(delta_edges))
+    # (3) components over the contracted graph only — convergence
+    # RAISE-checked (the bit-equality-with-exact-closure contract)
+    small = components_checked(cross_edges.unionByName(delta_edges))
 
     # (4) remap for day-1 labels that merged (or were relabeled by a
     # smaller delta id); KB-scale — broadcast over the stored frame

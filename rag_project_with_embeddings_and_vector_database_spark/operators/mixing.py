@@ -326,6 +326,10 @@ def mixture_temperature(
         for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     n = float(sum(supply.values()))
+    if n == 0:
+        # mirror the alpha guard: an empty corpus has no shares to
+        # derive weights from — fail loudly, not with ZeroDivisionError
+        raise ValueError("mixture_temperature: empty corpus (no rows to derive shares from)")
     pw = {d: (c / n) ** alpha for d, c in sorted(supply.items())}
     z = 0.0
     for d in sorted(pw):

@@ -139,3 +139,73 @@ def test_dedup_keep_set_is_fixed_point(spark):
     non_singleton = second.filter("doc_id != component").count()
     assert non_singleton == 0
     assert second.count() == kept_ids.count()
+
+
+def test_update_star_index_dest_path_generation(spark, tmp_path):
+    """ADVICE r12: ``dest_path`` writes BOTH tables into a NEW
+    generation directory — the source store is byte-untouched, so a
+    crash mid-update costs only the incomplete new dir and a RETRY
+    re-reads the original store (the id-disjoint delta contract
+    survives retries, unlike the in-place fold where a retry would
+    re-submit already-folded delta ids). The new generation must be
+    indistinguishable from a from-scratch day1∪day2 store: a day-3
+    probe against it equals the full three-day recompute."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    day1 = docs.filter(F.col("doc_id") % 3 == 0)
+    day2 = docs.filter(F.col("doc_id") % 3 == 1)
+    day3 = docs.filter(F.col("doc_id") % 3 == 2)
+    src = str(tmp_path / "gen1")
+    CI.write_star_index(day1, src)
+    before_comp = sorted(
+        map(tuple, spark.read.parquet(f"{src}/components").collect())
+    )
+    before_buck = sorted(
+        map(tuple, spark.read.parquet(f"{src}/buckets").collect())
+    )
+    gen2 = str(tmp_path / "gen2")
+    CI.update_star_index(spark, day2, src, dest_path=gen2)
+    # source generation untouched
+    assert before_comp == sorted(
+        map(tuple, spark.read.parquet(f"{src}/components").collect())
+    )
+    assert before_buck == sorted(
+        map(tuple, spark.read.parquet(f"{src}/buckets").collect())
+    )
+    # retry idempotence: a second run against the SAME source lands an
+    # identical generation
+    gen2r = str(tmp_path / "gen2_retry")
+    CI.update_star_index(spark, day2, src, dest_path=gen2r)
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{gen2}/components").collect())
+    ) == sorted(map(tuple, spark.read.parquet(f"{gen2r}/components").collect()))
+    # day-3 probe of the new generation == full recompute
+    inc = _assign(CI.star_assign_incremental(spark, day3, gen2))
+    full = _assign(CL.minhash_dedup_star(docs))
+    assert inc == full
+
+
+def test_bucket_store_layout_partitioned_with_meta(spark, tmp_path):
+    """VERDICT r12 item 4: the bucket store adopts the band-partitioned
+    signature-store layout — ``partitionBy(band, sig_bucket)``
+    directories plus the self-describing ``_store_meta.json`` sidecar
+    the pruned probe validates and adopts."""
+    import json
+    import os
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "layout_idx")
+    CI.write_star_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    dirs = os.listdir(f"{path}/buckets")
+    assert any(d.startswith("band=") for d in dirs)
+    sub = os.listdir(
+        f"{path}/buckets/" + next(d for d in dirs if d.startswith("band="))
+    )
+    assert any(d.startswith("sig_bucket=") for d in sub)
+    with open(f"{path}/buckets/{CI.STORE_META_FILE}") as fh:
+        meta = json.load(fh)
+    assert meta["partition_cols"] == ["band", "sig_bucket"]
+    assert meta["bucket_modulus"] == CI.DEFAULT_NUM_BUCKETS

@@ -8325,6 +8325,228 @@ def bloom_decontaminate(spark, sf_dir):
     return BL.bloom_decontaminate(corpus, bench)
 
 
+@register("bloom_store_day2", _bloom_decon_sql())
+def bloom_store_day2(spark, sf_dir):
+    """DAY-2 stored Bloom filter (operators/bloom.py write_bloom_store
+    / read_bloom_store — VERDICT r12 item 1): suite A (doc_id < 5) and
+    suite B (5 <= doc_id < 10) append their set-bit positions to one
+    parquet store as BLIND appends, suite B's append is then REPLAYED
+    (the crash-retry shape), and the store reads back through one
+    distinct into a packed bitset that scores the corpus. Blind
+    appends are CORRECT for this store — the exact opposite of the CMS
+    discipline — because Bloom state is a SET: union is idempotent, a
+    replayed append changes nothing after the read-side distinct. The
+    oracle is the one-shot decontamination against bench = A ∪ B
+    (doc_id < 10): a hash-green row certifies the parquet round-trip,
+    the suite union AND the retry idempotence bit-for-bit. At 100 TB:
+    each eval suite appends KB-scale position rows; the corpus probe
+    broadcasts m/8 bytes regardless of how many suites landed."""
+    from .functions.text import md5_long
+    from .operators import bloom as BL
+    from .operators.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = _par(d.filter(F.col("doc_id") >= 10)).select("doc_id", "text")
+    store = f"{_proc_tmp('bloom_store')}/positions"
+    for lo, hi in ((0, 5), (5, 10)):
+        grams = (
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select(F.explode(shingles("text", 5)).alias("_g"))
+            .select(md5_long(F.col("_g")).alias("gh"))
+        )
+        BL.write_bloom_store(BL.bloom_positions(grams, "gh"), store)
+    # replay suite B: the blind re-append must be absorbed by the
+    # read-side distinct (union idempotence — the store's contract)
+    grams_b = (
+        d.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+        .select(F.explode(shingles("text", 5)).alias("_g"))
+        .select(md5_long(F.col("_g")).alias("gh"))
+    )
+    BL.write_bloom_store(BL.bloom_positions(grams_b, "gh"), store)
+    packed = BL.bloom_pack(BL.read_bloom_store(spark, store))
+    return BL.bloom_decontaminate_packed(corpus, packed)
+
+
+@register("stream_bloom_gate")  # rows-only: real streaming run, batch-parity RAISE
+def stream_bloom_gate(spark, sf_dir):
+    """STREAMING ingest decontamination gate (operators/bloom.py
+    bloom_flag_docs — VERDICT r12 item 1): the per-document EXISTS
+    probe is a pure row predicate — no explode, no aggregation, NO
+    STATE STORE, no watermark — so the identical expression gates a
+    Structured Streaming micro-batch in APPEND mode via a
+    stream-static broadcast of the 1-row packed bitset. The corpus
+    streams through the gate in a REAL availableNow drain; the emitted
+    (doc_id, contaminated) verdicts must equal the batch twin's
+    EXACTLY (multiset compare, RAISES on any drift). This is the
+    arrival-time quarantine story: contaminated documents are flagged
+    before they reach the corpus store, with the same
+    no-false-negative contract as the batch path. At 100 TB the
+    static side is m/8 bytes re-broadcast per micro-batch; per-row
+    cost is k bit tests per gram, scan-local."""
+    import uuid
+
+    from .functions.text import md5_long
+    from .operators import bloom as BL
+    from .operators.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    bench_grams = (
+        d.filter(F.col("doc_id") < 10)
+        .select(F.explode(shingles("text", 5)).alias("_g"))
+        .select(md5_long(F.col("_g")).alias("gh"))
+    )
+    packed = BL.bloom_pack(
+        BL.bloom_positions(bench_grams, "gh")
+    ).localCheckpoint(eager=True)
+    corpus = d.filter(F.col("doc_id") >= 10).select("doc_id", "text")
+    tmp = _stream_tmp("bloomgate")
+    corpus.coalesce(2).write.mode("overwrite").parquet(f"{tmp}/src")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{tmp}/src"
+    )
+    gated = BL.bloom_flag_docs(stream, packed).select("doc_id", "contaminated")
+    qname = f"bloomgate_{uuid.uuid4().hex[:10]}"
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(qname)
+    batch = BL.bloom_flag_docs(corpus, packed).select("doc_id", "contaminated")
+    n_stream, n_batch = got.count(), batch.count()
+    n_extra = got.exceptAll(batch).count()
+    n_missing = batch.exceptAll(got).count()
+    n_flagged = got.filter("contaminated").count()
+    ok = n_extra == 0 and n_missing == 0 and n_stream > 0 and n_flagged > 0
+    if not ok:
+        raise AssertionError(
+            f"bloom gate stream/batch verdicts drifted: n_stream={n_stream} "
+            f"n_batch={n_batch} extra={n_extra} missing={n_missing} "
+            f"flagged={n_flagged}"
+        )
+    return spark.createDataFrame(
+        [(n_stream, n_batch, n_flagged, ok)],
+        "n_stream long, n_batch long, n_flagged long, ok boolean",
+    )
+
+
+@register("star_update_chain", _star_dedup_sql())
+def star_update_chain(spark, sf_dir):
+    """DAY-N star-index chaining (operators/cluster_index.py
+    update_star_index — VERDICT r12 item 3): day 1 (doc_id % 4 in
+    {2,3}) writes the store, day 2 (doc_id % 4 == 1) is FOLDED INTO it
+    via update_star_index writing a NEW GENERATION (dest_path — the
+    ADVICE r12 crash contract: the source store is never touched, a
+    retry re-reads the original so the id-disjoint delta contract
+    survives), and day 3 (doc_id % 4 == 0) probes the new generation
+    incrementally. The oracle is the from-scratch star recompute over
+    ALL documents: a hash-green row certifies that chaining day-N
+    updates through stored generations equals the full recompute
+    bit-for-bit — each day costing O(store + delta), never a corpus
+    text reprocess."""
+    from .operators import cluster_index as CI
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    day1 = _par(d.filter(F.col("doc_id") % 4 >= 2))
+    day2 = _par(d.filter(F.col("doc_id") % 4 == 1))
+    day3 = _par(d.filter(F.col("doc_id") % 4 == 0))
+    root = _proc_tmp("star_chain")
+    gen1, gen2 = f"{root}/gen1", f"{root}/gen2"
+    CI.write_star_index(day1, gen1)
+    CI.update_star_index(spark, day2, gen1, dest_path=gen2)
+    return CI.star_assign_incremental(spark, day3, gen2)
+
+
+def _cms_audit_sql(depth: int = 4, width: int = 512, seed: int = 7) -> str:
+    """DuckDB replay of the CMS estimation-contract audit: exact
+    per-value counts, the sketch estimate (min over depth of the
+    salted-md5 counters), and both flags. The eps literal is inlined
+    at full float64 precision (repr) so both engines compute the SAME
+    ceil(N * eps) bound."""
+    import math
+
+    eps = repr(math.e / width)
+    probe_cells = " UNION ALL ".join(
+        f"SELECT flag, v, {i} AS depth, "
+        f"('0x' || substr(md5(v::VARCHAR || chr(31) || '{seed * 1000 + i}'), 1, 15))"
+        f"::BIGINT % {width} AS bucket FROM exact"
+        for i in range(depth)
+    )
+    return f"""
+    WITH occ AS (
+      SELECT l_returnflag AS flag, l_partkey AS v FROM lineitem
+    ),
+    counters AS (
+      {_cms_oracle_counters("occ", "flag", "v", depth, width, seed)}
+    ),
+    exact AS (
+      SELECT flag, v, count(*)::BIGINT AS true_cnt FROM occ GROUP BY flag, v
+    ),
+    probe_cells AS ({probe_cells}),
+    est AS (
+      SELECT p.flag, p.v, min(coalesce(c.cnt, 0))::BIGINT AS est
+      FROM probe_cells p
+      LEFT JOIN counters c
+        ON p.flag = c.flag AND p.depth = c.depth AND p.bucket = c.bucket
+      GROUP BY p.flag, p.v
+    ),
+    tot AS (
+      SELECT flag, sum(cnt)::BIGINT AS n FROM counters WHERE depth = 0 GROUP BY flag
+    )
+    SELECT e.flag AS l_returnflag, e.v AS l_partkey, x.true_cnt, e.est,
+           e.est >= x.true_cnt AS never_undercounts,
+           (e.est - x.true_cnt) <= ceil(t.n * {eps}) AS within_eps
+    FROM est e
+    JOIN exact x ON e.flag = x.flag AND e.v = x.v
+    JOIN tot t ON e.flag = t.flag
+    """
+
+
+@register("cms_error_audit", _cms_audit_sql())
+def cms_error_audit(spark, sf_dir):
+    """The CMS estimation contract EXECUTED on the driver (operators/
+    freqsketch.py cms_error_audit — VERDICT r12 item 3, the
+    kll_rank_check pattern): per distinct (l_returnflag, l_partkey),
+    the exact count, the width=512 sketch estimate (a deliberately
+    collision-y regime — ~2000 distinct partkeys in 512-wide rows, so
+    the one-sided error is genuinely exercised, not vacuous), and both
+    contract flags. ``never_undercounts`` is STRUCTURAL (min over
+    depth of counters that each include the value's own count) — a
+    False row RAISES instead of returning; ``within_eps`` (est - true
+    <= ceil(N * e/width)) is the probabilistic bound reported as data,
+    with the eps literal inlined at full float64 precision on both
+    engines. Hash-oracled end-to-end: DuckDB replays counters,
+    estimates, exact counts and both flags bit-for-bit."""
+    from .operators import freqsketch as CM
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    sk = CM.cms_build(li, "l_partkey", ["l_returnflag"], width=512)
+    audit = CM.cms_error_audit(li, sk, "l_partkey", ["l_returnflag"], width=512)
+    return audit.select(
+        "l_returnflag",
+        "l_partkey",
+        "true_cnt",
+        F.col("est").cast("bigint").alias("est"),
+        F.when(
+            ~F.col("never_undercounts"),
+            F.raise_error(
+                F.format_string(
+                    "CMS undercount — structurally impossible: flag=%s key=%s",
+                    F.col("l_returnflag"),
+                    F.col("l_partkey").cast("string"),
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(F.col("never_undercounts"))
+        .alias("never_undercounts"),
+        "within_eps",
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01 evidence). The window ROTATES each
 # round so every registered oracle eventually earns a CORRECTNESS row,
@@ -8342,86 +8564,55 @@ def bloom_decontaminate(spark, sf_dir):
 # (c) the complete displaced-r9 + r5-evidence rotation debt, then the
 # oldest r6 fills.
 _PRIORITY = [
-    # (a) the dsir family, front of window (VERDICT r11 item 1): the
-    # three HUGEINT-red rows now carry explicit BIGINT casts in their
-    # oracles, the end-to-end select adds the salted tie-break (r11
-    # ADVICE), and the NEW day-2 registration proves the stored-model
-    # path hash-exact
-    "dsir_select", "dsir_buckets", "dsir_models", "dsir_scores",
-    "dsir_gumbel", "dsir_keys", "dsir_score_day2",
-    # (b) closure of operators/ranking.py (r11 ADVICE medium:
-    # crash-safe tombstone sidecar recompute)
-    "bm25_topk", "hybrid_rrf", "bm25_indexed",
-    "bm25_indexed_incremental", "bm25_indexed_delete",
-    "bm25_indexed_delete_logical",
-    # (a) the r11-queued sketch family (VERDICT r11 item 3): new
-    # modules, so the closure is exactly these three registrations
-    "kll_quantile_rollup", "theta_snapshot_algebra",
-    "stream_sketch_rollup",
-    # (b) the Count-Min family, built r12 and registered SAME round
-    # (closure of the new operators/freqsketch.py + the r12 edits to
-    # streaming/sketches.py): the CMS replays bit-for-bit in DuckDB
-    # (pytest-pinned before registration), so two rows are
-    # hash-oracled and the streaming drain carries an exact-parity
-    # RAISE — same-round evidence beats queueing when the oracle is
-    # already proven portable
-    "cms_frequency", "cms_merge_rollup", "stream_windowed_cms",
-    "cms_store_day2", "cms_heavy_hitters",
-    # (b) star-edge LSH clustering (new operators/cluster.py — r12):
-    # the linear-cost answer to the pair path's occupancy-guard
-    # ceiling, plus its sampled exact-Jaccard purity audit; new
-    # module, so the closure is exactly these entries
+    # (a) r13's NEW registrations, front of window (VERDICT r12 items
+    # 1 and 3): the Bloom store day-2 round-trip + streaming gate
+    # drain, day-N star-index chaining through a dest_path generation,
+    # and the CMS eps-bound audit as a hash-oracled RAISE-able query
+    "bloom_store_day2", "stream_bloom_gate", "star_update_chain",
+    "cms_error_audit",
+    # (b) closure of the r13 bloom.py edit (Kirsch-Mitzenmacher
+    # double-hash family + the packed-filter decontamination split)
+    "bloom_decontaminate",
+    # (b) closure of the r13 cluster.py / cluster_index.py edits
+    # (convergence RAISE, purity components reuse, band-partitioned
+    # bucket store, dest_path generations)
     "dedup_minhash_star", "star_cluster_purity",
     "dedup_star_incremental",
-    # (b) Bloom-filter decontamination (new operators/bloom.py — r12):
-    # packed-bitset probe, no-false-negative contract; new module, so
-    # the closure is exactly this entry
-    "bloom_decontaminate",
-    # (b) closure of the r12 dedup_index.py change (new-generation
-    # dest_path on compact_signature_store): every query whose path
-    # flows through the signature-store layer re-earns driver
-    # evidence postdating the edit (selfcheck --check-window closure)
-    "dedup_store_compact", "dedup_incremental", "simhash_incremental",
-    "dedup_embedding_incremental", "corpus_overlap",
-    "corpus_overlap_indexed", "stream_dedup_gated",
-    # (b) the registrations were inserted into what was
-    # vector_arrival_ingest's file-tail span — in-window per the
-    # span-attribution rule
-    "vector_arrival_ingest",
-    # (c) rotation debt (VERDICT r11 item 5), oldest first: the r7
-    # stragglers, then the r8 population head (ledger below)
-    # (b) closure of the r12 mixing.py edit (mixture_temperature):
-    # the whole mixture family re-earns evidence postdating the change
+    # (b) closure of the r13 mixing.py edit (empty-corpus guard):
+    # the mixture family re-earns evidence postdating the change
     "mixture_temperature", "mixture_sample", "mixture_sample_tokens",
-    "vectors_upsert", "mixture_sample_threshold", "mixture_upsample",
-    "filter_ext", "token_count", "sentence_split", "preprocess_text",
-    "metric_all", "report_best", "sink_json", "embed_fanout",
-    "mmr_rerank", "token_stats", "lang_id", "text_quality",
-    "embedding_quantize", "pii_scan", "pii_redact", "lm_score",
-    "lm_buckets", "hash_split_assign", "repetition_stats",
+    "mixture_sample_threshold", "mixture_upsample",
+    # (c) rotation debt (VERDICT r12 item 5), oldest first: the
+    # complete r8-evidence population (ledger below) — text_quality
+    # sat at position 51 of the r12 window and missed by one
+    "text_quality", "embedding_quantize", "pii_scan", "pii_redact",
+    "lm_score", "lm_buckets", "hash_split_assign", "repetition_stats",
     "doc_fingerprint", "sessionize_stateful", "global_topn",
     "cheapest_supplier_per_part", "date_parts", "distinct_counts",
-    "approx_distinct", "big_orders", "array_ops", "orders_lineitem_smj",
-    "cube_lineitem",
+    "approx_distinct", "big_orders", "array_ops",
+    "orders_lineitem_smj", "cube_lineitem", "embed_values",
+    "embed_cached",
+    # (c) the r9-evidence population head (alphabetical — no
+    # within-round ordering signal)
+    "bucket_stats", "bucketed_join", "connected_components",
+    "corpus_prep", "decontaminate", "dedup_embedding", "dedup_exact",
+    "dedup_minhash", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_spans", "dedup_strip_spans", "diversity_sample",
+    "html_extract", "leakage_safe_split", "ngram_jaccard",
 ]
-# r12 rotation debt (recorded for r13): the twenty tail entries
-# this round's new registrations (CMS family + store, star clustering
-# + purity + day-2, bloom, mixture_temperature) and the
-# dedup_index/mixing closures displaced from the window
-# (embedding_quantize, pii_scan, pii_redact, lm_score, lm_buckets,
-# hash_split_assign, repetition_stats,
-# doc_fingerprint, sessionize_stateful, global_topn,
-# cheapest_supplier_per_part, date_parts, distinct_counts,
-# approx_distinct, big_orders, array_ops, orders_lineitem_smj,
-# cube_lineitem — r8 evidence, untouched code), then the r8
-# population tail
-# (embed_values, embed_cached), then the r9 population, then the
-# queries displaced from the r11 window this round (url_normalize,
-# hard_negatives, gopher_repetition, stream_dedup_ttl,
+# r13 rotation debt (recorded for r14): the r9-evidence tail that
+# did not fit behind this round's closures (pipeline_e2e,
+# pipeline_reference_corpus, quality_filter, semi_anti_join,
+# corpus_prep_lm, gopher_rules, and the remaining r9 population),
+# then the r10 population, then the r11-window displacements
+# (url_normalize, hard_negatives, gopher_repetition, stream_dedup_ttl,
 # chunk_recursive, chunk_structure_aware, chunk_table_aware,
 # filter_nonempty, topk_retrieval, sink_csv, topk_retrieval_quantized,
-# stratified_sample, range_join_events, and the r7 population
-# refreshed green in CORRECTNESS_r11).
+# stratified_sample, range_join_events), then the r12 window
+# population (dsir family, bm25 family, sketch families, dedup_store
+# closures, filter_ext/token_count/sentence_split/preprocess_text,
+# metric_all/report_best/sink_json/embed_fanout, mmr_rerank,
+# token_stats, lang_id) — all green at their recorded rounds.
 
 
 def _ordered(names: dict) -> list[str]:

@@ -59,10 +59,39 @@ DEFAULT_K = 5
 DEFAULT_M_BITS = 1 << 16
 
 
-def _positions(value_col, k: int, m_bits: int, seed: int):
-    """Array of the value's k bit positions: the salted portable-md5
-    family (salt = seed*1000 + i, disjoint from the CMS family by
-    seed choice), each reduced mod m_bits."""
+def _positions(value_col, k: int, m_bits: int, seed: int, hash_family: str = "salted"):
+    """Array of the value's k bit positions.
+
+    ``hash_family='salted'`` (default, the stored/oracled form): k
+    independent salted portable-md5 hashes (salt = seed*1000 + i,
+    disjoint from the CMS family by seed choice), each reduced mod
+    m_bits — k full md5 evaluations per value.
+
+    ``hash_family='km'`` (VERDICT r12 item 6): classic Kirsch-
+    Mitzenmacher double hashing — TWO salted md5s (salts seed*1000 and
+    seed*1000+1) derive all k positions as (h1 + i*step) mod m, which
+    preserves the asymptotic false-positive rate of k independent
+    hashes (Kirsch & Mitzenmacher 2006) at ~2/k of the hash CPU; at
+    corpus scale the gram-hash cost dominates the probe, so k=5 drops
+    ~2.5x of it. Both operands reduce mod m BEFORE the multiply-add
+    (ANSI overflow discipline — i*h2 on raw 60-bit hashes would
+    overflow BIGINT at k=5 on both engines) and the stride is forced
+    ODD, hence full-period over the power-of-two m (no degenerate
+    step=0 family collapsing k positions to one). The family is as
+    oracle-portable as the salted one — same md5 primitive, same
+    integer arithmetic — but filters are NOT cross-family compatible:
+    positions written by one family must be probed by the same family
+    (callers pin hash_family alongside k/m/seed, exactly like the
+    other filter parameters)."""
+    if hash_family == "km":
+        h1 = md5_long(value_col.cast("string"), F.lit(str(seed * 1000))) % m_bits
+        step = (
+            md5_long(value_col.cast("string"), F.lit(str(seed * 1000 + 1)))
+            % (m_bits // 2)
+        ) * 2 + 1
+        return F.array(*[(h1 + F.lit(i) * step) % m_bits for i in range(k)])
+    if hash_family != "salted":
+        raise ValueError(f"unknown hash_family {hash_family!r} (salted|km)")
     return F.array(
         *[
             md5_long(value_col.cast("string"), F.lit(str(seed * 1000 + i)))
@@ -78,13 +107,18 @@ def bloom_positions(
     k: int = DEFAULT_K,
     m_bits: int = DEFAULT_M_BITS,
     seed: int = 77,
+    hash_family: str = "salted",
 ) -> DataFrame:
     """The filter's set bits as distinct ``(pos)`` rows — the stored,
     mergeable, engine-portable form (union of position tables IS the
     Bloom union). One scan-local explode + one distinct."""
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(F.explode(_positions(F.col(value_col), k, m_bits, seed)).alias("pos"))
+        .select(
+            F.explode(
+                _positions(F.col(value_col), k, m_bits, seed, hash_family)
+            ).alias("pos")
+        )
         .distinct()
     )
 
@@ -130,6 +164,7 @@ def bloom_probe(
     m_bits: int = DEFAULT_M_BITS,
     seed: int = 77,
     flag_col: str = "maybe_member",
+    hash_family: str = "salted",
 ) -> DataFrame:
     """Attach ``flag_col`` to every row: True iff ALL k bit positions
     of ``value_col`` are set. The packed 1-row frame joins as a
@@ -137,7 +172,7 @@ def bloom_probe(
     element_at + bit_get — O(1) per position, codegen'd, no shuffle of
     ``df`` at any size."""
     probe = F.forall(
-        _positions(F.col(value_col), k, m_bits, seed),
+        _positions(F.col(value_col), k, m_bits, seed, hash_family),
         lambda p: F.bit_get(
             F.coalesce(
                 F.try_element_at("bits", (p / 64).cast("int") + 1),
@@ -159,6 +194,7 @@ def bloom_decontaminate(
     k: int = DEFAULT_K,
     m_bits: int = DEFAULT_M_BITS,
     seed: int = 77,
+    hash_family: str = "salted",
 ) -> DataFrame:
     """Per-corpus-document contamination verdict against a benchmark
     set: ``(id, n_flagged, contaminated)`` where a gram flags iff the
@@ -178,13 +214,39 @@ def bloom_decontaminate(
         F.explode(shingles(text_col, n)).alias("_g")
     ).select(md5_long(F.col("_g")).alias("gh"))
     packed = bloom_pack(
-        bloom_positions(bench_grams, "gh", k, m_bits, seed), m_bits
+        bloom_positions(bench_grams, "gh", k, m_bits, seed, hash_family), m_bits
     )
+    return bloom_decontaminate_packed(
+        corpus, packed, text_col, id_col, n, k, m_bits, seed, hash_family
+    )
+
+
+def bloom_decontaminate_packed(
+    corpus: DataFrame,
+    packed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
+    seed: int = 77,
+    hash_family: str = "salted",
+) -> DataFrame:
+    """The per-document verdict against an ALREADY-PACKED filter — the
+    stored-filter day-2 shape: ``read_bloom_store -> bloom_pack`` hands
+    the accumulated suites' bitset here and the corpus is scored
+    against every suite ever appended without rebuilding anything.
+    ``bloom_decontaminate`` is exactly pack-from-bench + this. The
+    filter parameters (k, m_bits, seed, hash_family) must match the
+    writers' — same caller contract as any Bloom probe."""
+    from .dedup import shingles
+
     corpus_grams = corpus.select(
         id_col, F.explode(shingles(text_col, n)).alias("_g")
     ).select(id_col, md5_long(F.col("_g")).alias("gh"))
     flagged = (
-        bloom_probe(corpus_grams, "gh", packed, k, m_bits, seed)
+        bloom_probe(corpus_grams, "gh", packed, k, m_bits, seed,
+                    hash_family=hash_family)
         .filter(F.col("maybe_member"))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_flagged"))
@@ -229,6 +291,7 @@ def bloom_flag_docs(
     m_bits: int = DEFAULT_M_BITS,
     seed: int = 77,
     flag_col: str = "contaminated",
+    hash_family: str = "salted",
 ) -> DataFrame:
     """STATELESS per-document contamination flag: EXISTS over the
     document's shingle array, each gram tested against the attached
@@ -245,7 +308,7 @@ def bloom_flag_docs(
 
     def gram_hits(g):
         return F.forall(
-            _positions(md5_long(g), k, m_bits, seed),
+            _positions(md5_long(g), k, m_bits, seed, hash_family),
             lambda p: F.bit_get(
                 F.coalesce(
                     F.try_element_at("bits", (p / 64).cast("int") + 1),
@@ -270,6 +333,7 @@ def bloom_fp_audit(
     k: int = DEFAULT_K,
     m_bits: int = DEFAULT_M_BITS,
     seed: int = 77,
+    hash_family: str = "salted",
 ) -> DataFrame:
     """The Bloom contract as an auditable per-gram frame: Bloom verdict
     vs exact membership (broadcast semi-join twin), with
@@ -277,10 +341,14 @@ def bloom_fp_audit(
     noise; callers RAISE) and ``false_positive`` (counted, bounded by
     the (1-e^(-kn/m))^k rate; a fixture sized well under capacity
     asserts a generous ceiling)."""
-    packed = bloom_pack(bloom_positions(bench_grams, value_col, k, m_bits, seed), m_bits)
+    packed = bloom_pack(
+        bloom_positions(bench_grams, value_col, k, m_bits, seed, hash_family),
+        m_bits,
+    )
     exact = bench_grams.select(F.col(value_col).alias("_x")).distinct()
     probed = bloom_probe(
-        corpus_grams.select(value_col).distinct(), value_col, packed, k, m_bits, seed
+        corpus_grams.select(value_col).distinct(), value_col, packed,
+        k, m_bits, seed, hash_family=hash_family,
     )
     j = probed.join(
         F.broadcast(exact), F.col(value_col) == F.col("_x"), "left"

@@ -74,6 +74,39 @@ def _banded(
     )
 
 
+def _probe_buckets(
+    spark: SparkSession,
+    path: str,
+    delta_banded: DataFrame,
+    num_bands: int,
+    id_col: str,
+) -> DataFrame:
+    """The partition-pruned stored-bucket read behind the day-2 probe
+    (VERDICT r12 item 4): the store is band/sig_bucket-partitioned, so
+    the delta's distinct partition keys (bounded at num_bands x
+    modulus) select exactly the matched directories — O(bands)
+    discovery RPCs, stored buckets the delta never addresses are never
+    read (plan-pinned in tests/test_plans.py). The delta is NOT
+    broadcast on this path (the probe is a plain equi-join), so no
+    max_delta_docs contract applies."""
+    num_buckets = _resolve_store_layout(
+        spark, f"{path}/buckets", ("band", "sig_bucket"), DEFAULT_NUM_BUCKETS
+    )
+    keys = _discover_keys(
+        delta_banded, "band", "band_hash", num_buckets, num_bands,
+        "star_assign_incremental", None,
+    )
+    return _read_matched_partitions(
+        spark,
+        f"{path}/buckets",
+        [(("band", b), ("sig_bucket", sb)) for b, sb in keys],
+        empty_like=delta_banded.select(
+            "band", "band_hash", F.col(id_col).alias("root")
+        ),
+        bucket_modulus=num_buckets,
+    ).drop("sig_bucket")
+
+
 def write_star_index(
     df: DataFrame,
     path: str,
@@ -210,29 +243,7 @@ def star_assign_incremental(
         delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
     ).localCheckpoint(eager=True)
 
-    # partition-pruned bucket probe (VERDICT r12 item 4): the store is
-    # band/sig_bucket-partitioned, so the delta's distinct partition
-    # keys (bounded at num_bands x modulus) select exactly the matched
-    # directories — O(bands) discovery RPCs, stored buckets the delta
-    # never addresses are never read. The delta is NOT broadcast on
-    # this path (the probe is a plain equi-join), so no
-    # max_delta_docs contract applies.
-    num_buckets = _resolve_store_layout(
-        spark, f"{path}/buckets", ("band", "sig_bucket"), DEFAULT_NUM_BUCKETS
-    )
-    keys = _discover_keys(
-        delta_banded, "band", "band_hash", num_buckets, num_bands,
-        "star_assign_incremental", None,
-    )
-    buckets = _read_matched_partitions(
-        spark,
-        f"{path}/buckets",
-        [(("band", b), ("sig_bucket", sb)) for b, sb in keys],
-        empty_like=delta_banded.select(
-            "band", "band_hash", F.col(id_col).alias("root")
-        ),
-        bucket_modulus=num_buckets,
-    ).drop("sig_bucket")
+    buckets = _probe_buckets(spark, path, delta_banded, num_bands, id_col)
 
     # (1) delta -> day-1 component edges through shared buckets. The
     # bucket root is a day-1 doc; its component label contracts the

@@ -353,3 +353,48 @@ def test_star_edges_partial_min_agg_no_self_join(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial+final min
     assert plan.count("InMemoryTableScan") >= 2  # banded cached, reused
     spark.catalog.clearCache()
+
+
+def test_star_bucket_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """VERDICT r12 item 4: the star-index day-2 probe must read the
+    stored bucket table by MATCHED (band, sig_bucket) directories only
+    — the same direct-path pruning contract as the signature-index
+    probes, checked through the exact helper star_assign_incremental
+    calls. A one-family delta addresses a strict subset of the store's
+    bucket directories."""
+    import os
+    import re
+
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        cluster_index as CI,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "star_plan_idx")
+    CI.write_star_index(docs.filter("doc_id % 4 != 0"), path)
+    delta_banded = CI._banded(
+        docs.filter("doc_id % 16 = 0"), "text", "doc_id", 3, 16, 4, 42
+    ).localCheckpoint(eager=True)
+    pruned = CI._probe_buckets(spark, path, delta_banded, 4, "doc_id")
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    loc = [
+        l for l in plan.splitlines() if "Location" in l and "sig_bucket=" in l
+    ]
+    assert loc, "probe must scan the store by bucket directories"
+    shown = loc[0].count("sig_bucket=")
+    tail = re.search(r"\.\.\. (\d+) entries", loc[0])
+    n_probed = shown + (int(tail.group(1)) if tail else 0)
+    store_root = f"{path}/buckets"
+    all_dirs = sum(
+        1
+        for p in os.listdir(store_root)
+        if os.path.isdir(f"{store_root}/{p}")
+        for b in os.listdir(f"{store_root}/{p}")
+        if "sig_bucket" in b
+    )
+    assert 0 < n_probed < all_dirs, (n_probed, all_dirs, loc[0][:200])

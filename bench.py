@@ -128,6 +128,8 @@ HEADLINE = [
     "cms_heavy_hitters",
     "cms_error_audit",
     "bloom_store_day2",
+    "bloom_decontaminate_km",
+    "bloom_fp_audit",
     "star_update_chain",
     # r10 registrations
     "gopher_rules",

@@ -8250,19 +8250,41 @@ def dedup_minhash_star(spark, sf_dir):
     )
 
 
-def _bloom_decon_sql(k: int = 5, m_bits: int = 1 << 16, seed: int = 77) -> str:
+def _bloom_pos_expr(
+    i: int, src_col: str, m_bits: int, seed: int, family: str
+) -> str:
+    """DuckDB expression for a value's i-th Bloom bit position in
+    either hash family — the exact arithmetic of
+    ``operators/bloom._positions`` (salted: k independent salted md5s;
+    km: Kirsch-Mitzenmacher (h1 + i*step) mod m with both operands
+    mod-reduced first and the stride forced odd)."""
+
+    def md5l(salt: int) -> str:
+        return (
+            f"('0x' || substr(md5({src_col}::VARCHAR || chr(31) || "
+            f"'{salt}'), 1, 15))::BIGINT"
+        )
+
+    if family == "km":
+        h1 = f"({md5l(seed * 1000)} % {m_bits})"
+        step = f"(({md5l(seed * 1000 + 1)} % {m_bits // 2}) * 2 + 1)"
+        return f"(({h1} + {i} * {step}) % {m_bits})"
+    return f"({md5l(seed * 1000 + i)} % {m_bits})"
+
+
+def _bloom_decon_sql(
+    k: int = 5, m_bits: int = 1 << 16, seed: int = 77, family: str = "salted"
+) -> str:
     """DuckDB replay of the Bloom decontamination verdict. Spark ships
     a PACKED bitset (array<long> words, bit_get probes); the oracle
     replays the equivalent predicate on the positions SET — every one
-    of a gram's k salted-md5 positions must be present — which is the
-    same membership test by construction (packed==set equivalence
-    pytest-pinned in tests/test_bloom.py)."""
+    of a gram's k positions must be present — which is the same
+    membership test by construction (packed==set equivalence
+    pytest-pinned in tests/test_bloom.py). ``family`` selects the
+    position arithmetic (salted | km)."""
 
     def pos(i: int, src_col: str) -> str:
-        return (
-            f"('0x' || substr(md5({src_col}::VARCHAR || chr(31) || "
-            f"'{seed * 1000 + i}'), 1, 15))::BIGINT % {m_bits}"
-        )
+        return _bloom_pos_expr(i, src_col, m_bits, seed, family)
 
     bench_pos = " UNION ".join(
         f"SELECT {pos(i, 'gh')} AS pos FROM bench_g" for i in range(k)
@@ -8547,6 +8569,119 @@ def cms_error_audit(spark, sf_dir):
     )
 
 
+@register("bloom_decontaminate_km", _bloom_decon_sql(family="km"))
+def bloom_decontaminate_km(spark, sf_dir):
+    """The Kirsch-Mitzenmacher Bloom family END-TO-END on the driver
+    (operators/bloom.py _positions(hash_family='km') — r13): the same
+    decontamination fixture as `bloom_decontaminate`, with all k bit
+    positions derived from TWO salted md5s as (h1 + i*step) mod m —
+    ~2/k of the hash CPU (measured ~2.0x end-to-end at sf0.1;
+    SCALING.md r13), which matters because gram hashing dominates the
+    probe at corpus scale. Same zero-false-negative contract (the
+    family is deterministic on both sides); the oracle replays the KM
+    arithmetic — mod-reduced operands, odd stride — on the positions
+    set, so a hash-green row certifies the cheaper family is not just
+    FP-bounded (pytest) but bit-correct end-to-end. The salted family
+    remains the stored/default form; this row is the scale path's
+    evidence."""
+    from .operators import bloom as BL
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10)
+    corpus = _par(d.filter(F.col("doc_id") >= 10)).select("doc_id", "text")
+    return BL.bloom_decontaminate(corpus, bench, hash_family="km")
+
+
+def _bloom_fp_audit_sql(k: int = 5, m_bits: int = 1 << 16, seed: int = 77) -> str:
+    """DuckDB replay of the per-gram Bloom contract audit: distinct
+    corpus grams probed against the benchmark positions set, exact
+    membership via the bench-gram set, and all four verdict columns."""
+    pos = lambda i, c: _bloom_pos_expr(i, c, m_bits, seed, "salted")
+    bench_pos = " UNION ".join(
+        f"SELECT {pos(i, 'gh')} AS pos FROM bench_g" for i in range(k)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT gh, {pos(i, 'gh')} AS pos FROM corpus_g" for i in range(k)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(list_distinct(list_transform(range(0, greatest(len(tk) - 5, 0) + 1),
+                     i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))))), 1, 15))::BIGINT AS gh
+      FROM tk
+    ),
+    bench_g AS (SELECT DISTINCT gh FROM grams WHERE doc_id < 10),
+    corpus_g AS (SELECT DISTINCT gh FROM grams WHERE doc_id >= 10),
+    bench_pos AS ({bench_pos}),
+    probe_cells AS ({probe_cells}),
+    probed AS (
+      SELECT p.gh, count(b.pos) = {k} AS maybe_member
+      FROM probe_cells p LEFT JOIN bench_pos b ON p.pos = b.pos
+      GROUP BY p.gh
+    )
+    SELECT c.gh, p.maybe_member,
+           (bg.gh IS NOT NULL) AS in_bench,
+           (bg.gh IS NOT NULL AND NOT p.maybe_member) AS false_negative,
+           (bg.gh IS NULL AND p.maybe_member) AS false_positive
+    FROM corpus_g c
+    JOIN probed p ON c.gh = p.gh
+    LEFT JOIN bench_g bg ON c.gh = bg.gh
+    """
+
+
+@register("bloom_fp_audit", _bloom_fp_audit_sql())
+def bloom_fp_audit(spark, sf_dir):
+    """The Bloom contract EXECUTED on the driver (operators/bloom.py
+    bloom_fp_audit — the cms_error_audit pattern, r13): for every
+    distinct corpus gram, the Bloom verdict vs EXACT membership
+    (broadcast semi-join twin), with ``false_negative`` structural —
+    determinism makes a contaminated gram's k positions identical on
+    both sides, so a True row RAISES instead of returning — and
+    ``false_positive`` reported as data (bounded by the
+    (1-e^(-kn/m))^k rate; the fixture sits far under capacity). The
+    oracle replays positions, packed-probe-equivalent membership,
+    exact membership and all four verdict columns bit-for-bit. This
+    promotes the audit from pytest to driver evidence, the same
+    upgrade kll_rank_check got in r12."""
+    from .functions.text import md5_long
+    from .operators import bloom as BL
+    from .operators.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+
+    def grams(pred):
+        return (
+            d.filter(pred)
+            .select(F.explode(shingles("text", 5)).alias("_g"))
+            .select(md5_long(F.col("_g")).alias("gh"))
+        )
+
+    audit = BL.bloom_fp_audit(
+        _par(grams(F.col("doc_id") >= 10)), grams(F.col("doc_id") < 10), "gh"
+    )
+    return audit.select(
+        "gh",
+        "maybe_member",
+        "in_bench",
+        F.when(
+            F.col("false_negative"),
+            F.raise_error(
+                F.format_string(
+                    "Bloom false negative — structurally impossible: gh=%s",
+                    F.col("gh").cast("string"),
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(F.col("false_negative"))
+        .alias("false_negative"),
+        "false_positive",
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01 evidence). The window ROTATES each
 # round so every registered oracle eventually earns a CORRECTNESS row,
@@ -8569,7 +8704,7 @@ _PRIORITY = [
     # drain, day-N star-index chaining through a dest_path generation,
     # and the CMS eps-bound audit as a hash-oracled RAISE-able query
     "bloom_store_day2", "stream_bloom_gate", "star_update_chain",
-    "cms_error_audit",
+    "cms_error_audit", "bloom_decontaminate_km", "bloom_fp_audit",
     # (b) closure of the r13 bloom.py edit (Kirsch-Mitzenmacher
     # double-hash family + the packed-filter decontamination split)
     "bloom_decontaminate",
@@ -8598,7 +8733,7 @@ _PRIORITY = [
     "corpus_prep", "decontaminate", "dedup_embedding", "dedup_exact",
     "dedup_minhash", "dedup_minhash_pairs", "dedup_simhash",
     "dedup_spans", "dedup_strip_spans", "diversity_sample",
-    "html_extract", "leakage_safe_split", "ngram_jaccard",
+    "html_extract",
 ]
 # r13 rotation debt (recorded for r14): the r9-evidence tail that
 # did not fit behind this round's closures (pipeline_e2e,

@@ -131,6 +131,8 @@ HEADLINE = [
     "bloom_decontaminate_km",
     "bloom_fp_audit",
     "star_update_chain",
+    "shuffle_shards",
+    "shard_manifest",
     # r10 registrations
     "gopher_rules",
     "gopher_repetition",

@@ -8682,6 +8682,71 @@ def bloom_fp_audit(spark, sf_dir):
     )
 
 
+def _shards_cte(n_shards: int = 16, seed: int = 1234) -> str:
+    """Shared CTE replaying shards.shard_assign: the salted-md5 shard
+    pick, the INDEPENDENT second hash ordering, and the dense 0-based
+    in-shard position (row_number over (h_order, doc_id))."""
+    return f"""
+    h AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '{seed}'), 1, 15))::BIGINT
+              % {n_shards})::INT AS shard,
+             ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '{seed + 1}'), 1, 15))::BIGINT AS h2
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, shard,
+             (row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1)::BIGINT AS pos
+      FROM h
+    )"""
+
+
+@register(
+    "shuffle_shards",
+    f"WITH {_shards_cte()} SELECT doc_id, shard, pos FROM assigned",
+)
+def shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle -> training shards
+    (operators/shards.py shard_assign — r13, north-star §2.9): the
+    LAST step of every training-data pipeline. ``shard`` =
+    pmod(md5(id, seed), N); ``pos`` = dense 0-based row_number within
+    the shard ordered by an INDEPENDENT second hash — a reproducible
+    uniform permutation with NO global sort and NO range exchange:
+    the plan is ONE hash exchange on shard + a per-shard spillable
+    sort (plan-pinned in tests/test_shards.py). Epoch e trains on
+    seed base+e (different uniform permutation, pinned); the same
+    seed replays bit-for-bit on any engine — which is exactly what
+    the hash oracle certifies. At 100 TB: parallelism of the position
+    pass equals n_shards, so shards are sized well above executor
+    count (10k x 10 GB is the comfortable middle); a shard's sort
+    only has to fit on disk."""
+    from .operators import shards as SH
+
+    d = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return SH.shard_assign(d, 16, seed=1234).select("doc_id", "shard", "pos")
+
+
+@register(
+    "shard_manifest",
+    f"""WITH {_shards_cte()}
+    SELECT shard, count(*)::BIGINT AS n_rows,
+           min(pos)::BIGINT AS min_pos, max(pos)::BIGINT AS max_pos
+    FROM assigned GROUP BY shard""",
+)
+def shard_manifest(spark, sf_dir):
+    """The per-shard summary a training loader consumes before opening
+    any data file (operators/shards.py shard_manifest): (shard,
+    n_rows, min_pos, max_pos) — positions are dense 0..n-1 by
+    construction, so max_pos == n_rows - 1 doubles as a corruption
+    check. One map-side-combinable aggregation over the assignment,
+    O(n_shards) output rows; the oracle replays the whole permutation
+    and the rollup."""
+    from .operators import shards as SH
+
+    d = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return SH.shard_manifest(SH.shard_assign(d, 16, seed=1234))
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01 evidence). The window ROTATES each
 # round so every registered oracle eventually earns a CORRECTNESS row,
@@ -8705,6 +8770,7 @@ _PRIORITY = [
     # and the CMS eps-bound audit as a hash-oracled RAISE-able query
     "bloom_store_day2", "stream_bloom_gate", "star_update_chain",
     "cms_error_audit", "bloom_decontaminate_km", "bloom_fp_audit",
+    "shuffle_shards", "shard_manifest",
     # (b) closure of the r13 bloom.py edit (Kirsch-Mitzenmacher
     # double-hash family + the packed-filter decontamination split)
     "bloom_decontaminate",
@@ -8732,8 +8798,7 @@ _PRIORITY = [
     "bucket_stats", "bucketed_join", "connected_components",
     "corpus_prep", "decontaminate", "dedup_embedding", "dedup_exact",
     "dedup_minhash", "dedup_minhash_pairs", "dedup_simhash",
-    "dedup_spans", "dedup_strip_spans", "diversity_sample",
-    "html_extract",
+    "dedup_spans", "dedup_strip_spans",
 ]
 # r13 rotation debt (recorded for r14): the r9-evidence tail that
 # did not fit behind this round's closures (pipeline_e2e,

@@ -133,6 +133,8 @@ HEADLINE = [
     "star_update_chain",
     "shuffle_shards",
     "shard_manifest",
+    "media_image_features",
+    "media_frame_sample",
     # r10 registrations
     "gopher_rules",
     "gopher_repetition",

@@ -8747,6 +8747,111 @@ def shard_manifest(spark, sf_dir):
     return SH.shard_manifest(SH.shard_assign(d, 16, seed=1234))
 
 
+@register(
+    "media_image_features",
+    """
+    SELECT doc_id::VARCHAR AS media_id, 32 AS width, 32 AS height,
+           list_transform(range(0, 96), i ->
+             ('0x' || substr(sha256(text), ((i % 32) * 2 + 1)::INT, 2))::INT
+           ) AS feat_bytes
+    FROM documents WHERE doc_id < 2000
+    """,
+)
+def media_image_features(spark, sf_dir):
+    """Multimodal image plumbing END-TO-END on the driver
+    (operators/multimodal.py to_media + image_features — r13): binary
+    payload column + typed metadata through the Arrow-batched
+    mapInPandas decode stage. The container ships no image codec, so
+    decode is the documented deterministic fake (sha256 -> feature
+    block) — which makes the WHOLE path hash-oracle-able: the query
+    re-scales the float features back to their exact byte values
+    (round(x*255) — k/255 float32 error is ~1e-8, so the round is
+    exact) and DuckDB replays sha256 bytes directly. A green row
+    certifies the binary normalization, Arrow batch iteration, UDF
+    schema and the decode arithmetic bit-for-bit; swapping in a real
+    codec preserves every contract except the fake arithmetic. Scale
+    shape: narrow decode stage, payloads never in shuffle keys."""
+    from .operators import multimodal as MM
+
+    d = _par(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    )
+    media = MM.to_media(d, "doc_id", "text", "image", "image/fake")
+    feats = MM.image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.transform(
+            "features", lambda x: F.round(x * 255).cast("int")
+        ).alias("feat_bytes"),
+    )
+
+
+@register("media_frame_sample")  # rows-only: mapInPandas fan-out; JVM-twin parity RAISE
+def media_frame_sample(spark, sf_dir):
+    """Multimodal video frame sampling (operators/multimodal.py
+    sample_frames — r13): the 1-row-in -> N-frames-out mapInPandas
+    fan-out over binary payloads (stub: deterministic per-frame sha
+    from payload + frame index; a real ffmpeg reader swaps in with the
+    same contract). Not SQL-expressible as registered (DuckDB's sha256
+    takes VARCHAR, the frame key is payload||int4be(i) BYTES), so the
+    row self-validates the STRONGER way: a JVM-native expression twin
+    (explode(sequence) + sha2(concat(data, int-bytes literal)))
+    recomputes every frame sha inside the query and the row RAISES on
+    any drift — Python/Arrow fan-out vs whole-stage-codegen'd
+    arithmetic, two independent implementations of the same bytes."""
+    from .operators import multimodal as MM
+
+    every_n, max_frames = 10, 8
+    d = _par(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    )
+    media = MM.to_media(d, "doc_id", "text", "video", "video/fake")
+    frames = MM.sample_frames(media, every_n=every_n, max_frames=max_frames)
+    twin = media.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i * every_n).alias("frame_no"),
+                        F.substring(
+                            F.sha2(
+                                F.concat(
+                                    F.col("data"),
+                                    F.lit(bytearray((0, 0, 0, i))),
+                                ),
+                                256,
+                            ),
+                            1,
+                            16,
+                        ).alias("twin_sha"),
+                    )
+                    for i in range(max_frames)
+                ]
+            )
+        ).alias("f"),
+    ).select("media_id", F.col("f.frame_no").alias("frame_no"), "f.twin_sha")
+    j = frames.join(twin, ["media_id", "frame_no"], "full")
+    n_total = j.count()
+    n_bad = j.filter(
+        F.col("frame_sha").isNull()
+        | F.col("twin_sha").isNull()
+        | (F.col("frame_sha") != F.col("twin_sha"))
+    ).count()
+    if n_bad or n_total == 0:
+        raise AssertionError(
+            f"frame-sample UDF drifted from the native twin: "
+            f"n_total={n_total} n_bad={n_bad}"
+        )
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_no").alias("min_frame"),
+        F.max("frame_no").alias("max_frame"),
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01 evidence). The window ROTATES each
 # round so every registered oracle eventually earns a CORRECTNESS row,
@@ -8771,6 +8876,7 @@ _PRIORITY = [
     "bloom_store_day2", "stream_bloom_gate", "star_update_chain",
     "cms_error_audit", "bloom_decontaminate_km", "bloom_fp_audit",
     "shuffle_shards", "shard_manifest",
+    "media_image_features", "media_frame_sample",
     # (b) closure of the r13 bloom.py edit (Kirsch-Mitzenmacher
     # double-hash family + the packed-filter decontamination split)
     "bloom_decontaminate",
@@ -8798,7 +8904,6 @@ _PRIORITY = [
     "bucket_stats", "bucketed_join", "connected_components",
     "corpus_prep", "decontaminate", "dedup_embedding", "dedup_exact",
     "dedup_minhash", "dedup_minhash_pairs", "dedup_simhash",
-    "dedup_spans", "dedup_strip_spans",
 ]
 # r13 rotation debt (recorded for r14): the r9-evidence tail that
 # did not fit behind this round's closures (pipeline_e2e,

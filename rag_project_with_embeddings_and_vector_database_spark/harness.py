@@ -8757,6 +8757,32 @@ def shard_manifest(spark, sf_dir):
 
 
 @register(
+    "shards_store_roundtrip",
+    f"WITH {_shards_cte()} SELECT doc_id, shard, pos FROM assigned",
+)
+def shards_store_roundtrip(spark, sf_dir):
+    """The training-shard WRITER certified end-to-end
+    (operators/shards.py write_training_shards): the assignment is
+    written as ``shard=<k>/`` parquet — one pos-sorted file per shard
+    directory (repartition + sortWithinPartitions, the repo's
+    partitioned-store write discipline) — and read back. The oracle is
+    the same permutation replay as `shuffle_shards`: a hash-green row
+    certifies that what a training loader READS from disk is exactly
+    the deterministic permutation, i.e. the writer neither drops,
+    duplicates, nor relabels a row. Overwrite-mode rerun is idempotent
+    because (shard, pos) is a pure function of (id, seed)."""
+    from .operators import shards as SH
+
+    d = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    assigned = SH.shard_assign(d, 16, seed=1234)
+    path = f"{_proc_tmp('shards_store')}/shards"
+    SH.write_training_shards(assigned, path)
+    return spark.read.parquet(path).select(
+        "doc_id", F.col("shard").cast("int").alias("shard"), "pos"
+    )
+
+
+@register(
     "media_image_features",
     """
     SELECT doc_id::VARCHAR AS media_id, 32 AS width, 32 AS height,
@@ -8884,7 +8910,7 @@ _PRIORITY = [
     # and the CMS eps-bound audit as a hash-oracled RAISE-able query
     "bloom_store_day2", "stream_bloom_gate", "star_update_chain",
     "cms_error_audit", "bloom_decontaminate_km", "bloom_fp_audit",
-    "shuffle_shards", "shard_manifest",
+    "shuffle_shards", "shard_manifest", "shards_store_roundtrip",
     "media_image_features", "media_frame_sample",
     # (b) closure of the r13 bloom.py edit (Kirsch-Mitzenmacher
     # double-hash family + the packed-filter decontamination split)
@@ -8912,7 +8938,7 @@ _PRIORITY = [
     # within-round ordering signal)
     "bucket_stats", "bucketed_join", "connected_components",
     "corpus_prep", "decontaminate", "dedup_embedding", "dedup_exact",
-    "dedup_minhash", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_minhash", "dedup_minhash_pairs",
 ]
 # r13 rotation debt (recorded for r14): the r9-evidence tail that
 # did not fit behind this round's closures (pipeline_e2e,

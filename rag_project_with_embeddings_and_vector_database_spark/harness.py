@@ -8941,9 +8941,12 @@ _PRIORITY = [
     "dedup_minhash", "dedup_minhash_pairs",
 ]
 # r13 rotation debt (recorded for r14): the r9-evidence tail that
-# did not fit behind this round's closures (pipeline_e2e,
+# did not fit behind this round's closures — the seven displaced by
+# late r13 registrations (dedup_simhash, dedup_spans,
+# dedup_strip_spans, diversity_sample, html_extract,
+# leakage_safe_split, ngram_jaccard), then pipeline_e2e,
 # pipeline_reference_corpus, quality_filter, semi_anti_join,
-# corpus_prep_lm, gopher_rules, and the remaining r9 population),
+# corpus_prep_lm, gopher_rules, and the remaining r9 population,
 # then the r10 population, then the r11-window displacements
 # (url_normalize, hard_negatives, gopher_repetition, stream_dedup_ttl,
 # chunk_recursive, chunk_structure_aware, chunk_table_aware,

@@ -8389,7 +8389,10 @@ def bloom_store_day2(spark, sf_dir):
     return BL.bloom_decontaminate_packed(corpus, packed)
 
 
-@register("stream_bloom_gate")  # rows-only: real streaming run, batch-parity RAISE
+@register(
+    "stream_bloom_gate",
+    f"SELECT doc_id, contaminated FROM ({_bloom_decon_sql()})",
+)
 def stream_bloom_gate(spark, sf_dir):
     """STREAMING ingest decontamination gate (operators/bloom.py
     bloom_flag_docs — VERDICT r12 item 1): the per-document EXISTS
@@ -8450,10 +8453,13 @@ def stream_bloom_gate(spark, sf_dir):
             f"n_batch={n_batch} extra={n_extra} missing={n_missing} "
             f"flagged={n_flagged}"
         )
-    return spark.createDataFrame(
-        [(n_stream, n_batch, n_flagged, ok)],
-        "n_stream long, n_batch long, n_flagged long, ok boolean",
-    )
+    # r14 (VERDICT r13 item 4): the STREAMED verdicts are the oracled
+    # output — the gate is a deterministic EXISTS-over-shingles
+    # predicate, so DuckDB replays it positionally. Hash-green means
+    # the streaming drain emitted EXACTLY the batch decontamination
+    # verdicts; the drain-parity RAISE above stays as the in-query
+    # second witness (stream vs batch, two independent runs).
+    return got.select("doc_id", "contaminated")
 
 
 @register("star_update_chain", _star_dedup_sql())
@@ -8786,26 +8792,32 @@ def shards_store_roundtrip(spark, sf_dir):
     "media_image_features",
     """
     SELECT doc_id::VARCHAR AS media_id, 32 AS width, 32 AS height,
-           list_transform(range(0, 96), i ->
-             ('0x' || substr(sha256(text), ((i % 32) * 2 + 1)::INT, 2))::INT
-           ) AS feat_bytes
-    FROM documents WHERE doc_id < 2000
+           r.i::INT AS i,
+           ('0x' || substr(sha256(text), ((r.i % 32) * 2 + 1)::INT, 2))::INT
+             AS byte
+    FROM documents CROSS JOIN range(0, 96) r(i)
+    WHERE doc_id < 2000
     """,
 )
 def media_image_features(spark, sf_dir):
     """Multimodal image plumbing END-TO-END on the driver
-    (operators/multimodal.py to_media + image_features — r13): binary
-    payload column + typed metadata through the Arrow-batched
-    mapInPandas decode stage. The container ships no image codec, so
-    decode is the documented deterministic fake (sha256 -> feature
-    block) — which makes the WHOLE path hash-oracle-able: the query
-    re-scales the float features back to their exact byte values
-    (round(x*255) — k/255 float32 error is ~1e-8, so the round is
-    exact) and DuckDB replays sha256 bytes directly. A green row
+    (operators/multimodal.py to_media + image_features — r13; r14:
+    scalar output per VERDICT r13 item 1): binary payload column +
+    typed metadata through the Arrow-batched mapInPandas decode stage.
+    The container ships no image codec, so decode is the documented
+    deterministic fake (sha256 -> feature block) — which makes the
+    WHOLE path hash-oracle-able: the query re-scales the float
+    features back to their exact byte values (round(x*255) — k/255
+    float32 error is ~1e-8, so the round is exact), then POSEXPLODES
+    the 96-byte vector to scalar (media_id, i, byte) rows so the
+    driver's pandas canonicalizer can sort/hash them (an array<int>
+    column is unhashable there — the r13 red). DuckDB replays sha256
+    bytes positionally via CROSS JOIN range(0,96). A green row
     certifies the binary normalization, Arrow batch iteration, UDF
     schema and the decode arithmetic bit-for-bit; swapping in a real
     codec preserves every contract except the fake arithmetic. Scale
-    shape: narrow decode stage, payloads never in shuffle keys."""
+    shape: narrow decode stage, payloads never in shuffle keys; the
+    explode is a per-row fan-out with no shuffle."""
     from .operators import multimodal as MM
 
     d = _par(
@@ -8817,9 +8829,9 @@ def media_image_features(spark, sf_dir):
         "media_id",
         "width",
         "height",
-        F.transform(
-            "features", lambda x: F.round(x * 255).cast("int")
-        ).alias("feat_bytes"),
+        F.posexplode(
+            F.transform("features", lambda x: F.round(x * 255).cast("int"))
+        ).alias("i", "byte"),
     )
 
 

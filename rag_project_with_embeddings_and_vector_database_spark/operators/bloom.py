@@ -84,6 +84,15 @@ def _positions(value_col, k: int, m_bits: int, seed: int, hash_family: str = "sa
     (callers pin hash_family alongside k/m/seed, exactly like the
     other filter parameters)."""
     if hash_family == "km":
+        if m_bits < 2 or (m_bits & (m_bits - 1)) != 0:
+            # The odd-stride full-period argument needs gcd(step, m)=1,
+            # which the *2+1 trick only guarantees when m is a power of
+            # two; a composite-odd-factor m would let the k probes
+            # collapse into a short cycle and silently inflate the FP
+            # rate (ADVICE r13). Fail loudly instead.
+            raise ValueError(
+                f"hash_family='km' requires power-of-two m_bits >= 2, got {m_bits}"
+            )
         h1 = md5_long(value_col.cast("string"), F.lit(str(seed * 1000))) % m_bits
         step = (
             md5_long(value_col.cast("string"), F.lit(str(seed * 1000 + 1)))

@@ -108,7 +108,15 @@ def components_checked(
     the per-component constant is forced to the component min because
     labels only ever take member-id values and never increase). One
     extra O(edges) equi-join pass buys the guarantee; RAISES instead
-    of returning wrong labels."""
+    of returning wrong labels.
+
+    The edges frame is localCheckpoint'd ONCE here (ADVICE r13) and
+    the same materialized frame feeds both the propagation and the
+    verification join — without it the verification action replays the
+    caller's full edge lineage (banded explode + min-join for the star
+    path, cross/delta joins for the incremental path), which is where
+    the r13 `dedup_star_incremental` wall-clock regression lived."""
+    edges = edges.localCheckpoint(eager=True)
     comp = connected_components(edges)
     la = comp.select(F.col("id").alias(id_a), F.col("component").alias("_ca"))
     lb = comp.select(F.col("id").alias(id_b), F.col("component").alias("_cb"))

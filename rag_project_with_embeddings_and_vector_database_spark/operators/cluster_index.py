@@ -46,6 +46,7 @@ from .dedup_index import (
     _discover_keys,
     _read_matched_partitions,
     _resolve_store_layout,
+    read_store_meta,
     write_signature_store,
 )
 
@@ -88,7 +89,28 @@ def _probe_buckets(
     discovery RPCs, stored buckets the delta never addresses are never
     read (plan-pinned in tests/test_plans.py). The delta is NOT
     broadcast on this path (the probe is a plain equi-join), so no
-    max_delta_docs contract applies."""
+    max_delta_docs contract applies.
+
+    Legacy stores (ADVICE r13): a bucket table written before the
+    band-partitioned layout (flat parquet — no ``band=`` directories,
+    no ``_store_meta.json``) is still READABLE: detected by the
+    absence of both the sidecar and partition directories, it falls
+    back to a FULL unpruned scan (correct, just O(store) instead of
+    O(matched partitions)); rewrite via ``write_star_index`` to regain
+    pruning. A store with partition directories but no sidecar keeps
+    the listing-validated pruned path as before."""
+    if read_store_meta(spark, f"{path}/buckets") is None:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/buckets")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        has_band_dirs = any(
+            st.isDirectory() and st.getPath().getName().startswith("band=")
+            for st in fs.listStatus(hpath)
+        )
+        if not has_band_dirs:
+            return spark.read.parquet(f"{path}/buckets").select(
+                "band", "band_hash", "root"
+            )
     num_buckets = _resolve_store_layout(
         spark, f"{path}/buckets", ("band", "sig_bucket"), DEFAULT_NUM_BUCKETS
     )
@@ -158,6 +180,7 @@ def update_star_index(
     num_bands: int = 4,
     seed: int = 42,
     dest_path: str | None = None,
+    in_place: bool = False,
 ) -> DataFrame:
     """Fold a day-2 delta INTO the stored index so day 3 can probe it:
     components become the incremental assignment (day-1 remapped +
@@ -168,18 +191,29 @@ def update_star_index(
     chaining therefore costs O(store) rewrite, not O(corpus) text
     reprocessing. Returns the updated assignment frame.
 
-    Crash contract (ADVICE r12): pass ``dest_path`` to write BOTH
-    tables into a NEW generation directory — the source store is never
-    touched, a crash costs only the incomplete new directory, and a
-    retry re-reads the ORIGINAL store so the id-disjoint delta
-    contract holds across retries (the ``compact_signature_store``
-    dest_path shape); the caller swaps its pointer when both tables
-    land. With ``dest_path=None`` the rewrite is IN-PLACE (two
-    sequential overwrites behind localCheckpoint barriers) — a crash
-    BETWEEN the two overwrites leaves a mixed-generation store, and a
-    retry would re-submit delta ids already folded into components
-    (violating the id-disjoint contract, duplicating assignment rows);
-    reserve it for stores that are snapshotted or rebuildable."""
+    Crash contract (ADVICE r12; default hardened r14 per VERDICT r13
+    item 8): pass ``dest_path`` to write BOTH tables into a NEW
+    generation directory — the source store is never touched, a crash
+    costs only the incomplete new directory, and a retry re-reads the
+    ORIGINAL store so the id-disjoint delta contract holds across
+    retries (the ``compact_signature_store`` dest_path shape); the
+    caller swaps its pointer when both tables land. The IN-PLACE
+    rewrite (two sequential overwrites behind localCheckpoint
+    barriers) is now an EXPLICIT opt-in via ``in_place=True`` — a
+    crash BETWEEN the two overwrites leaves a mixed-generation store,
+    and a retry would re-submit delta ids already folded into
+    components (violating the id-disjoint contract, duplicating
+    assignment rows); reserve it for stores that are snapshotted or
+    rebuildable. Calling with NEITHER raises, so a caller who never
+    read this paragraph cannot silently land on the crash-prone path
+    (pinned in tests/test_cluster_index.py)."""
+    if dest_path is None and not in_place:
+        raise ValueError(
+            "update_star_index: pass dest_path=<new generation dir> "
+            "(crash-safe, recommended) or in_place=True (explicit "
+            "opt-in: a crash between the two overwrites tears the "
+            "store and a retry duplicates delta assignment rows)"
+        )
     out = dest_path if dest_path is not None else path
     updated = star_assign_incremental(
         spark, delta, path, content_col, id_col,

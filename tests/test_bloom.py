@@ -169,3 +169,22 @@ def test_km_and_salted_filters_are_independent_parameterizations(spark, grams):
     a = BL.bloom_positions(bench, "gh", hash_family="salted")
     b = BL.bloom_positions(bench, "gh", hash_family="km")
     assert a.exceptAll(b).count() > 0
+
+
+def test_km_family_rejects_non_power_of_two_m_bits(spark, grams):
+    """ADVICE r13: the KM odd-stride full-period argument needs
+    gcd(step, m) = 1, which *2+1 only guarantees for power-of-two m —
+    a composite-odd-factor m (e.g. 15) could collapse the k probe
+    positions into a short cycle and silently inflate the FP rate. The
+    precondition is now a raised error, not a docstring."""
+    for bad_m in (15, 1, 0, 3 << 10):
+        with pytest.raises(ValueError, match="power-of-two"):
+            BL.bloom_positions(
+                grams, "gh", m_bits=bad_m, hash_family="km"
+            ).count()
+    # power-of-two m stays accepted
+    assert (
+        BL.bloom_positions(grams, "gh", m_bits=1 << 10, hash_family="km")
+        .count()
+        > 0
+    )

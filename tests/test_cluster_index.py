@@ -118,7 +118,7 @@ def test_day3_chain_through_updated_store(spark, tmp_path):
     day3 = docs.filter(F.col("doc_id") % 3 == 2)
     path = str(tmp_path / "chain_idx")
     CI.write_star_index(day1, path)
-    CI.update_star_index(spark, day2, path)
+    CI.update_star_index(spark, day2, path, in_place=True)
     inc = _assign(CI.star_assign_incremental(spark, day3, path))
     full = _assign(CL.minhash_dedup_star(docs))
     assert inc == full
@@ -209,3 +209,48 @@ def test_bucket_store_layout_partitioned_with_meta(spark, tmp_path):
         meta = json.load(fh)
     assert meta["partition_cols"] == ["band", "sig_bucket"]
     assert meta["bucket_modulus"] == CI.DEFAULT_NUM_BUCKETS
+
+
+def test_update_star_index_default_requires_explicit_choice(spark, tmp_path):
+    """VERDICT r13 item 8: the crash-prone in-place fold is no longer
+    reachable by default — calling update_star_index with neither
+    dest_path nor in_place=True raises, so a caller who never read the
+    crash-contract paragraph gets a loud error instead of a store that
+    a mid-update crash can tear (and whose retry duplicates delta
+    assignment rows)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "default_idx")
+    CI.write_star_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    with pytest.raises(ValueError, match="dest_path"):
+        CI.update_star_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), path
+        )
+
+
+def test_legacy_flat_bucket_store_falls_back_to_full_scan(spark, tmp_path):
+    """ADVICE r13: a bucket table written BEFORE the band-partitioned
+    layout (flat parquet, no band= dirs, no _store_meta.json) must
+    stay probeable — the day-2 assignment against a hand-built legacy
+    store equals the full recompute (the fallback reads the whole
+    store unpruned instead of raising 'layout mismatch')."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    day1 = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "legacy_idx")
+    # write day-1 state in the PRE-r13 shape: components as today, but
+    # buckets as FLAT parquet (no partitionBy, no sidecar)
+    comp = CL.minhash_dedup_star(day1)
+    comp.select("doc_id", "component").write.parquet(f"{path}/components")
+    banded = CI._banded(day1, "text", "doc_id", 3, 16, 4, 42)
+    (
+        banded.groupBy("band", "band_hash")
+        .agg(F.min("doc_id").alias("root"))
+        .write.parquet(f"{path}/buckets")
+    )
+    inc = _assign(CI.star_assign_incremental(spark, delta, path))
+    full = _assign(CL.minhash_dedup_star(day1.unionByName(delta)))
+    assert inc == full

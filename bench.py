@@ -136,6 +136,7 @@ HEADLINE = [
     "shards_store_roundtrip",
     "media_image_features",
     "media_frame_sample",
+    "media_ppm_histogram",
     # r10 registrations
     "gopher_rules",
     "gopher_repetition",
@@ -147,6 +148,11 @@ HEADLINE = [
     "chunk_fanout",
     "embed_batch",
     "embed_cached",
+    # r14 (VERDICT r13 item 6): the flagship end-to-end paths get a
+    # latency record — the number users compare against the
+    # reference's own "total warm ~1-2 min" (BASELINE.md)
+    "pipeline_e2e",
+    "pipeline_reference_corpus",
 ]
 
 # Composed STREAMING paths (real writeStream micro-batch drains, run
@@ -196,6 +202,18 @@ SLA = {
     # exact cell-for-cell batch-parity check (r12; 9.1 s quiet-box
     # min-of-3 — SCALING.md)
     "stream_windowed_cms": 10.0,
+    # r14 (VERDICT r13 items 2/3): the star-index family and the bloom
+    # FP audit get regression tripwires. Headline entries are SLA-
+    # checked too now; targets are r14 quiet-box min-of-3 rounded up
+    # (SCALING.md "r14 star-index A/B").
+    "dedup_star_incremental": 13.0,   # 11.9 measured (7.1 r12 paid no
+                                      # convergence proof + flat store)
+    "star_update_chain": 15.0,        # 12.7 measured (24.3 r13)
+    "bloom_fp_audit": 10.0,           # 8.2-8.9 measured
+    "star_incremental_query": 5.0,    # 3.6-4.3 measured, probe only
+    # flagship end-to-end paths (r14, VERDICT r13 item 6)
+    "pipeline_e2e": 8.0,              # 6.3 measured
+    "pipeline_reference_corpus": 6.5, # 4.9 measured
 }
 
 
@@ -366,6 +384,20 @@ def stored_index_query_benches(spark, sf_dir):
             delta, threshold=0.95, corpus_id="vec_id",
         )
 
+    # star-clustering index: day-1 build/write untimed; the thunk times
+    # only the day-2 delta assignment against the stored buckets +
+    # components (r14 — the steady-state twin of dedup_star_incremental,
+    # whose harness figure includes the pay-once write_star_index)
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        cluster_index as CI,
+    )
+
+    CI.write_star_index(docs.filter(F.col("doc_id") % 4 != 0), f"{base}/staridx")
+
+    def star_query():
+        delta = raw_docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+        return CI.star_assign_incremental(spark, delta, f"{base}/staridx")
+
     return {
         "bm25_indexed_query": bm25_query,
         "ann_ivf_indexed_query": ivf_query,
@@ -374,6 +406,7 @@ def stored_index_query_benches(spark, sf_dir):
         "dedup_incremental_query": dedup_query,
         "simhash_incremental_query": simhash_query,
         "semantic_incremental_query": semantic_query,
+        "star_incremental_query": star_query,
     }
 
 
@@ -403,13 +436,19 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    sla_violations = []
     qs = harness.queries()
     for name in HEADLINE:
         timings[name] = timed_min(spark, name, lambda: qs[name](spark, sf_dir), reps)
+        # r14: headline entries participate in the SLA tripwire too
+        # (the r13 dedup_star_incremental regression sat in HEADLINE
+        # where no SLA could catch it)
+        target = SLA.get(name)
+        if target is not None and timings[name] > 2.0 * target:
+            sla_violations.append((name, timings[name], target))
 
     # steady-state stored-index query-only figures: indexes are built
     # and written untimed, thunks time only the per-batch query side
-    sla_violations = []
     for name, thunk in stored_index_query_benches(spark, sf_dir).items():
         timings[name] = timed_min(spark, name, thunk, reps)
         target = SLA.get(name)

@@ -48,7 +48,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_long
 from ._cache import swap_cache as _swap_cache
-from .dedup import connected_components, minhash_bands, minhash_signatures, shingles
+from .dedup import (
+    _min_label_propagation,
+    minhash_bands,
+    minhash_signatures,
+    shingles,
+)
 
 
 def lsh_star_edges(
@@ -101,38 +106,26 @@ def components_checked(
     the dup-graph diameter vs within-bucket all-pairs — a >~10-hop
     chain of overlapping buckets would return labels that diverge from
     the exact closure the oracle (and ``star_assign_incremental``
-    parity) replays. Convergence is equivalent to a checkable FIXPOINT
-    property that needs no iteration count: labels converged iff every
-    edge's endpoints carry the SAME label (min-label propagation
-    changes something whenever an edge's labels differ; at fixpoint
-    the per-component constant is forced to the component min because
-    labels only ever take member-id values and never increase). One
-    extra O(edges) equi-join pass buys the guarantee; RAISES instead
-    of returning wrong labels.
+    parity) replays. RAISES instead of returning wrong labels.
 
-    The edges frame is localCheckpoint'd ONCE here (ADVICE r13) and
-    the same materialized frame feeds both the propagation and the
-    verification join — without it the verification action replays the
-    caller's full edge lineage (banded explode + min-join for the star
-    path, cross/delta joins for the incremental path), which is where
-    the r13 `dedup_star_incremental` wall-clock regression lived."""
-    edges = edges.localCheckpoint(eager=True)
-    comp = connected_components(edges)
-    la = comp.select(F.col("id").alias(id_a), F.col("component").alias("_ca"))
-    lb = comp.select(F.col("id").alias(id_b), F.col("component").alias("_cb"))
-    bad = (
-        edges.join(la, id_a)
-        .join(lb, id_b)
-        .filter(F.col("_ca") != F.col("_cb"))
-        .limit(1)
-        .count()
-    )
-    if bad:
+    r14 (VERDICT r13 item 2 / ADVICE r13): the fixpoint proof is read
+    off the propagation loop itself — the loop's ``changed == 0`` exit
+    condition IS the edge-endpoint-label-equality property (changed==0
+    means cand(id) == label(id) for every id; for any edge (a, b),
+    cand(a) <= label(b), hence label(a) == label(b) by symmetry — the
+    checkable fixpoint the r12 ADVICE asked for). The r13 form
+    re-joined the CALLER's edges frame in a separate verification
+    action, replaying the banded/cross-delta edge lineage per call —
+    the measured `dedup_star_incremental` regression. Same guarantee,
+    zero extra jobs (pinned in tests/test_cluster.py: an artificially
+    starved max_iter still raises)."""
+    comp, converged = _min_label_propagation(edges, id_a, id_b, max_iter=10)
+    if not converged:
         raise RuntimeError(
-            "connected_components exited without converging (an edge's "
-            "endpoints carry different labels); the star clustering "
-            "contract is bit-equality with the exact closure — raise "
-            "max_iter for this graph's diameter"
+            "connected_components exited without converging (max_iter "
+            "rounds elapsed with labels still changing); the star "
+            "clustering contract is bit-equality with the exact closure "
+            "— raise max_iter for this graph's diameter"
         )
     return comp
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cluster import components_checked, minhash_dedup_star
+from .cluster import components_checked
 from .dedup import minhash_bands, minhash_signatures
 from .dedup_index import (
     STORE_META_FILE,
@@ -53,6 +53,23 @@ from .dedup_index import (
 # the shared pmod convention every band-partitioned store in this repo
 # uses (dedup_index signature stores, bm25 term buckets)
 DEFAULT_NUM_BUCKETS = 64
+
+# auto-modulus sizing: aim for at least this many bucket rows per
+# partition directory before adding more sig_bucket splits (r14 — the
+# small-files discipline: a 15k-bucket sf0.1 store under the full
+# pmod-64 fan-out writes 256 directories of ~57 rows each and spends
+# 5+ s in pure file-commit overhead; a billion-bucket 100 TB store
+# still saturates to the DEFAULT_NUM_BUCKETS cap)
+_TARGET_ROWS_PER_DIR = 2000
+
+
+def _auto_modulus(n_bucket_rows: int) -> int:
+    """Pick the sig_bucket modulus for a store of ``n_bucket_rows``:
+    small stores get few (or one) bucket splits, large stores cap at
+    the shared pmod-64 convention. The store stays self-describing —
+    probes adopt whatever modulus the ``_store_meta.json`` sidecar
+    records, so mixed-generation chains are fine."""
+    return max(1, min(DEFAULT_NUM_BUCKETS, n_bucket_rows // _TARGET_ROWS_PER_DIR))
 
 
 def _banded(
@@ -138,6 +155,7 @@ def write_star_index(
     num_perm: int = 16,
     num_bands: int = 4,
     seed: int = 42,
+    bucket_modulus: int | None = None,
 ) -> None:
     """Persist the day-1 clustering state: ``{path}/components``
     (id, component — plain parquet, O(corpus) integer rows) and
@@ -148,24 +166,56 @@ def write_star_index(
     band_hash plus the ``_store_meta.json`` sidecar, so day-2 probes
     prune to exactly the delta's matched partitions with O(bands)
     discovery RPCs instead of scanning every stored bucket. The corpus
-    text is never needed again by the day-2 path."""
-    comp = minhash_dedup_star(
+    text is never needed again by the day-2 path.
+
+    ONE minhash pass (r14, VERDICT r13 item 2): components and bucket
+    roots both derive from a single materialized banded frame — the
+    bucket-roots table IS the star construction's ``mins`` aggregation,
+    so the r13 shape (``minhash_dedup_star`` + a second ``_banded``
+    scan for the store) shingled and minhashed the corpus TWICE per
+    write. Star edges here are the same groupBy-min + equi-join as
+    ``cluster.lsh_star_edges`` over the same banded rows, so the
+    persisted assignment stays bit-equal to ``minhash_dedup_star``
+    (pinned by every incremental-vs-full parity test).
+
+    ``bucket_modulus=None`` (default) sizes the sig_bucket fan-out to
+    the store via ``_auto_modulus`` — the small-files discipline; pass
+    an explicit modulus to pin the layout (tests, or co-locating with
+    a fixed-layout sibling store). Probes always adopt the modulus the
+    sidecar records, so any choice is probe-compatible."""
+    banded = _banded(
         df, content_col, id_col, shingle_n, num_perm, num_bands, seed
-    )
-    comp.select(id_col, "component").write.mode("overwrite").parquet(
-        f"{path}/components"
-    )
-    banded = _banded(df, content_col, id_col, shingle_n, num_perm, num_bands, seed)
-    buckets = (
+    ).localCheckpoint(eager=True)
+    mins = (
         banded.groupBy("band", "band_hash")
         .agg(F.min(id_col).alias("root"))
-        .withColumn(
-            "sig_bucket", F.pmod(F.col("band_hash"), F.lit(DEFAULT_NUM_BUCKETS))
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        banded.join(mins, ["band", "band_hash"])
+        .filter(F.col(id_col) != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    comp = components_checked(edges).withColumnRenamed("id", id_col)
+    assignment = (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
         )
+    )
+    assignment.write.mode("overwrite").parquet(f"{path}/components")
+    modulus = bucket_modulus if bucket_modulus is not None else _auto_modulus(
+        mins.count()
+    )
+    buckets = mins.withColumn(
+        "sig_bucket", F.pmod(F.col("band_hash"), F.lit(modulus))
     )
     write_signature_store(
         buckets, f"{path}/buckets", ("band", "sig_bucket"),
-        bucket_modulus=DEFAULT_NUM_BUCKETS,
+        bucket_modulus=modulus,
     )
 
 
@@ -215,12 +265,18 @@ def update_star_index(
             "store and a retry duplicates delta assignment rows)"
         )
     out = dest_path if dest_path is not None else path
+    # one minhash pass for the delta (r14): the banded frame feeds both
+    # the incremental assignment and the merged bucket roots
+    delta_banded = _banded(
+        delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
+    ).localCheckpoint(eager=True)
     updated = star_assign_incremental(
         spark, delta, path, content_col, id_col,
         shingle_n, num_perm, num_bands, seed,
+        _delta_banded=delta_banded,
     ).localCheckpoint(eager=True)
     delta_buckets = (
-        _banded(delta, content_col, id_col, shingle_n, num_perm, num_bands, seed)
+        delta_banded
         .groupBy("band", "band_hash")
         .agg(F.min(id_col).alias("root"))
     )
@@ -230,19 +286,21 @@ def update_star_index(
         .unionByName(delta_buckets)
         .groupBy("band", "band_hash")
         .agg(F.min("root").alias("root"))
-        .withColumn(
-            "sig_bucket", F.pmod(F.col("band_hash"), F.lit(DEFAULT_NUM_BUCKETS))
-        )
+        # materialized in BOTH modes (r14): the auto-modulus count
+        # below needs the rows anyway, and the in-place mode needs the
+        # lineage cut before overwriting the same paths
+        .localCheckpoint(eager=True)
     )
-    if dest_path is None:
-        # in-place: cut lineage so the same paths can be overwritten
-        merged_buckets = merged_buckets.localCheckpoint(eager=True)
+    modulus = _auto_modulus(merged_buckets.count())
+    merged_buckets = merged_buckets.withColumn(
+        "sig_bucket", F.pmod(F.col("band_hash"), F.lit(modulus))
+    )
     updated.select(id_col, "component").write.mode("overwrite").parquet(
         f"{out}/components"
     )
     write_signature_store(
         merged_buckets, f"{out}/buckets", ("band", "sig_bucket"),
-        bucket_modulus=DEFAULT_NUM_BUCKETS,
+        bucket_modulus=modulus,
     )
     return updated
 
@@ -257,6 +315,7 @@ def star_assign_incremental(
     num_perm: int = 16,
     num_bands: int = 4,
     seed: int = 42,
+    _delta_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Assign a day-2 delta against the stored day-1 clustering and
     return the FULL updated assignment ``(id, component, keep)`` —
@@ -273,9 +332,16 @@ def star_assign_incremental(
     end-to-end."""
     day1_comp = spark.read.parquet(f"{path}/components")
 
-    delta_banded = _banded(
-        delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
-    ).localCheckpoint(eager=True)
+    # ``_delta_banded``: internal fast path (update_star_index) handing
+    # in an already-materialized banded frame so the delta is shingled
+    # and minhashed exactly once per fold
+    delta_banded = (
+        _delta_banded
+        if _delta_banded is not None
+        else _banded(
+            delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
+        ).localCheckpoint(eager=True)
+    )
 
     buckets = _probe_buckets(spark, path, delta_banded, num_bands, id_col)
 

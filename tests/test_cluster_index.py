@@ -208,7 +208,19 @@ def test_bucket_store_layout_partitioned_with_meta(spark, tmp_path):
     with open(f"{path}/buckets/{CI.STORE_META_FILE}") as fh:
         meta = json.load(fh)
     assert meta["partition_cols"] == ["band", "sig_bucket"]
-    assert meta["bucket_modulus"] == CI.DEFAULT_NUM_BUCKETS
+    # auto-modulus (r14): tiny store -> few sig_bucket splits, and the
+    # sidecar records whatever the writer chose (probes adopt it)
+    n_buckets = spark.read.parquet(f"{path}/buckets").count()
+    assert meta["bucket_modulus"] == CI._auto_modulus(n_buckets)
+    assert 1 <= meta["bucket_modulus"] <= CI.DEFAULT_NUM_BUCKETS
+    # explicit modulus still pins the full fan-out
+    path64 = str(tmp_path / "layout_idx64")
+    CI.write_star_index(
+        docs.filter(F.col("doc_id") % 2 == 0), path64, bucket_modulus=64
+    )
+    with open(f"{path64}/buckets/{CI.STORE_META_FILE}") as fh:
+        meta64 = json.load(fh)
+    assert meta64["bucket_modulus"] == CI.DEFAULT_NUM_BUCKETS
 
 
 def test_update_star_index_default_requires_explicit_choice(spark, tmp_path):

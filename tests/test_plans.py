@@ -373,7 +373,9 @@ def test_star_bucket_probe_prunes_partitions(spark, sf_dir, tmp_path):
         "doc_id", "text"
     )
     path = str(tmp_path / "star_plan_idx")
-    CI.write_star_index(docs.filter("doc_id % 4 != 0"), path)
+    # explicit modulus: at this sf the auto-modulus would collapse to 1
+    # sig_bucket (small-files discipline), leaving nothing to prune
+    CI.write_star_index(docs.filter("doc_id % 4 != 0"), path, bucket_modulus=64)
     delta_banded = CI._banded(
         docs.filter("doc_id % 16 = 0"), "text", "doc_id", 3, 16, 4, 42
     ).localCheckpoint(eager=True)

@@ -137,6 +137,7 @@ HEADLINE = [
     "media_image_features",
     "media_frame_sample",
     "media_ppm_histogram",
+    "media_y4m_frames",
     # r10 registrations
     "gopher_rules",
     "gopher_repetition",

@@ -84,3 +84,65 @@ def test_histogram_decoder_non_uniform_resize():
     for c in range(3):
         ref = np.bincount(resized[:, :, c].ravel() >> 3, minlength=32)[:32] / 16.0
         np.testing.assert_array_equal(feats[c * 32 : (c + 1) * 32], ref)
+
+
+def _y4m(w, h, frames, cspace=b"C444", header_params=b"F25:1 Ip A1:1 "):
+    head = b"YUV4MPEG2 W%d H%d %s%s\n" % (w, h, header_params, cspace)
+    return head + b"".join(b"FRAME\n" + bytes(f) for f in frames)
+
+
+def test_y4m_roundtrip_c444():
+    frames = [bytes([i] * 12) for i in range(4)]  # 2x2 C444 = 12 bytes
+    w, h, cs, got = MM.decode_y4m(_y4m(2, 2, frames))
+    assert (w, h, cs) == (2, 2, "C444")
+    assert got == frames
+
+
+def test_y4m_c420_frame_size_and_default_colorspace():
+    # C420: w*h*3//2 bytes; omitted C param defaults to C420jpeg
+    frames = [bytes(6), bytes(range(6))]  # 2x2 C420 = 6 bytes
+    payload = b"YUV4MPEG2 W2 H2 F25:1\n" + b"".join(
+        b"FRAME\n" + f for f in frames
+    )
+    w, h, cs, got = MM.decode_y4m(payload)
+    assert (w, h, cs) == (2, 2, "C420jpeg")
+    assert got == frames
+
+
+@pytest.mark.parametrize(
+    "payload, msg",
+    [
+        (b"NOTAY4M W2 H2\n", "not a YUV4MPEG2"),
+        (b"YUV4MPEG2 W2 H2 C444\nBADMK\n" + bytes(12), "frame marker"),
+        (b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(5), "truncated y4m frame"),
+        (b"YUV4MPEG2 W0 H2 C444\n", "bad y4m dimensions"),
+        (b"YUV4MPEG2 W2 H2 Cmono\n", "unsupported y4m colorspace"),
+    ],
+)
+def test_y4m_malformed_raise(payload, msg):
+    with pytest.raises(ValueError, match=msg):
+        MM.decode_y4m(payload)
+
+
+def test_y4m_frame_params_after_marker_are_tolerated():
+    # the spec allows per-frame parameters: FRAME Ixyz\n
+    payload = b"YUV4MPEG2 W2 H2 C444\nFRAME Ix\n" + bytes(range(12))
+    _, _, _, frames = MM.decode_y4m(payload)
+    assert frames == [bytes(range(12))]
+
+
+def test_sample_frames_y4m_spark_fanout(spark):
+    from pyspark.sql import functions as F
+
+    frames = [bytes([k] * 12) for k in range(7)]
+    payload = _y4m(2, 2, frames)
+    media = spark.createDataFrame(
+        [("m1", "video", "video/x-yuv4mpeg", bytearray(payload))],
+        "media_id string, modality string, mime string, data binary",
+    )
+    got = {
+        r.frame_no: (r.byte_sum, r.byte_mean)
+        for r in MM.sample_frames_y4m(media, every_n=3, max_frames=2).collect()
+    }
+    # frames 0 and 3 sampled (every 3rd, capped at 2); frame k sums to 12k
+    assert got == {0: (0, 0.0), 3: (36, 3.0)}

@@ -8972,6 +8972,65 @@ def media_y4m_frames(spark, sf_dir):
     return MM.sample_frames_y4m(media, every_n=2, max_frames=8)
 
 
+@register(
+    "media_wav_rms",
+    """
+    WITH b AS (
+      SELECT doc_id::VARCHAR AS media_id, r.j::INT AS j,
+             CASE WHEN r.j < 32
+                  THEN ('0x' || substr(sha256(text || 'a'), r.j*2 + 1, 2))::INT
+                  ELSE ('0x' || substr(sha256(text || 'ab'), (r.j-32)*2 + 1, 2))::INT
+             END AS byte
+      FROM documents CROSS JOIN range(0, 48) r(j)
+      WHERE doc_id < 2000
+    )
+    SELECT media_id, (j // 16)::INT AS win_no, 16::BIGINT AS n_samples,
+           sum((byte - 128) * (byte - 128))::BIGINT AS sq_sum,
+           sqrt(sum((byte - 128) * (byte - 128)) / 16.0)::DOUBLE AS rms
+    FROM b GROUP BY media_id, (j // 16)
+    """,
+)
+def media_wav_rms(spark, sf_dir):
+    """REAL audio decode END-TO-END (operators/multimodal.py decode_wav
+    + wav_rms_windows — r14): completes the image/audio/video modality
+    triple with a pure-python canonical-PCM RIFF parser. Spark
+    synthesizes an 8-bit mono 8 kHz WAV per document ENTIRELY JVM-side
+    (the fixed 44-byte canonical header literal + 48 sample bytes from
+    two sha256s), and the mapInPandas stage walks the RIFF chunks,
+    validates the PCM fmt, centers the unsigned samples and emits
+    EXACT per-window integer energy sums (window=16 -> 3 windows).
+    DuckDB replays the same bytes positionally; rms is one IEEE sqrt
+    on both engines. A hash-green row certifies the chunk walk, fmt
+    parse, sample layout, centering and windowing bit-for-bit; a real
+    soundfile/librosa reader swaps in with the same contract. Scale
+    shape: narrow decode stage, payloads never shuffled."""
+    import struct
+
+    from .operators import multimodal as MM
+
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + 48) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 48)
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    data = F.encode("text", "UTF-8")
+    payload = F.concat(
+        F.lit(bytearray(hdr)),
+        F.unhex(F.sha2(F.concat(data, F.lit(bytearray(b"a"))), 256)),
+        F.substring(
+            F.unhex(F.sha2(F.concat(data, F.lit(bytearray(b"ab"))), 256)), 1, 16
+        ),
+    )
+    media = _par(d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.lit("audio/wav").alias("mime"),
+        payload.alias("data"),
+    ))
+    return MM.wav_rms_windows(media, window=16, max_windows=8)
+
+
 @register("media_frame_sample")  # rows-only: mapInPandas fan-out; JVM-twin parity RAISE
 def media_frame_sample(spark, sf_dir):
     """Multimodal video frame sampling (operators/multimodal.py
@@ -9060,8 +9119,8 @@ _PRIORITY = [
     # (a) the r13 red row, front of window, + the newly oracled gate
     # + the NEW real-codec registration (pure-python netpbm decode)
     "media_image_features", "stream_bloom_gate", "media_ppm_histogram",
-    "media_y4m_frames",
-    # (b) closure: multimodal.py decoder seam + netpbm/y4m parsers
+    "media_y4m_frames", "media_wav_rms",
+    # (b) closure: multimodal.py decoder seam + netpbm/y4m/wav parsers
     "media_frame_sample", "multimodal_meta",
     # (b) closure: bloom.py KM precondition
     "bloom_decontaminate", "bloom_decontaminate_km", "bloom_store_day2",
@@ -9091,13 +9150,13 @@ _PRIORITY = [
     # r13 item 5) — the two bench-drifted rows first
     # (strip_boilerplate and tfidf_terms moved +50% in the r13 bench,
     # so their re-checks are due on both grounds), then TPC-H
-    "strip_boilerplate", "tfidf_terms", "tpch_q1", "tpch_q3",
+    "strip_boilerplate", "tfidf_terms", "tpch_q1",
 ]
 # r14 rotation debt (recorded for r15): the r9-evidence names the
-# dedup.py closure and the two new media registrations displaced —
+# dedup.py closure and the three new media registrations displaced —
 # diversity_sample, html_extract, quality_filter, semi_anti_join,
 # sequence_pack, set_ops, sink_orc, sink_partitioned, sql_api,
-# string_funcs, tpch_q5 — are r15's first fills; then the r10-evidence
+# string_funcs, tpch_q3, tpch_q5 — are r15's first fills; then the r10-evidence
 # population (asof_join, brand_revenue, chunk_* family, embed_batch,
 # events_hourly/json/percentiles, gopher_rules, grouped_mad,
 # hll_rollup, metric_avgsim/mrr/topk, pivot_events, rollup_lineitem,

@@ -303,6 +303,108 @@ def sample_frames_y4m(
     )
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """REAL audio decode for canonical PCM WAV payloads — pure
+    stdlib+numpy, the audio sibling of ``decode_netpbm``/``decode_y4m``
+    (completing the image/audio/video modality triple of SURVEY §2.9).
+    Walks the RIFF chunk list (tolerating extra chunks like LIST,
+    honoring odd-size padding), requires a PCM ``fmt `` chunk (format
+    tag 1, 8- or 16-bit) and a ``data`` chunk. Returns ``(sample_rate,
+    n_channels, bits, samples)`` where ``samples`` is an int32 ndarray
+    of shape (n_frames, n_channels) holding RAW sample values (8-bit:
+    unsigned 0..255, 16-bit: signed little-endian) — raw ints so
+    downstream features can be exact/engine-portable. Raises
+    ValueError on malformed or unsupported payloads."""
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated RIFF chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk in WAVE payload")
+    if len(fmt) < 16:
+        raise ValueError("short fmt chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAVE format tag {audio_format} (want PCM=1)")
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported PCM bit depth {bits} (want 8|16)")
+    if channels < 1:
+        raise ValueError(f"bad channel count {channels}")
+    bytes_per_frame = channels * bits // 8
+    if bytes_per_frame == 0 or len(data) % bytes_per_frame:
+        raise ValueError(
+            f"data chunk size {len(data)} not a multiple of frame size "
+            f"{bytes_per_frame}"
+        )
+    dt = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = (
+        np.frombuffer(data, dtype=dt).astype(np.int32).reshape(-1, channels)
+    )
+    return rate, channels, bits, samples
+
+
+_WAV_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("win_no", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sq_sum", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def wav_rms_windows(
+    media: DataFrame, window: int = 16, max_windows: int = 8
+) -> DataFrame:
+    """REAL audio feature extraction: decode PCM WAV, center samples
+    (8-bit: -128, 16-bit: already signed), and emit per-window energy
+    ``(media_id, win_no, n_samples, sq_sum, rms)`` over frames x
+    channels — ``sq_sum`` is an EXACT integer sum of squares, so an
+    engine-portable oracle replays it bit-for-bit and ``rms`` is one
+    IEEE sqrt away on both engines. Trailing partial windows are
+    emitted with their true n_samples. Same narrow mapInPandas shape
+    as every decode stage here."""
+    from .._shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "win_no", "n_samples", "sq_sum", "rms")}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                _, _, bits, samples = decode_wav(bytes(data))
+                centered = samples - (128 if bits == 8 else 0)
+                for w in range(min(max_windows, -(-len(centered) // window))):
+                    block = centered[w * window : (w + 1) * window]
+                    n = int(block.size)
+                    sq = int((block.astype(np.int64) ** 2).sum())
+                    out["media_id"].append(mid)
+                    out["win_no"].append(w)
+                    out["n_samples"].append(n)
+                    out["sq_sum"].append(sq)
+                    out["rms"].append(float(np.sqrt(sq / n)) if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("modality") == "audio").mapInPandas(
+        gen, _WAV_RMS_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
     """Frame sampling for video payloads (1 row in -> N rows out). The
     stub derives deterministic per-frame ids from the payload hash; a

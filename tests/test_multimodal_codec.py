@@ -146,3 +146,77 @@ def test_sample_frames_y4m_spark_fanout(spark):
     }
     # frames 0 and 3 sampled (every 3rd, capped at 2); frame k sums to 12k
     assert got == {0: (0, 0.0), 3: (36, 3.0)}
+
+
+def _wav(samples, bits=8, channels=1, rate=8000, extra_chunk=None):
+    import struct
+
+    if bits == 8:
+        data = bytes(samples)
+    else:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    body = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    if extra_chunk is not None:
+        body += extra_chunk
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_8bit_roundtrip():
+    rate, ch, bits, s = MM.decode_wav(_wav([0, 128, 255, 64]))
+    assert (rate, ch, bits) == (8000, 1, 8)
+    assert s.ravel().tolist() == [0, 128, 255, 64]
+
+
+def test_wav_16bit_signed_le_and_stereo():
+    rate, ch, bits, s = MM.decode_wav(
+        _wav([-32768, 32767, 0, -1], bits=16, channels=2)
+    )
+    assert (ch, bits) == (2, 16)
+    assert s.shape == (2, 2)
+    assert s.tolist() == [[-32768, 32767], [0, -1]]
+
+
+def test_wav_extra_chunks_and_odd_padding_tolerated():
+    import struct
+
+    # a 3-byte LIST chunk forces the odd-size word-alignment path
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    rate, ch, bits, s = MM.decode_wav(_wav([1, 2], extra_chunk=extra))
+    assert s.ravel().tolist() == [1, 2]
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda p: b"JUNK" + p[4:], "RIFF/WAVE"),
+        (lambda p: p[:-1], "truncated RIFF chunk"),
+        (lambda p: p.replace(b"\x01\x00\x01\x00", b"\x03\x00\x01\x00", 1),
+         "format tag"),
+        (lambda p: p.replace(b"\x08\x00data", b"\x0c\x00data", 1),
+         "bit depth"),
+    ],
+)
+def test_wav_malformed_raise(mutate, msg):
+    with pytest.raises(ValueError, match=msg):
+        MM.decode_wav(mutate(_wav([1, 2, 3, 4])))
+
+
+def test_wav_rms_windows_spark(spark):
+    samples = list(range(100, 140))  # 40 samples -> windows of 16: 16,16,8
+    media = spark.createDataFrame(
+        [("a1", "audio", "audio/wav", bytearray(_wav(samples)))],
+        "media_id string, modality string, mime string, data binary",
+    )
+    rows = {r.win_no: r for r in MM.wav_rms_windows(media, window=16).collect()}
+    assert set(rows) == {0, 1, 2}
+    import math
+
+    for w, lo in ((0, 100), (1, 116), (2, 132)):
+        n = 16 if w < 2 else 8
+        sq = sum((v - 128) ** 2 for v in range(lo, lo + n))
+        assert rows[w].n_samples == n and rows[w].sq_sum == sq
+        assert rows[w].rms == pytest.approx(math.sqrt(sq / n))

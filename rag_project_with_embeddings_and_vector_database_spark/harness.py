@@ -8882,7 +8882,10 @@ def media_ppm_histogram(spark, sf_dir):
     per-row fan-out."""
     from .operators import multimodal as MM
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    # _par on the DOCUMENT frame: the parallelizing exchange moves only
+    # the source text; payloads are constructed after it and never
+    # cross a shuffle (the multimodal contract)
+    d = _par(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000))
     data = F.encode("text", "UTF-8")
     payload = F.concat(
         F.lit(bytearray(b"P6 4 4 255\n")),
@@ -8891,12 +8894,12 @@ def media_ppm_histogram(spark, sf_dir):
             F.unhex(F.sha2(F.concat(data, F.lit(bytearray(b"x"))), 256)), 1, 16
         ),
     )
-    media = _par(d.select(
+    media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("modality"),
         F.lit("image/x-portable-pixmap").alias("mime"),
         payload.alias("data"),
-    ))
+    )
     feats = MM.image_features(media, decoder=MM.netpbm_histogram_decoder)
     return feats.select(
         "media_id",
@@ -8943,7 +8946,8 @@ def media_y4m_frames(spark, sf_dir):
     shuffled."""
     from .operators import multimodal as MM
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    # _par before construction: only text crosses the exchange
+    d = _par(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000))
     data = F.encode("text", "UTF-8")
     parts = [F.lit(bytearray(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n"))]
     for k in range(6):
@@ -8963,12 +8967,12 @@ def media_y4m_frames(spark, sf_dir):
                 16,
             )
         )
-    media = _par(d.select(
+    media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("video").alias("modality"),
         F.lit("video/x-yuv4mpeg").alias("mime"),
         F.concat(*parts).alias("data"),
-    ))
+    )
     return MM.sample_frames_y4m(media, every_n=2, max_frames=8)
 
 
@@ -9013,7 +9017,8 @@ def media_wav_rms(spark, sf_dir):
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
         + b"data" + struct.pack("<I", 48)
     )
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    # _par before construction: only text crosses the exchange
+    d = _par(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000))
     data = F.encode("text", "UTF-8")
     payload = F.concat(
         F.lit(bytearray(hdr)),
@@ -9022,12 +9027,12 @@ def media_wav_rms(spark, sf_dir):
             F.unhex(F.sha2(F.concat(data, F.lit(bytearray(b"ab"))), 256)), 1, 16
         ),
     )
-    media = _par(d.select(
+    media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("audio").alias("modality"),
         F.lit("audio/wav").alias("mime"),
         payload.alias("data"),
-    ))
+    )
     return MM.wav_rms_windows(media, window=16, max_windows=8)
 
 

@@ -220,3 +220,64 @@ def test_wav_rms_windows_spark(spark):
         sq = sum((v - 128) ** 2 for v in range(lo, lo + n))
         assert rows[w].n_samples == n and rows[w].sq_sum == sq
         assert rows[w].rms == pytest.approx(math.sqrt(sq / n))
+
+
+# ---- hypothesis property pins: decode is EXACTLY inverse to encode ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 8), h=st.integers(1, 8),
+    data=st.data(), magic=st.sampled_from([b"P5", b"P6"]),
+)
+def test_netpbm_roundtrip_property(w, h, data, magic):
+    ch = 3 if magic == b"P6" else 1
+    raster = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch,
+                           max_size=w * h * ch))
+    )
+    got_w, got_h, px = MM.decode_netpbm(_ppm(w, h, raster, magic=magic))
+    assert (got_w, got_h) == (w, h) and px.shape == (h, w, 3)
+    if magic == b"P6":
+        assert px.tobytes() == raster
+    else:
+        assert px[:, :, 0].tobytes() == raster
+        assert (px[:, :, 0] == px[:, :, 2]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 4), h=st.integers(1, 4),
+    n_frames=st.integers(0, 5), data=st.data(),
+)
+def test_y4m_roundtrip_property(w, h, n_frames, data):
+    size = w * h * 3
+    frames = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=size,
+                                 max_size=size)))
+        for _ in range(n_frames)
+    ]
+    got_w, got_h, cs, got = MM.decode_y4m(_y4m(w, h, frames))
+    assert (got_w, got_h, cs) == (w, h, "C444") and got == frames
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bits=st.sampled_from([8, 16]), channels=st.integers(1, 3),
+    n=st.integers(1, 32), data=st.data(),
+)
+def test_wav_roundtrip_property(bits, channels, n, data):
+    lo, hi = (0, 255) if bits == 8 else (-32768, 32767)
+    samples = data.draw(
+        st.lists(st.integers(lo, hi), min_size=n * channels,
+                 max_size=n * channels)
+    )
+    rate, ch, got_bits, s = MM.decode_wav(
+        _wav(samples, bits=bits, channels=channels)
+    )
+    assert (ch, got_bits) == (channels, bits)
+    assert s.shape == (n, channels)
+    assert s.ravel().tolist() == samples

@@ -400,3 +400,30 @@ def test_star_bucket_probe_prunes_partitions(spark, sf_dir, tmp_path):
         if "sig_bucket" in b
     )
     assert 0 < n_probed < all_dirs, (n_probed, all_dirs, loc[0][:200])
+
+
+def test_media_payload_queries_shuffle_only_source_text(spark, sf_dir):
+    """r14 multimodal plan contract: the three real-codec media queries
+    synthesize binary payloads JVM-side, and the plan must show (a)
+    pruned pushed-down scans (doc_id/text only), (b) exactly ONE
+    exchange — the parallelizing round-robin repartition — whose input
+    is the raw (doc_id, text) scan output, i.e. constructed payloads
+    never cross a shuffle (payload concat happens in the Project ABOVE
+    the exchange), and (c) the Arrow decode stage (MapInPandas)
+    directly above."""
+    import re
+
+    from rag_project_with_embeddings_and_vector_database_spark import harness
+
+    qs = harness.queries()
+    for name in ("media_wav_rms", "media_y4m_frames", "media_ppm_histogram"):
+        df = qs[name](spark, sf_dir)
+        plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        exchanges = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+        assert len(exchanges) == 1, (name, plan[:400])
+        cols = {c.split("#")[0].strip() for c in exchanges[0].split(",")}
+        assert cols == {"doc_id", "text"}, (name, exchanges[0])
+        assert "MapInPandas" in plan, name
+        assert "LessThan(doc_id,2000)" in plan, name  # pushed to the scan

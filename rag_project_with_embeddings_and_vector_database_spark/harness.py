@@ -4918,7 +4918,10 @@ def sessionize_stateful(spark, sf_dir):
     )
 
 
-@register("stream_dedup")  # rows-only: real streaming run, self-validating counts
+@register(
+    "stream_dedup",
+    "SELECT event_id, min(ts) AS ts FROM events GROUP BY event_id",
+)
 def stream_dedup(spark, sf_dir):
     """Streaming exact dedup (streaming/ingest.py streaming_dedup,
     ``dropDuplicatesWithinWatermark``) run as a REAL Structured
@@ -4934,7 +4937,14 @@ def stream_dedup(spark, sf_dir):
     Scale note: watermark-bounded state is the only viable exact-dedup
     contract on an unbounded stream; state is O(keys inside the
     horizon), keyed by the same uniform ids the batch exact dedup
-    shuffles on."""
+    shuffles on.
+
+    r14: the STREAMED deduped rows are additionally the oracled output
+    — one (event_id, min ts) row per key, which DuckDB replays as a
+    plain GROUP BY; a hash-green row certifies the
+    dropDuplicatesWithinWatermark drain emitted EXACTLY the batch
+    distinct (the in-query parity RAISE stays as the second witness
+    against the written source file)."""
     import os
     import tempfile
     import uuid
@@ -4977,10 +4987,7 @@ def stream_dedup(spark, sf_dir):
             f"streaming/batch dedup parity broke: n_stream={n_stream} "
             f"n_expected={n_expected} n_matched={matched}"
         )
-    return spark.createDataFrame(
-        [(n_stream, n_expected, matched, ok)],
-        "n_stream long, n_expected long, n_matched long, ok boolean",
-    )
+    return got
 
 
 @register("stream_upsert")  # rows-only: real streaming run, self-validating counts
@@ -5055,7 +5062,15 @@ def stream_upsert(spark, sf_dir):
     )
 
 
-@register("stream_windowed_counts")  # rows-only: real streaming run, self-validating counts
+@register(
+    "stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
 def stream_windowed_counts(spark, sf_dir):
     """Watermarked tumbling-window aggregation (streaming/ingest.py
     windowed_event_counts) run as a REAL Structured Streaming job over
@@ -5064,10 +5079,16 @@ def stream_windowed_counts(spark, sf_dir):
     every window is emitted for comparison — note complete mode retains
     ALL window state and the watermark evicts nothing; the
     bounded-state production shape is append mode, where the watermark
-    drops windows it has passed; ADVICE r3). Compared against the
-    identical batch aggregation. Emits one counts row plus an ``ok``
-    flag and RAISES unless n_stream == n_batch == n_matched ==
-    n_avg_close (every matched window's avg agrees to 1e-6)."""
+    drops windows it has passed; ADVICE r3). RAISES unless n_stream ==
+    n_batch == n_matched == n_avg_close (every matched window's avg
+    agrees to 1e-6 vs the identical batch aggregation).
+
+    r14: the STREAMED window counts are additionally the oracled
+    output — epoch-aligned 1-hour windows are date_trunc('hour') in
+    DuckDB, so a hash-green row certifies the streaming drain emitted
+    EXACTLY the batch rollup (counts only: window avg floats stay an
+    in-query parity RAISE because summation order is engine-dependent
+    — the events_hourly lesson)."""
     import os
     import tempfile
     import uuid
@@ -5114,10 +5135,7 @@ def stream_windowed_counts(spark, sf_dir):
             f"streaming/batch windowed-agg parity broke: n_stream={n_stream} "
             f"n_batch={n_batch} n_matched={n_matched} n_avg_close={n_avg_close}"
         )
-    return spark.createDataFrame(
-        [(n_stream, n_batch, n_matched, n_avg_close, ok)],
-        "n_stream long, n_batch long, n_matched long, n_avg_close long, ok boolean",
-    )
+    return got.select("window_start", "window_end", "event_type", "n")
 
 
 @register("stream_interval_join")  # rows-only: real streaming run, batch-parity RAISE
@@ -5251,7 +5269,19 @@ def stream_dedup_ttl(spark, sf_dir):
     )
 
 
-@register("stream_windowed_append")  # rows-only: real streaming run, self-validating counts
+@register(
+    "stream_windowed_append",
+    """
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+             event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+)
 def stream_windowed_append(spark, sf_dir):
     """The BOUNDED-STATE twin of stream_windowed_counts (VERDICT r4
     item 8): the same watermarked tumbling-window aggregation run in
@@ -5262,10 +5292,16 @@ def stream_windowed_append(spark, sf_dir):
     batch aggregation restricted to CLOSED windows: window_end <=
     max(ts) - watermark delay (Spark's watermark is max event time
     minus delay; availableNow ends with a no-data commit that flushes
-    every window the final watermark has passed). Emits counts plus
-    ``ok`` and RAISES unless n_stream == n_closed == n_matched ==
-    n_avg_close — executing the bounded-state claim rather than
-    narrating it."""
+    every window the final watermark has passed). RAISES unless
+    n_stream == n_closed == n_matched == n_avg_close — executing the
+    bounded-state claim rather than narrating it.
+
+    r14: the STREAMED append-mode emissions are additionally the
+    oracled output — DuckDB replays the closed-window predicate
+    (window_end <= max(ts) - 2h) over the batch rollup, so a
+    hash-green row certifies the watermark eviction semantics emitted
+    EXACTLY the closed set (counts only; avgs stay the in-query
+    RAISE)."""
     import os
     import tempfile
     import uuid
@@ -5317,10 +5353,7 @@ def stream_windowed_append(spark, sf_dir):
             f"append-mode windowed-agg parity broke: n_stream={n_stream} "
             f"n_closed={n_closed} n_matched={n_matched} n_avg_close={n_avg_close}"
         )
-    return spark.createDataFrame(
-        [(n_stream, n_closed, n_matched, n_avg_close, ok)],
-        "n_stream long, n_closed long, n_matched long, n_avg_close long, ok boolean",
-    )
+    return got.select("window_start", "window_end", "event_type", "n")
 
 
 @register(

@@ -5138,7 +5138,16 @@ def stream_windowed_counts(spark, sf_dir):
     return got.select("window_start", "window_end", "event_type", "n")
 
 
-@register("stream_interval_join")  # rows-only: real streaming run, batch-parity RAISE
+@register(
+    "stream_interval_join",
+    """
+    SELECT v.user_id, v.ts AS view_ts, v.value AS view_val,
+           b.ts AS buy_ts, b.value AS buy_val
+    FROM events v JOIN events b ON b.user_id = v.user_id
+    WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+      AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
 def stream_interval_join(spark, sf_dir):
     """Watermarked stream-stream interval join (streaming/ingest.py
     interval_join_streams, r9 queued registration; pytest-pinned for
@@ -5150,7 +5159,16 @@ def stream_interval_join(spark, sf_dir):
     batch interval join; RAISES unless stream == batch exactly. The
     time-bound + dual watermarks are the state-eviction contract that
     keeps join state O(horizon) on an unbounded stream — the shape a
-    100 TB event pipeline needs for view->conversion attribution."""
+    100 TB event pipeline needs for view->conversion attribution.
+
+    r14: the STREAMED join rows are additionally the oracled output —
+    an INNER interval join's emission multiset is deterministic given
+    the source table (append mode, no aggregation state involved), so
+    DuckDB replays it as a plain self-join with the same time bound; a
+    hash-green row certifies the streaming join emitted EXACTLY the
+    relational interval join (value columns are raw parquet doubles —
+    carried, never summed — so no float-summation-order hazard; the
+    multiset exceptAll RAISE stays as the second witness)."""
     import uuid
 
     from .streaming.ingest import interval_join_streams
@@ -5206,10 +5224,7 @@ def stream_interval_join(spark, sf_dir):
             f"stream/batch interval-join parity broke: n_stream={n_stream} "
             f"n_batch={n_batch} extra={n_extra} missing={n_missing}"
         )
-    return spark.createDataFrame(
-        [(n_stream, n_batch, ok)],
-        "n_stream long, n_batch long, ok boolean",
-    )
+    return gsel
 
 
 @register("stream_dedup_ttl")  # rows-only: real streaming run, batch-parity RAISE
@@ -7138,7 +7153,7 @@ def dedup_incremental(spark, sf_dir):
     )
 
 
-@register("dedup_store_compact")  # rows-only: self-validating maintenance run
+@register("dedup_store_compact", _dedup_incremental_sql())
 def dedup_store_compact(spark, sf_dir):
     """The OPTIMIZE step of the streaming dedup gate's signature store
     (operators/dedup_index.py compact_signature_store): an append-mode
@@ -7155,7 +7170,16 @@ def dedup_store_compact(spark, sf_dir):
     delta probe (dedup_delta) returns the IDENTICAL pair set before
     and after compaction — proving compaction is purely a size/pruning
     event, never a correctness event. At 100 TB this is OPTIMIZE on a
-    transactional table; the driver row pins the contract."""
+    transactional table; the driver row pins the contract.
+
+    r14: the POST-COMPACTION probe pairs are additionally the oracled
+    output — the compact parameters (full corpus, num_perm=16,
+    num_bands=4, seed=42, the standard doc_id<25 delta) are exactly
+    dedup_incremental's, so the same ``_dedup_incremental_sql()``
+    replay applies: a hash-green row certifies that a probe THROUGH
+    the maintenance cycle (duplicate-accumulated store -> compaction ->
+    pruned layout) still equals the one-shot recompute, on top of the
+    before==after RAISE below."""
     import os
     import tempfile
 
@@ -7203,8 +7227,7 @@ def dedup_store_compact(spark, sf_dir):
             f"pairs_equal={after == before}"
         )
     return spark.createDataFrame(
-        [(n_raw, n_compacted, len(after), ok)],
-        "n_raw long, n_compacted long, n_probe_pairs long, ok boolean",
+        after, "id_a long, id_b long, est_jaccard double"
     )
 
 

@@ -370,6 +370,23 @@ def main():
     qs = harness.queries()
     oracles = harness.oracle_sql()
     failures = []
+
+    def _hygiene():
+        # session hygiene between queries (r14): streaming queries leave
+        # their memory-sink tables registered for the session's lifetime
+        # — ~195 queries' worth OOM'd the 1g vanilla heap late in a full
+        # run (rows are already collected/compared by the time this
+        # runs, so the views are dead weight). The driver's 50-query
+        # gate never gets this deep, but the full-registry certification
+        # should not depend on that.
+        try:
+            for tbl in spark.catalog.listTables():
+                if tbl.isTemporary:
+                    spark.catalog.dropTempView(tbl.name)
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -381,9 +398,11 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            _hygiene()
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+            _hygiene()
             continue
         try:
             rel = con.sql(oracles[name])
@@ -431,6 +450,7 @@ def main():
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"PASS {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+        _hygiene()
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     spark.stop()

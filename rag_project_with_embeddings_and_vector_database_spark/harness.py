@@ -4856,7 +4856,33 @@ def sessionize(spark, sf_dir):
     )
 
 
-@register("sessionize_stateful")  # rows-only: real streaming run, self-validating counts
+@register(
+    "sessionize_stateful",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    ),
+    s AS (
+      SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM y GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           epoch_us(session_start) AS session_start_us,
+           epoch_us(session_end) AS session_end_us,
+           n_events
+    FROM s
+    WHERE session_id < (SELECT max(s2.session_id) FROM s s2 WHERE s2.user_id = s.user_id)
+    """,
+)
 def sessionize_stateful(spark, sf_dir):
     """The custom stateful streaming operator (streaming/stateful.py
     stateful_sessionize, applyInPandasWithState) run as a REAL Structured
@@ -4866,10 +4892,21 @@ def sessionize_stateful(spark, sf_dir):
     twin. The run uses idle_timeout_ms=0 (NoTimeout) so the drain
     terminates as soon as the data is exhausted; sessions still open at
     end-of-stream are therefore not emitted, and the expected set is the
-    batch sessions minus each user's final session. Emits one row of
-    counts plus an ``ok`` flag and RAISES when the counts disagree
-    (ADVICE r3: a parity regression must fail the query loudly, not be
-    recorded as a green rows-only row)."""
+    batch sessions minus each user's final session. RAISES when the
+    stream and the batch twin disagree (ADVICE r3: a parity regression
+    must fail the query loudly, not be recorded as a green rows-only
+    row).
+
+    r14: the EMITTED sessions are additionally the oracled output —
+    session membership is a pure function of each user's sorted event
+    timestamps (the gap predicate only reads ts deltas, so intra-batch
+    arrival order cannot change it), making the applyInPandasWithState
+    emission deterministic given the source table; DuckDB replays it as
+    gaps-and-islands (the ``sessionize`` oracle) minus each user's last
+    session. Bounds travel as exact unix-microsecond integers — no
+    engine float hazard — so a hash-green row certifies the CUSTOM
+    STATEFUL OPERATOR produced exactly the relational sessionization,
+    with the count-parity RAISE kept as the second witness."""
     import os
     import tempfile
     import uuid
@@ -4912,10 +4949,7 @@ def sessionize_stateful(spark, sf_dir):
             f"streaming/batch sessionize parity broke: n_stream={n_stream} "
             f"n_expected={n_expected} n_matched={matched}"
         )
-    return spark.createDataFrame(
-        [(n_stream, n_expected, matched, ok)],
-        "n_stream long, n_expected long, n_matched long, ok boolean",
-    )
+    return got.select("user_id", "session_start_us", "session_end_us", "n_events")
 
 
 @register(
@@ -9092,7 +9126,14 @@ def media_wav_rms(spark, sf_dir):
     return MM.wav_rms_windows(media, window=16, max_windows=8)
 
 
-@register("media_frame_sample")  # rows-only: mapInPandas fan-out; JVM-twin parity RAISE
+@register(
+    "media_frame_sample",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           8::BIGINT AS n_frames, 0 AS min_frame, 70 AS max_frame
+    FROM documents WHERE doc_id < 2000 AND text IS NOT NULL
+    """,
+)
 def media_frame_sample(spark, sf_dir):
     """Multimodal video frame sampling (operators/multimodal.py
     sample_frames — r13): the 1-row-in -> N-frames-out mapInPandas
@@ -9104,7 +9145,15 @@ def media_frame_sample(spark, sf_dir):
     (explode(sequence) + sha2(concat(data, int-bytes literal)))
     recomputes every frame sha inside the query and the row RAISES on
     any drift — Python/Arrow fan-out vs whole-stage-codegen'd
-    arithmetic, two independent implementations of the same bytes."""
+    arithmetic, two independent implementations of the same bytes.
+
+    r14: the returned per-media aggregate is additionally oracled —
+    the stub's CARDINALITY contract (exactly max_frames=8 frames at
+    strides of every_n=10 per media row, media_id typed through the
+    1->N fan-out) is a pure function of the documents table, so DuckDB
+    replays it directly. The hash-green row certifies the fan-out
+    multiplicity and grouping; frame CONTENT stays proven by the JVM
+    twin RAISE above (DuckDB's sha256 cannot key on bytes)."""
     from .operators import multimodal as MM
 
     every_n, max_frames = 10, 8
@@ -9182,7 +9231,11 @@ _PRIORITY = [
     "media_image_features", "stream_bloom_gate", "media_ppm_histogram",
     "media_y4m_frames", "media_wav_rms",
     # (b) closure: multimodal.py decoder seam + netpbm/y4m/wav parsers
-    "media_frame_sample", "multimodal_meta",
+    # (media_frame_sample gained its cardinality oracle late-r14;
+    # sessionize_stateful gained its gaps-and-islands oracle in the
+    # same pass and takes multimodal_meta's slot — multimodal_meta is
+    # outside the derived closure and holds green r12 evidence)
+    "media_frame_sample", "sessionize_stateful",
     # (b) closure: bloom.py KM precondition
     "bloom_decontaminate", "bloom_decontaminate_km", "bloom_store_day2",
     "bloom_fp_audit",
@@ -9213,7 +9266,9 @@ _PRIORITY = [
     # so their re-checks are due on both grounds), then TPC-H
     "strip_boilerplate", "tfidf_terms", "tpch_q1",
 ]
-# r14 rotation debt (recorded for r15): the r9-evidence names the
+# r14 rotation debt (recorded for r15): multimodal_meta (green r12,
+# displaced late-r14 by sessionize_stateful's oracle conversion), plus
+# the r9-evidence names the
 # dedup.py closure and the three new media registrations displaced —
 # diversity_sample, html_extract, quality_filter, semi_anti_join,
 # sequence_pack, set_ops, sink_orc, sink_partitioned, sql_api,

@@ -5261,7 +5261,10 @@ def stream_interval_join(spark, sf_dir):
     return gsel
 
 
-@register("stream_dedup_ttl")  # rows-only: real streaming run, batch-parity RAISE
+@register(
+    "stream_dedup_ttl",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
 def stream_dedup_ttl(spark, sf_dir):
     """Bounded-state streaming TTL dedup (streaming/ttl.py
     dedup_stream_within_watermark, dropDuplicatesWithinWatermark —
@@ -5275,7 +5278,15 @@ def stream_dedup_ttl(spark, sf_dir):
     RAISES on any key-set drift. At scale the horizon bounds state to
     the keys inside it — the only dedup contract an unbounded ingest
     can hold; exact global dedup composes via the stored signature
-    index (stream_dedup_gated)."""
+    index (stream_dedup_gated).
+
+    r14: the emitted keys are additionally the oracled output — the
+    query already proves (via exceptAll, both directions) that the
+    drain emits each distinct key exactly once, so the emission
+    multiset is deterministic given the source table and DuckDB
+    replays it as SELECT DISTINCT; a hash-green row certifies the
+    streamed TTL dedup produced exactly the relational distinct, with
+    the key-set RAISE kept as the second witness."""
     import uuid
 
     from .streaming.ttl import dedup_stream_within_watermark
@@ -5313,9 +5324,7 @@ def stream_dedup_ttl(spark, sf_dir):
             f"n_stream={n_stream} n_batch={n_batch} extra={n_extra} "
             f"missing={n_missing}"
         )
-    return spark.createDataFrame(
-        [(n_stream, n_batch, ok)], "n_keys_stream long, n_keys_batch long, ok boolean"
-    )
+    return got.select("user_id", "event_type")
 
 
 @register(
@@ -9260,15 +9269,21 @@ _PRIORITY = [
     # was refactored)
     "bucket_stats", "corpus_prep", "decontaminate", "dedup_embedding",
     "dedup_exact", "dedup_minhash", "dedup_minhash_pairs",
+    # (b) stream_dedup_ttl gained its SELECT DISTINCT oracle late-r14
+    # (its key-set RAISE already proved the emission multiset), so the
+    # policy front-loads it; it takes tpch_q1's slot — untouched code,
+    # the lowest-risk displacement, recorded in the r15 debt below
+    "stream_dedup_ttl",
     # (c) the r9-evidence tail that fits behind the closure (VERDICT
-    # r13 item 5) — the two bench-drifted rows first
+    # r13 item 5) — the two bench-drifted rows
     # (strip_boilerplate and tfidf_terms moved +50% in the r13 bench,
-    # so their re-checks are due on both grounds), then TPC-H
-    "strip_boilerplate", "tfidf_terms", "tpch_q1",
+    # so their re-checks are due on both grounds)
+    "strip_boilerplate", "tfidf_terms",
 ]
 # r14 rotation debt (recorded for r15): multimodal_meta (green r12,
-# displaced late-r14 by sessionize_stateful's oracle conversion), plus
-# the r9-evidence names the
+# displaced late-r14 by sessionize_stateful's oracle conversion),
+# tpch_q1 (green r9, untouched code, displaced by stream_dedup_ttl's
+# oracle conversion — FIRST fill at r15), plus the r9-evidence names the
 # dedup.py closure and the three new media registrations displaced —
 # diversity_sample, html_extract, quality_filter, semi_anti_join,
 # sequence_pack, set_ops, sink_orc, sink_partitioned, sql_api,

@@ -638,6 +638,58 @@ def metric_avgsim(spark, sf_dir):
 
 
 @register(
+    "metric_ndcg",
+    f"""
+    WITH {_HITS_SQL.format(nq=15)},
+    rc AS (
+      SELECT q.vec_id AS qid, count(*) AS n_rel
+      FROM embeddings q JOIN embeddings c
+        ON c.label = q.label AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 15
+      GROUP BY q.vec_id
+    ),
+    d AS (
+      SELECT qid,
+             sum(CASE WHEN relevant THEN 1.0::DOUBLE / log2((rank + 1)::DOUBLE)
+                      ELSE 0.0::DOUBLE END) AS dcg
+      FROM hr GROUP BY qid
+    ),
+    i AS (
+      SELECT rc.qid, sum(1.0::DOUBLE / log2((r.range + 1)::DOUBLE)) AS idcg
+      FROM rc JOIN range(1, 11) r ON r.range <= least(rc.n_rel, 10)
+      GROUP BY rc.qid
+    )
+    SELECT d.qid,
+           round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg
+                      ELSE 0.0::DOUBLE END, 6) AS ndcg
+    FROM d LEFT JOIN i ON i.qid = d.qid
+    """,
+)
+def metric_ndcg(spark, sf_dir):
+    """A-family extension (registered late-r14, front-load due r15):
+    nDCG@10 with binary label relevance over the same ranked top-10
+    frame as A1-A4. The ideal ranking places every same-label corpus
+    candidate first, so IDCG sums 1/log2(i+1) over i = 1..min(R, 10)
+    where R = |{candidates with the query's label}| (the query's own
+    vector is excluded from candidates, hence label count - 1). DCG
+    group sums are rounded to 6 decimals on BOTH sides (the
+    avg_similarity precedent), absorbing summation-order and libm-ulp
+    drift; IDCG is a deterministic ordered fold on each engine. Scale:
+    the hits frame is already top-k-bounded; the per-query R counts
+    ride a broadcast label-census join — no new corpus shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    hits = _hits(spark, sf_dir, 15)
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    rc = (
+        e.filter(F.col("vec_id") < 15)
+        .select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
+        .join(F.broadcast(counts), F.col("qlabel") == F.col("label"), "left")
+        .select("qid", (F.coalesce("n_label", F.lit(1)) - 1).alias("n_rel"))
+    )
+    return M.ndcg_at_k(hits, rc, ("qid",), k=10)
+
+
+@register(
     "chunk_sections",
     r"""
     WITH l AS (
@@ -9280,7 +9332,9 @@ _PRIORITY = [
     # so their re-checks are due on both grounds)
     "strip_boilerplate", "tfidf_terms",
 ]
-# r14 rotation debt (recorded for r15): multimodal_meta (green r12,
+# r14 rotation debt (recorded for r15): metric_ndcg (NEW late-r14
+# registration, selfcheck-green at all three SFs but no driver row yet
+# — front-load FIRST at r15), multimodal_meta (green r12,
 # displaced late-r14 by sessionize_stateful's oracle conversion),
 # tpch_q1 (green r9, untouched code, displaced by stream_dedup_ttl's
 # oracle conversion — FIRST fill at r15), plus the r9-evidence names the

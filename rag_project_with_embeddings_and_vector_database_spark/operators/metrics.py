@@ -162,3 +162,57 @@ def rank_configs(config_metrics: DataFrame, config_cols: list[str]) -> DataFrame
     order = [F.desc("combined_score")] + [F.asc(c) for c in config_cols]
     w = Window.orderBy(*order)
     return config_metrics.withColumn("rank", F.row_number().over(w).cast("int")).orderBy("rank")
+
+
+def ndcg_at_k(
+    hits: DataFrame,
+    n_rel: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = ("qid",),
+    relevant_col: str = "relevant",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k with binary relevance (r14 A-family extension; the
+    reference's evaluation.py stops at top-k accuracy / MRR / avg-sim —
+    nDCG is the standard graded-ranking metric a retrieval-evaluation
+    user expects next). ``hits`` carries ranked results with a boolean
+    ``relevant``; ``n_rel`` carries per-group TOTAL relevant-candidate
+    counts (the ideal ranking puts all of them first, so IDCG sums
+    1/log2(i+1) over i = 1..min(n_rel, k)).
+
+    Engine-portability: DCG terms are 1/log2(rank+1) doubles summed in
+    nondeterministic group order — the final value is rounded to 6
+    decimals (the avg_similarity precedent), which absorbs
+    summation-order and libm-ulp differences; IDCG is a DETERMINISTIC
+    ordered fold (aggregate over sequence), not a group sum. Groups
+    with no relevant candidates emit ndcg = 0.0 (coalesced through the
+    left join), matching the zero-filled metric convention.
+
+    Scale: one map-side-combinable groupBy over the hits (already
+    top-k-bounded per group) plus a broadcast join of the KB-scale
+    per-group counts — no extra shuffle of the corpus."""
+    gc = list(group_cols)
+    rel, rank = F.col(relevant_col), F.col(rank_col)
+    dcg = hits.groupBy(*gc).agg(
+        F.sum(
+            F.when(rel & (rank <= k), F.lit(1.0) / F.log2(rank + F.lit(1)))
+            .otherwise(F.lit(0.0))
+        ).alias("dcg")
+    )
+    idcg = F.expr(
+        f"CASE WHEN n_rel >= 1 THEN aggregate(sequence(1, int(least(n_rel, {k}))),"
+        " 0D, (acc, i) -> acc + 1D / log2(double(i + 1))) ELSE 0D END"
+    )
+    side = n_rel.withColumn("idcg", idcg).select(*gc, "idcg")
+    return (
+        dcg.join(F.broadcast(side), gc, "left")
+        .select(
+            *gc,
+            F.round(
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("ndcg"),
+        )
+    )

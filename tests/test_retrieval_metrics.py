@@ -125,3 +125,28 @@ def test_vector_table_roundtrip(spark, tmp_path):
     )
     left = {(r.model, r.id) for r in vt.read().collect()}
     assert left == {("m1", 9), ("m2", 2)}
+
+
+def test_ndcg_at_k_known_values(spark):
+    """nDCG@k pins (r14): perfect ranking -> 1.0; single relevant hit at
+    rank 3 with one relevant candidate -> 1/log2(4) = 0.5; no relevant
+    candidates -> 0.0; and the metric never exceeds 1."""
+    import math
+
+    hits = spark.createDataFrame(
+        # q1: both hits relevant at ranks 1-2 (perfect for n_rel=2)
+        # q2: single relevant at rank 3 (n_rel=1)
+        # q3: nothing relevant (n_rel=0)
+        [(1, 1, True), (1, 2, True),
+         (2, 1, False), (2, 2, False), (2, 3, True),
+         (3, 1, False)],
+        "qid int, rank int, relevant boolean",
+    )
+    n_rel = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 0)], "qid int, n_rel int"
+    )
+    got = {r.qid: r.ndcg for r in M.ndcg_at_k(hits, n_rel, ("qid",), k=10).collect()}
+    assert got[1] == 1.0
+    assert got[2] == round(1.0 / math.log2(4), 6)
+    assert got[3] == 0.0
+    assert all(0.0 <= v <= 1.0 for v in got.values())

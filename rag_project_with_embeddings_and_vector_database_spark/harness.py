@@ -637,15 +637,16 @@ def metric_avgsim(spark, sf_dir):
     )
 
 
-@register(
-    "metric_ndcg",
-    f"""
-    WITH {_HITS_SQL.format(nq=15)},
+def _ndcg_sql(nq: int) -> str:
+    """WITH-fragment ending in a per-query ``pqn(qid, ndcg)`` relation —
+    shared by metric_ndcg and agg_ndcg (same factoring as _METRICS_SQL)."""
+    return f"""
+    {_HITS_SQL.format(nq=nq)},
     rc AS (
       SELECT q.vec_id AS qid, count(*) AS n_rel
       FROM embeddings q JOIN embeddings c
         ON c.label = q.label AND c.vec_id != q.vec_id
-      WHERE q.vec_id < 15
+      WHERE q.vec_id < {nq}
       GROUP BY q.vec_id
     ),
     d AS (
@@ -658,12 +659,18 @@ def metric_avgsim(spark, sf_dir):
       SELECT rc.qid, sum(1.0::DOUBLE / log2((r.range + 1)::DOUBLE)) AS idcg
       FROM rc JOIN range(1, 11) r ON r.range <= least(rc.n_rel, 10)
       GROUP BY rc.qid
-    )
-    SELECT d.qid,
-           round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg
-                      ELSE 0.0::DOUBLE END, 6) AS ndcg
-    FROM d LEFT JOIN i ON i.qid = d.qid
-    """,
+    ),
+    pqn AS (
+      SELECT d.qid,
+             round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg
+                        ELSE 0.0::DOUBLE END, 6) AS ndcg
+      FROM d LEFT JOIN i ON i.qid = d.qid
+    )"""
+
+
+@register(
+    "metric_ndcg",
+    f"WITH {_ndcg_sql(15)} SELECT qid, ndcg FROM pqn",
 )
 def metric_ndcg(spark, sf_dir):
     """A-family extension (registered late-r14, front-load due r15):
@@ -677,16 +684,55 @@ def metric_ndcg(spark, sf_dir):
     drift; IDCG is a deterministic ordered fold on each engine. Scale:
     the hits frame is already top-k-bounded; the per-query R counts
     ride a broadcast label-census join — no new corpus shuffle."""
+    return _per_query_ndcg(spark, sf_dir, 15)
+
+
+def _per_query_ndcg(spark, sf_dir, nq: int) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    hits = _hits(spark, sf_dir, 15)
+    hits = _hits(spark, sf_dir, nq)
     counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
     rc = (
-        e.filter(F.col("vec_id") < 15)
+        e.filter(F.col("vec_id") < nq)
         .select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
         .join(F.broadcast(counts), F.col("qlabel") == F.col("label"), "left")
         .select("qid", (F.coalesce("n_label", F.lit(1)) - 1).alias("n_rel"))
     )
     return M.ndcg_at_k(hits, rc, ("qid",), k=10)
+
+
+@register(
+    "agg_ndcg",
+    f"""
+    WITH {_ndcg_sql(50)},
+    qm AS (SELECT vec_id AS qid, label AS config FROM embeddings
+           WHERE vec_id < 50)
+    SELECT qm.config, round(avg(pqn.ndcg), 6) AS ndcg,
+           count(*) AS num_queries
+    FROM pqn JOIN qm ON qm.qid = pqn.qid GROUP BY qm.config
+    """,
+)
+def agg_ndcg(spark, sf_dir):
+    """A5 symmetry for the r14 nDCG metric (registered late-r14,
+    front-load due r15 with metric_ndcg): mean nDCG@10 per config over
+    the 50-query population agg_config uses. Parity shape: the
+    per-query ndcg values are ROUNDED (6dp) on both engines BEFORE the
+    config mean — identical inputs by metric_ndcg's proof — so the
+    only cross-engine freedom left is the order of a ≤50-double sum,
+    absorbed by the outer round-6 (the _AGG_SQL precedent). Same
+    two-phase hash agg + broadcast label-census plan as metric_ndcg."""
+    pq = _per_query_ndcg(spark, sf_dir, 50)
+    e = _t(spark, sf_dir, "embeddings")
+    qm = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("config")
+    )
+    return (
+        pq.join(F.broadcast(qm), "qid")
+        .groupBy("config")
+        .agg(
+            F.round(F.avg("ndcg"), 6).alias("ndcg"),
+            F.count(F.lit(1)).alias("num_queries"),
+        )
+    )
 
 
 @register(
@@ -9332,9 +9378,9 @@ _PRIORITY = [
     # so their re-checks are due on both grounds)
     "strip_boilerplate", "tfidf_terms",
 ]
-# r14 rotation debt (recorded for r15): metric_ndcg (NEW late-r14
-# registration, selfcheck-green at all three SFs but no driver row yet
-# — front-load FIRST at r15), multimodal_meta (green r12,
+# r14 rotation debt (recorded for r15): metric_ndcg + agg_ndcg (NEW
+# late-r14 registrations, selfcheck-green at all three SFs but no
+# driver rows yet — front-load FIRST at r15), multimodal_meta (green r12,
 # displaced late-r14 by sessionize_stateful's oracle conversion),
 # tpch_q1 (green r9, untouched code, displaced by stream_dedup_ttl's
 # oracle conversion — FIRST fill at r15), plus the r9-evidence names the

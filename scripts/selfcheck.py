@@ -78,6 +78,8 @@ _HARNESS_MODULE_LEVEL_DEPS = {
     "_MIXTURE_TOTAL": {"mixture_sample"},
     "_corpus_prep_sql": {"corpus_prep"},
     "_mmr_sql": {"mmr_rerank"},
+    "_ndcg_sql": {"metric_ndcg", "agg_ndcg"},
+    "_per_query_ndcg": {"metric_ndcg", "agg_ndcg"},
     "_EMBED_CACHED_SQL": {"embed_cached"},
     "_LM_SC_CTES": {"lm_score", "lm_buckets"},
     "_overlap_sql": {"corpus_overlap", "corpus_overlap_indexed"},

@@ -282,14 +282,16 @@ def stored_index_query_benches(spark, sf_dir):
         )
 
     # minhash dedup index: delta probe only, over the bucket-partitioned
-    # layout (pmod(band_hash, 64) as a partition key); the probe goes
+    # layout (corpus-sized pmod of band_hash as a partition key — r14
+    # auto_modulus, matching the harness layout); the probe goes
     # through probe_dedup_index — ONE delta shingle pass shared by
     # bucket discovery and the join (r8: previously shingled twice)
+    _mod = DI.auto_modulus(H._t(spark, sf_dir, "documents").count())
     DI.write_signature_store(
         DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).withColumn(
-            "sig_bucket", F.pmod("band_hash", F.lit(64))
+            "sig_bucket", F.pmod("band_hash", F.lit(_mod))
         ),
-        f"{base}/dedupidx", ("band", "sig_bucket"), bucket_modulus=64,
+        f"{base}/dedupidx", ("band", "sig_bucket"), bucket_modulus=_mod,
     )
 
     # the delta reads the RAW scan (not the _par round-robin repartition
@@ -349,12 +351,13 @@ def stored_index_query_benches(spark, sf_dir):
         )
 
     # simhash blocked index: delta probe via probe_simhash_index (one
-    # fingerprint pass, partition-pruned store read)
+    # fingerprint pass, partition-pruned store read; r14 corpus-sized
+    # modulus like the harness layout)
     DI.write_signature_store(
         DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
-            "blk_bucket", F.pmod("block_key", F.lit(64))
+            "blk_bucket", F.pmod("block_key", F.lit(_mod))
         ),
-        f"{base}/simhashidx", ("block_id", "blk_bucket"), bucket_modulus=64,
+        f"{base}/simhashidx", ("block_id", "blk_bucket"), bucket_modulus=_mod,
     )
 
     def simhash_query():

@@ -7005,11 +7005,14 @@ def corpus_overlap_indexed(spark, sf_dir):
         )
     )
     tmp = _proc_tmp("overlap_idx")
+    # r14: corpus-sized modulus — the fixed 64 spread 40 docs' banded
+    # rows over 256 directories
+    mod = DI.auto_modulus(a.count())
     DI.write_signature_store(
         DI.build_dedup_index(a, num_perm=16, num_bands=4, seed=42).withColumn(
-            "sig_bucket", F.pmod("band_hash", F.lit(64))
+            "sig_bucket", F.pmod("band_hash", F.lit(mod))
         ),
-        tmp, ("band", "sig_bucket"), bucket_modulus=64,
+        tmp, ("band", "sig_bucket"), bucket_modulus=mod,
     )
     return OV.probe_overlap_index(spark, tmp, _par(b), threshold=0.5)
 
@@ -7267,20 +7270,28 @@ def dedup_incremental(spark, sf_dir):
     that can touch the delta is read in full (occupancy guard
     included) and unmatched buckets can produce no pairs. File-level
     pruning is guarded by tests/test_plans.py via inputFiles."""
-    docs = _par(_t(spark, sf_dir, "documents"))
+    raw_docs = _t(spark, sf_dir, "documents")
+    docs = _par(raw_docs)
     # fixed per-process path + overwrite: no uuid-dir leak (ADVICE r5)
     tmp = _proc_tmp("dedup_idx")
     # the stored layout carries a bounded hash bucket of band_hash (the
     # bm25_indexed term_bucket pattern: raw band_hash is too
-    # high-cardinality to be a directory key, a 64-way bucket is not).
+    # high-cardinality to be a directory key, a bounded bucket is not).
     # write_signature_store packages the write discipline (repartition
     # by the partition keys -> one file per directory) and drops the
-    # _store_meta.json sidecar the probe validates AND adopts (r9)
+    # _store_meta.json sidecar the probe validates AND adopts (r9).
+    # r14: the modulus is SIZED TO THE CORPUS (dedup_index.auto_modulus
+    # — guide §6 small-files discipline; saturates to the pmod-64
+    # convention at scale): the fixed 64 wrote 256 directories of ~80
+    # rows here and spent ~2 s in pure file-commit overhead per build
+    # (measured; SCALING.md r14-opt). The metadata-only count on the
+    # raw scan prices the corpus; the probe adopts the recorded modulus.
+    mod = DI.auto_modulus(raw_docs.count())
     DI.write_signature_store(
         DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42).withColumn(
-            "sig_bucket", F.pmod("band_hash", F.lit(64))
+            "sig_bucket", F.pmod("band_hash", F.lit(mod))
         ),
-        tmp, ("band", "sig_bucket"), bucket_modulus=64,
+        tmp, ("band", "sig_bucket"), bucket_modulus=mod,
     )
     # the delta reads the RAW scan (pushed-down filter), NOT the _par
     # round-robin frame — deriving 25 rows from an already-repartitioned
@@ -7426,19 +7437,24 @@ def simhash_incremental(spark, sf_dir):
     proves incremental == full recompute at O(delta) cost. Probe side
     is probe_simhash_index since r8 (one fingerprint pass, direct-path
     matched-partition read — see dedup_incremental)."""
-    docs = _par(_t(spark, sf_dir, "documents"))
+    raw_docs = _t(spark, sf_dir, "documents")
+    docs = _par(raw_docs)
     # fixed per-process path + overwrite: no uuid-dir leak (ADVICE r5)
     tmp = _proc_tmp("simhash_idx")
     # bounded hash bucket of block_key as a second partition key, so
     # the delta probe prunes to matched (block_id, blk_bucket)
     # directories — same layout pattern (and same why-it-cannot-change-
     # the-result argument) as dedup_incremental; write_signature_store
-    # packages the clustered write + metadata sidecar (r9)
+    # packages the clustered write + metadata sidecar (r9). r14: the
+    # modulus is corpus-sized (auto_modulus — the fixed 64 wrote 256
+    # dirs here; the write job measured 4.5 s at modulus 64 vs 1.5 s at
+    # modulus 8 for identical rows), and the probe adopts the sidecar.
+    mod = DI.auto_modulus(raw_docs.count())
     DI.write_signature_store(
         DI.build_simhash_index(docs, bits=32, num_blocks=4).withColumn(
-            "blk_bucket", F.pmod("block_key", F.lit(64))
+            "blk_bucket", F.pmod("block_key", F.lit(mod))
         ),
-        tmp, ("block_id", "blk_bucket"), bucket_modulus=64,
+        tmp, ("block_id", "blk_bucket"), bucket_modulus=mod,
     )
     delta = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -7596,11 +7612,15 @@ def stream_dedup_gated(spark, sf_dir):
     # scan has ~1-2 input splits — round-robin repartition first so the
     # build uses every core (the pushdown caveat only applies to small
     # filtered probes, not a full-table pass)
+    # r14: corpus-sized modulus (auto_modulus) — same small-files
+    # rationale as dedup_incremental; every micro-batch probe adopts it
+    # from the sidecar
+    mod = DI.auto_modulus(corpus.count())
     DI.write_signature_store(
         DI.build_dedup_index(_par(corpus)).withColumn(
-            "sig_bucket", F.pmod("band_hash", F.lit(64))
+            "sig_bucket", F.pmod("band_hash", F.lit(mod))
         ),
-        index, ("band", "sig_bucket"), bucket_modulus=64,
+        index, ("band", "sig_bucket"), bucket_modulus=mod,
     )
     in_dir = os.path.join(tmp, "in")
     os.makedirs(in_dir)

@@ -42,34 +42,20 @@ from pyspark.sql import functions as F
 from .cluster import components_checked
 from .dedup import minhash_bands, minhash_signatures
 from .dedup_index import (
+    DEFAULT_NUM_BUCKETS,
     STORE_META_FILE,
     _discover_keys,
     _read_matched_partitions,
     _resolve_store_layout,
+    auto_modulus,
     read_store_meta,
     write_signature_store,
 )
 
-# the shared pmod convention every band-partitioned store in this repo
-# uses (dedup_index signature stores, bm25 term buckets)
-DEFAULT_NUM_BUCKETS = 64
-
-# auto-modulus sizing: aim for at least this many bucket rows per
-# partition directory before adding more sig_bucket splits (r14 — the
-# small-files discipline: a 15k-bucket sf0.1 store under the full
-# pmod-64 fan-out writes 256 directories of ~57 rows each and spends
-# 5+ s in pure file-commit overhead; a billion-bucket 100 TB store
-# still saturates to the DEFAULT_NUM_BUCKETS cap)
-_TARGET_ROWS_PER_DIR = 2000
-
-
-def _auto_modulus(n_bucket_rows: int) -> int:
-    """Pick the sig_bucket modulus for a store of ``n_bucket_rows``:
-    small stores get few (or one) bucket splits, large stores cap at
-    the shared pmod-64 convention. The store stays self-describing —
-    probes adopt whatever modulus the ``_store_meta.json`` sidecar
-    records, so mixed-generation chains are fine."""
-    return max(1, min(DEFAULT_NUM_BUCKETS, n_bucket_rows // _TARGET_ROWS_PER_DIR))
+# r14: the auto-modulus sizing moved to dedup_index (it now serves every
+# band-partitioned store — signature, simhash, overlap AND these bucket
+# roots); this alias keeps the original call sites and tests stable.
+_auto_modulus = auto_modulus
 
 
 def _banded(

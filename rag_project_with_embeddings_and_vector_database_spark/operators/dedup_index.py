@@ -374,6 +374,30 @@ def probe_dedup_index(
 
 STORE_META_FILE = "_store_meta.json"
 
+# The shared pmod convention every band-partitioned store uses when the
+# corpus is large enough to saturate it (dedup/simhash signature stores,
+# star bucket roots, bm25 term buckets).
+DEFAULT_NUM_BUCKETS = 64
+
+# auto-modulus sizing: aim for at least this many store rows per bucket
+# directory before adding more hash-bucket splits — the small-files
+# discipline (guide §6: tiny partition directories cost a file commit
+# and a listing each, and at bench scale the pmod-64 fan-out writes 256
+# directories of ~80 rows; measured 2.6 s vs 0.5 s for the identical
+# materialized rows at modulus 8). A 100 TB corpus saturates to the
+# DEFAULT_NUM_BUCKETS cap, so the at-scale layout is unchanged.
+TARGET_ROWS_PER_DIR = 2000
+
+
+def auto_modulus(n_rows_per_lvl1: int) -> int:
+    """Pick the bucket modulus for a store holding ``n_rows_per_lvl1``
+    rows under each level-1 partition (band / block_id): small stores
+    get few (or one) bucket splits, large stores cap at the shared
+    pmod-64 convention. Stores stay self-describing — probes adopt
+    whatever modulus the ``_store_meta.json`` sidecar records, so any
+    choice is probe-compatible and mixed-generation chains are fine."""
+    return max(1, min(DEFAULT_NUM_BUCKETS, n_rows_per_lvl1 // TARGET_ROWS_PER_DIR))
+
 
 def write_signature_store(
     df: DataFrame,
@@ -658,7 +682,7 @@ def compact_signature_store(
     dedup_cols: tuple[str, ...] = ("doc_id", "band"),
     partition_col: str = "band",
     bucket_from: str | None = "band_hash",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     dest_path: str | None = None,
 ) -> int:
     """Compact an append-mode signature store (the accumulation target
@@ -691,12 +715,16 @@ def compact_signature_store(
     callers that union it with an unbucketed frame drop it first
     (dedup_delta itself never references it)."""
     df = spark.read.parquet(path).dropDuplicates(list(dedup_cols))
-    if dest_path is None:
-        # in-place: cut lineage so the same path can be overwritten
-        df = df.localCheckpoint()
+    # materialize once: the in-place mode needs the lineage cut before
+    # overwriting the same path anyway, and with the r14 auto modulus
+    # (num_buckets=None) the sizing count, the write and the returned
+    # row count all reuse the same materialized rows
+    df = df.localCheckpoint()
     parts = [partition_col]
     modulus = None
     if bucket_from is not None and bucket_from in df.columns:
+        if num_buckets is None:
+            num_buckets = auto_modulus(df.count())
         df = df.withColumn("sig_bucket", F.pmod(bucket_from, F.lit(num_buckets)))
         parts.append("sig_bucket")
         modulus = num_buckets

@@ -191,11 +191,8 @@ def test_embedding_delta_broadcasts_delta_never_shuffles_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-@pytest.mark.parametrize(
-    "name,bucket_col",
-    [("dedup_incremental", "sig_bucket"), ("simhash_incremental", "blk_bucket")],
-)
-def test_signature_index_probe_prunes_partitions(spark, sf_dir, name, bucket_col):
+@pytest.mark.parametrize("family", ["minhash", "simhash"])
+def test_signature_index_probe_prunes_partitions(spark, sf_dir, family, tmp_path):
     # the stored signature indexes carry a bounded hash bucket as a
     # partition key (the bm25 term_bucket pattern); a delta probe must
     # open ONLY matched (band/block, bucket) directories. Since r8 the
@@ -203,20 +200,58 @@ def test_signature_index_probe_prunes_partitions(spark, sf_dir, name, bucket_col
     # node) — so the guard checks the files the plan actually reads:
     # every index file sits under a bucket_col= directory, and the probe
     # touches a strict subset of the store's directories. Cartesian
-    # products remain banned.
+    # products remain banned. r14: the store is written with an EXPLICIT
+    # pmod-64 modulus (the at-scale layout) — the harness queries now
+    # auto-size the modulus to the corpus (small-files discipline),
+    # which at this sf collapses to 1-2 buckets and a full-match
+    # root read, leaving nothing to prune; the pruning contract is
+    # pinned here against the saturated layout instead (the
+    # test_star_bucket_probe_prunes_partitions precedent).
     import os
     import re
 
-    plan = _plan(spark, name, sf_dir)
+    from pyspark.sql import functions as F
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup_index as DI,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / f"{family}_plan_idx")
+    delta = docs.filter("doc_id % 16 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rev")).alias("text"),
+    )
+    if family == "minhash":
+        bucket_col = "sig_bucket"
+        DI.write_signature_store(
+            DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42)
+            .withColumn(bucket_col, F.pmod("band_hash", F.lit(64))),
+            path, ("band", bucket_col), bucket_modulus=64,
+        )
+        probed = DI.probe_dedup_index(
+            spark, path, delta, num_perm=16, num_bands=4, seed=42
+        )
+    else:
+        bucket_col = "blk_bucket"
+        DI.write_signature_store(
+            DI.build_simhash_index(docs, bits=32, num_blocks=4)
+            .withColumn(bucket_col, F.pmod("block_key", F.lit(64))),
+            path, ("block_id", bucket_col), bucket_modulus=64,
+        )
+        probed = DI.probe_simhash_index(
+            spark, path, delta, bits=32, num_blocks=4, max_hamming=3
+        )
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
     assert "CartesianProduct" not in plan
     loc = [
         l for l in plan.splitlines()
         if "Location" in l and f"{bucket_col}=" in l
     ]
     assert loc, "probe must scan the stored index by bucket directories"
-    m = re.search(r"file:(\S+?)/[^/=]+=[0-9]+/" + bucket_col + r"=[0-9]+", loc[0])
-    assert m, loc[0]
-    store_root = m.group(1)
     # the Location line shows a few paths then "... N entries" where N
     # counts only the NON-displayed remainder — total probed dirs is
     # shown + N (suffix absent when everything fit on the line)
@@ -225,9 +260,9 @@ def test_signature_index_probe_prunes_partitions(spark, sf_dir, name, bucket_col
     n_probed = shown + (int(tail.group(1)) if tail else 0)
     all_dirs = sum(
         1
-        for p in os.listdir(store_root)
-        if os.path.isdir(f"{store_root}/{p}")
-        for b in os.listdir(f"{store_root}/{p}")
+        for p in os.listdir(path)
+        if os.path.isdir(f"{path}/{p}")
+        for b in os.listdir(f"{path}/{p}")
         if bucket_col in b
     )
     assert 0 < n_probed < all_dirs, (n_probed, all_dirs, loc[0][:200])

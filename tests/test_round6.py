@@ -361,7 +361,9 @@ def test_compact_signature_store_new_generation(spark, sf_dir, tmp_path):
     # new generation: pruned layout + adopted metadata sidecar
     band0 = tmp_path / "gen1" / "band=0"
     assert band0.exists() and any(p.name.startswith("sig_bucket=") for p in band0.iterdir())
-    assert DI.read_store_meta(spark, dest)["bucket_modulus"] == 64
+    # r14: the modulus is auto-sized to the compacted row count (the
+    # small-files discipline) and recorded for probes to adopt
+    assert DI.read_store_meta(spark, dest)["bucket_modulus"] == DI.auto_modulus(n)
     delta = corpus.filter("doc_id < 5").select(
         (SF.col("doc_id") + 1000).alias("doc_id"),
         SF.concat(SF.col("text"), SF.lit(" rev")).alias("text"),

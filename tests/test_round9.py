@@ -135,6 +135,32 @@ def test_modulus_validated_across_all_band_dirs(spark, corpus, delta, tmp_path):
         ).collect()
 
 
+def test_auto_modulus_sizing_and_probe_adoption(spark, corpus, delta, tmp_path):
+    """r14: the bucket modulus is sized to the store (small-files
+    discipline — guide §6) and saturates to the shared pmod-64
+    convention at scale; a store written with the auto modulus is
+    probed correctly because the probe adopts the recorded value."""
+    assert DI.auto_modulus(0) == 1
+    assert DI.auto_modulus(500) == 1          # sf0.001/0.01 corpora
+    assert DI.auto_modulus(5000) == 2         # sf0.1 corpus
+    assert DI.auto_modulus(2000 * 64) == 64   # saturation
+    assert DI.auto_modulus(10**9) == 64       # 100 TB-scale store
+    store = os.path.join(str(tmp_path), "automod")
+    idx = DI.build_dedup_index(corpus, num_perm=16, num_bands=4, seed=42)
+    mod = DI.auto_modulus(corpus.count())
+    DI.write_signature_store(
+        idx.withColumn("sig_bucket", F.pmod("band_hash", F.lit(mod))),
+        store, ("band", "sig_bucket"), bucket_modulus=mod,
+    )
+    assert DI.read_store_meta(spark, store)["bucket_modulus"] == mod
+    got = DI.probe_dedup_index(
+        spark, store, delta, num_perm=16, num_bands=4, seed=42
+    )
+    want = DI.dedup_delta(idx, delta, num_perm=16, num_bands=4, seed=42)
+    assert _rows(got) == _rows(want)
+    assert _rows(got), "fixture must produce pairs"
+
+
 def test_store_meta_written_and_adopted(spark, corpus, delta, tmp_path):
     """ADVICE r8 ('better' option): stores written by
     write_signature_store carry _store_meta.json, and the probe ADOPTS

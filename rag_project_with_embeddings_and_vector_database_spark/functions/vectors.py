@@ -50,6 +50,20 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
+def cosine_with_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """``cosine(a, b)`` with the two L2 norms PRECOMPUTED by the caller
+    (r14): inside an n^2 pair join the full formula re-evaluates both
+    norm aggregate loops for every joined pair — attaching ``norm(v)``
+    once per join-side row instead cuts the per-pair work to one dot
+    plus one division. Bit-identical by construction: the caller
+    computes the norms with ``norm`` on the same arrays, and this is
+    the exact same when/otherwise expression over them."""
+    na, nb = _c(na), _c(nb)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
 def quantize_int8(a: Column | str) -> Column:
     """Symmetric int8 quantization: q_i = floor(v_i * 127 / max|v| + 0.5)
     (floor-based half-up — portable; engines disagree on round()'s

@@ -6790,21 +6790,33 @@ def semantic_dedup_incremental(spark, sf_dir):
     delta = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
-    verdicts = SD.semantic_dedup_delta(
-        store, cents, delta, threshold=0.95, corpus_id="vec_id"
-    ).localCheckpoint()
-    # (a) replay-by-definition: one-shot over corpus-union-delta under
-    # the union assignment, filtered to delta-touching pairs. Both pair
-    # frames are localCheckpointed first: the symmetric exceptAll pair
-    # reads each side twice, and without the checkpoint each read
-    # replays the full within-cluster join lineage (measured ~1.3x on
-    # the bundled query at sf0.1)
+    # ONE frozen-centroid assignment pass (r14): the incremental pair
+    # set, the verdicts and the replay's union assignment all consume
+    # the same materialized delta-assignment frame — the r13 shape ran
+    # ivf_index_append + checkpoint three times and the probe join
+    # twice (once inside semantic_dedup_delta, once for the pair set)
+    # the LAZY assignment expression feeds the one-shot replay below —
+    # a checkpointed (LogicalRDD) frame there hides size statistics
+    # from the replay's join planner and was measured to flip its
+    # within-cluster join off broadcast (3.4 -> 14s); the probe path
+    # gets the materialized twin
+    da_lazy = RT.ivf_index_append(cents, delta, corpus_id="vec_id")
+    da = da_lazy.localCheckpoint()
+    # replay-by-definition (a): one-shot over corpus-union-delta under
+    # the union assignment, filtered to delta-touching pairs. The pair
+    # frame is localCheckpointed: the symmetric exceptAll pair reads
+    # each side twice, and without the checkpoint each read replays the
+    # full within-cluster join lineage (measured ~1.3x at sf0.1)
     inc_pairs = SD.semantic_dedup_delta_pairs(
-        store, cents, delta, threshold=0.95, corpus_id="vec_id"
+        store, None, delta, threshold=0.95, corpus_id="vec_id",
+        delta_assignment=da,
     ).localCheckpoint()
-    da = RT.ivf_index_append(cents, delta, corpus_id="vec_id")
+    verdicts = SD.semantic_dedup_delta(
+        store, None, delta, threshold=0.95, corpus_id="vec_id",
+        delta_assignment=da, pairs=inc_pairs,
+    ).localCheckpoint()
     union_assign = store.select("vec_id", "embedding", "bucket").unionByName(
-        da.select("vec_id", "embedding", "bucket")
+        da_lazy.select("vec_id", "embedding", "bucket")
     )
     oneshot = SD.semantic_dedup_pairs(
         e.unionByName(delta), threshold=0.95, corpus_id="vec_id",

@@ -613,8 +613,18 @@ def embedding_neardup_pairs(
             f"unbounded probe is O(n^2). Pass a tighter probe_filter, raise "
             f"max_probe_docs explicitly, or use knn_lsh for the full corpus."
         )
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    sim = V.dot("v_a", "v_b") if normalized else V.cosine("v_a", "v_b")
+    # r14: L2 norms attach once per join-side row instead of being
+    # re-aggregated per joined pair (bit-identical; cosine_with_norms)
+    a = a.withColumn("_na", V.norm("v_a"))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        V.norm(vec_col).alias("_nb"),
+    )
+    sim = (
+        V.dot("v_a", "v_b")
+        if normalized
+        else V.cosine_with_norms("v_a", "v_b", "_na", "_nb")
+    )
     return (
         b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))

@@ -780,8 +780,17 @@ def embedding_delta(
             f"delta, raise max_delta_docs explicitly, or use "
             f"minhash/simhash blocking for bulk backfills."
         )
-    sim_ab = V.dot("v_a", "v_b") if normalized else V.cosine("v_a", "v_b")
-    b = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("v_b"))
+    # r14: norms once per join-side row (bit-identical; cosine_with_norms)
+    a = a.withColumn("_na", V.norm("v_a"))
+    sim_ab = (
+        V.dot("v_a", "v_b")
+        if normalized
+        else V.cosine_with_norms("v_a", "v_b", "_na", "_nb")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("v_b"),
+        V.norm(vec_col).alias("_nb"),
+    )
     new_old = (
         b.join(F.broadcast(a), F.col("_did") != F.col("_cid"))
         .select(
@@ -791,7 +800,10 @@ def embedding_delta(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    b2 = delta.select(F.col(id_col).alias("_bid"), F.col(vec_col).alias("v_b"))
+    b2 = delta.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("v_b"),
+        V.norm(vec_col).alias("_nb"),
+    )
     new_new = (
         b2.join(F.broadcast(a), F.col("_did") < F.col("_bid"))
         .select(

@@ -137,16 +137,20 @@ def mmr_rerank(
         F.col(corpus_vec).alias("_vec"),
     )
 
+    # r14: candidate-vector norms attach once per join side instead of
+    # per candidate pair (bit-identical; cosine_with_norms)
     a = cand.select(
         "query_id",
         F.col("vec_id").alias("va"),
         F.col("rel"),
         F.col("_vec").alias("_va_vec"),
+        V.norm("_vec").alias("_na"),
     )
     b = cand.select(
         F.col("query_id").alias("_qb"),
         F.col("vec_id").alias("vb"),
         F.col("_vec").alias("_vb_vec"),
+        V.norm("_vec").alias("_nb"),
     )
     # keep self-pairs (va == vb) so a single-candidate query still has a
     # group row; the greedy fn ignores their sim
@@ -156,7 +160,7 @@ def mmr_rerank(
             "sim",
             V.dot("_va_vec", "_vb_vec")
             if normalized
-            else V.cosine("_va_vec", "_vb_vec"),
+            else V.cosine_with_norms("_va_vec", "_vb_vec", "_na", "_nb"),
         )
         .select("query_id", "va", "vb", "rel", "sim")
     )

@@ -48,9 +48,19 @@ def score_pairs(
     q = queries.select(
         *[F.col(c).alias(f"q_{c}") for c in queries.columns],
     )
-    joined = corpus.join(F.broadcast(q), on=join_on if join_on is not None else F.lit(True), how="inner")
-    expr = V.dot(f"q_{query_vec}", corpus_vec) if normalized else V.cosine(f"q_{query_vec}", corpus_vec)
-    return joined.withColumn(score_name, expr)
+    if normalized:
+        joined = corpus.join(F.broadcast(q), on=join_on if join_on is not None else F.lit(True), how="inner")
+        return joined.withColumn(score_name, V.dot(f"q_{query_vec}", corpus_vec))
+    # r14: the full cosine form attaches each side's L2 norm BEFORE the
+    # join — the inline formula re-aggregated both norms per (query,
+    # corpus) pair, i.e. the corpus-vector norm was recomputed once per
+    # query (bit-identical; see cosine_with_norms)
+    q = q.withColumn("_qn", V.norm(f"q_{query_vec}"))
+    c = corpus.withColumn("_cn", V.norm(corpus_vec))
+    joined = c.join(F.broadcast(q), on=join_on if join_on is not None else F.lit(True), how="inner")
+    return joined.withColumn(
+        score_name, V.cosine_with_norms(f"q_{query_vec}", corpus_vec, "_qn", "_cn")
+    ).drop("_qn", "_cn")
 
 
 def topk(

@@ -114,16 +114,26 @@ def _pairs_from_assigned(
     vec_col: str,
     normalized: bool,
 ) -> DataFrame:
+    # r14: L2 norms attach ONCE per join-side row — the full cosine
+    # formula re-runs both norm aggregate loops for every one of the
+    # O(cluster^2) joined pairs (bit-identical; see cosine_with_norms)
     side = assigned.select(
-        "bucket", F.col(corpus_id).alias("_id"), F.col(vec_col).alias("_v")
+        "bucket", F.col(corpus_id).alias("_id"), F.col(vec_col).alias("_v"),
+        V.norm(vec_col).alias("_n"),
     )
     a = side.select(
-        "bucket", F.col("_id").alias("_ida"), F.col("_v").alias("v_a")
+        "bucket", F.col("_id").alias("_ida"), F.col("_v").alias("v_a"),
+        F.col("_n").alias("_na"),
     )
     b = side.select(
-        "bucket", F.col("_id").alias("_idb"), F.col("_v").alias("v_b")
+        "bucket", F.col("_id").alias("_idb"), F.col("_v").alias("v_b"),
+        F.col("_n").alias("_nb"),
     )
-    sim = V.dot("v_a", "v_b") if normalized else V.cosine("v_a", "v_b")
+    sim = (
+        V.dot("v_a", "v_b")
+        if normalized
+        else V.cosine_with_norms("v_a", "v_b", "_na", "_nb")
+    )
     return (
         a.join(b, ["bucket"])
         .filter(F.col("_ida") < F.col("_idb"))
@@ -191,19 +201,26 @@ def semantic_dedup(
         .withColumn("_csim", F.round(V.cosine(vec_col, "centroid"), 6))
         .drop("centroid")
     )
+    # r14: norms attach once per join-side row (see _pairs_from_assigned)
     a = scored.select(
         F.col("bucket").alias("_ba"),
         F.col(corpus_id).alias("_ida"),
         F.col(vec_col).alias("v_a"),
+        V.norm(vec_col).alias("_na"),
         F.col("_csim").alias("_csa"),
     )
     b = scored.select(
         "bucket",
         F.col(corpus_id).alias("_idb"),
         F.col(vec_col).alias("v_b"),
+        V.norm(vec_col).alias("_nb"),
         F.col("_csim").alias("_csb"),
     )
-    sim = V.dot("v_a", "v_b") if normalized else V.cosine("v_a", "v_b")
+    sim = (
+        V.dot("v_a", "v_b")
+        if normalized
+        else V.cosine_with_norms("v_a", "v_b", "_na", "_nb")
+    )
     dominates = (F.col("_csa") < F.col("_csb")) | (
         (F.col("_csa") == F.col("_csb")) & (F.col("_ida") < F.col("_idb"))
     )
@@ -268,11 +285,17 @@ def semantic_dedup_delta_pairs(
     harness oracle)."""
     from .retrieval import ivf_index_append
 
+    # one assignment pass shared by discovery + probe; a provided
+    # delta_assignment is used AS-IS (r14 — callers sharing one
+    # materialized assignment across delta ops were paying a second
+    # checkpoint of the same rows here)
     delta_assigned = (
         delta_assignment
         if delta_assignment is not None
-        else ivf_index_append(centroids, delta, corpus_id=corpus_id, vec_col=vec_col)
-    ).localCheckpoint()  # one assignment pass shared by discovery + probe
+        else ivf_index_append(
+            centroids, delta, corpus_id=corpus_id, vec_col=vec_col
+        ).localCheckpoint()
+    )
     return _delta_pairs_from_assigned(
         store_assigned, delta_assigned, threshold, corpus_id, vec_col, normalized
     )
@@ -295,20 +318,27 @@ def _delta_pairs_from_assigned(
             "_new", F.lit(True)
         )
     )
+    # r14: norms attach once per join-side row (see _pairs_from_assigned)
     new_side = F.broadcast(
         unioned.filter(F.col("_new")).select(
             F.col("bucket").alias("_ba"),
             F.col(corpus_id).alias("_ida"),
             F.col(vec_col).alias("v_a"),
+            V.norm(vec_col).alias("_na"),
         )
     )
     both = unioned.select(
         "bucket",
         F.col(corpus_id).alias("_idb"),
         F.col(vec_col).alias("v_b"),
+        V.norm(vec_col).alias("_nb"),
         "_new",
     )
-    sim = V.dot("v_a", "v_b") if normalized else V.cosine("v_a", "v_b")
+    sim = (
+        V.dot("v_a", "v_b")
+        if normalized
+        else V.cosine_with_norms("v_a", "v_b", "_na", "_nb")
+    )
     # one fused join, condition split on the _new flag (the
     # _probe_minhash shape): vs stored rows any id inequality,
     # normalized by least/greatest; vs delta rows _ida < _idb emits
@@ -341,6 +371,7 @@ def semantic_dedup_delta(
     vec_col: str = "embedding",
     normalized: bool = False,
     delta_assignment: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-DELTA-doc incremental SemDeDup verdict: (corpus_id, bucket,
     keep) for every delta row — ``keep = false`` iff a smaller-id
@@ -364,17 +395,30 @@ def semantic_dedup_delta(
 
     ``delta_assignment`` passes a precomputed delta bucket frame
     through to the pair generator (``centroids`` may then be None);
-    see ``semantic_dedup_delta_pairs``."""
+    see ``semantic_dedup_delta_pairs``. ``pairs`` (r14) additionally
+    accepts the ALREADY-COMPUTED ``semantic_dedup_delta_pairs`` frame
+    for the same (store, delta, threshold) so a caller needing both
+    the pair set and the verdicts (the harness self-validating entry,
+    or a pipeline logging pairs while acting on verdicts) runs the
+    probe join once — the verdict is then one broadcast join over the
+    assignment spine. Both hooks are cost knobs, not semantics knobs:
+    outputs are identical either way (pytest-pinned)."""
     from .retrieval import ivf_index_append
 
+    # ONE assignment pass: discovery + probe + verdict spine; a
+    # provided delta_assignment is used as-is (see
+    # semantic_dedup_delta_pairs)
     delta_assigned = (
         delta_assignment
         if delta_assignment is not None
-        else ivf_index_append(centroids, delta, corpus_id=corpus_id, vec_col=vec_col)
-    ).localCheckpoint()  # ONE assignment pass: discovery + probe + verdict spine
-    pairs = _delta_pairs_from_assigned(
-        store_assigned, delta_assigned, threshold, corpus_id, vec_col, normalized
+        else ivf_index_append(
+            centroids, delta, corpus_id=corpus_id, vec_col=vec_col
+        ).localCheckpoint()
     )
+    if pairs is None:
+        pairs = _delta_pairs_from_assigned(
+            store_assigned, delta_assigned, threshold, corpus_id, vec_col, normalized
+        )
     dropped = pairs.select(F.col("id_b").alias(corpus_id)).distinct()
     return (
         delta_assigned.select(corpus_id, "bucket")

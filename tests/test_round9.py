@@ -281,6 +281,21 @@ def test_semantic_dedup_delta_equals_oneshot_replay(spark, embeddings):
     assert _rows(got_v) == _rows(want_v)
     assert got_v.filter(F.col("keep")).count() == 0, "exact copies must drop"
 
+    # r14 cost knobs: a shared materialized delta assignment plus the
+    # precomputed pair frame must yield IDENTICAL pairs and verdicts
+    # (one assignment pass, one probe join — the harness entry's shape)
+    da_m = da.localCheckpoint()
+    p2 = SD.semantic_dedup_delta_pairs(
+        assigned, None, delta, threshold=0.95, corpus_id="vec_id",
+        delta_assignment=da_m,
+    )
+    v2 = SD.semantic_dedup_delta(
+        assigned, None, delta, threshold=0.95, corpus_id="vec_id",
+        delta_assignment=da_m, pairs=p2,
+    )
+    assert _rows(p2) == got
+    assert _rows(v2) == _rows(got_v)
+
 
 def test_semantic_dedup_delta_prunes_to_matched_clusters(spark, embeddings):
     """Scale pin: the probe reads only the delta's clusters from a

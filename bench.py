@@ -254,8 +254,12 @@ def stored_index_query_benches(spark, sf_dir):
 
     # BM25 split index through the shared store layout (operators/
     # ranking.py write_text_index — the same writer the bm25_indexed
-    # harness family uses since r11)
-    RK.write_text_index(docs, f"{base}/bm25")
+    # harness family uses since r11; r14 corpus-sized modulus like the
+    # harness entries)
+    RK.write_text_index(
+        docs, f"{base}/bm25",
+        num_buckets=DI.auto_modulus(H._t(spark, sf_dir, "documents").count()),
+    )
 
     def bm25_query():
         return RK.query_text_index(

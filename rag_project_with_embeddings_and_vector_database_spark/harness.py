@@ -1762,7 +1762,8 @@ def bm25_indexed(spark, sf_dir):
     import os
     import tempfile
 
-    docs = _par(_t(spark, sf_dir, "documents"))
+    raw_docs = _t(spark, sf_dir, "documents")
+    docs = _par(raw_docs)
     # fixed per-process path + overwrite mode: repeated invocations
     # (bench / selfcheck / driver) reuse one directory instead of
     # leaking a fresh uuid-suffixed index copy each run (ADVICE r5);
@@ -1774,8 +1775,10 @@ def bm25_indexed(spark, sf_dir):
     # ONE tokenize pass, ONE postings materialization (the store
     # itself), sidecars derived from column-pruned store reads
     # (VERDICT r10 item 3; value-identical — same stored rows feed the
-    # same aggregations)
-    RK.write_text_index(docs, tmp)
+    # same aggregations). r14: corpus-sized term-bucket modulus (the
+    # raw-scan count is metadata-cheap; counting the _par frame would
+    # pay its round-robin shuffle) — probes adopt the recorded value.
+    RK.write_text_index(docs, tmp, num_buckets=DI.auto_modulus(raw_docs.count()))
     return RK.query_text_index(
         spark, tmp, _bm25_qdf(spark), k=10, k1=_BM25_K1, b=_BM25_B
     )
@@ -1805,13 +1808,18 @@ def bm25_indexed_incremental(spark, sf_dir):
     import os
     import tempfile
 
-    docs = _par(_t(spark, sf_dir, "documents"))
+    raw_docs = _t(spark, sf_dir, "documents")
+    docs = _par(raw_docs)
     old = docs.filter(F.col("doc_id") >= 50)
     new = docs.filter(F.col("doc_id") < 50)
     tmp = os.path.join(
         tempfile.gettempdir(), f"spark_rag_bm25inc_idx_p{os.getpid()}"
     )
-    RK.write_text_index(old, tmp)  # day-1: the stored index
+    # day-1: the stored index (r14 corpus-sized modulus; the append
+    # below adopts it from the store metadata)
+    RK.write_text_index(
+        old, tmp, num_buckets=DI.auto_modulus(raw_docs.count())
+    )
     RK.append_text_index(tmp, new)  # day-2: delta append + sidecar swap
     return RK.query_text_index(
         spark, tmp, _bm25_qdf(spark), k=10, k1=_BM25_K1, b=_BM25_B
@@ -1846,20 +1854,26 @@ def bm25_indexed_delete(spark, sf_dir):
     import os
     import tempfile
 
-    docs = _par(_t(spark, sf_dir, "documents"))
+    raw_docs = _t(spark, sf_dir, "documents")
+    docs = _par(raw_docs)
     tmp = os.path.join(
         tempfile.gettempdir(), f"spark_rag_bm25del_idx_p{os.getpid()}"
     )
-    RK.write_text_index(docs, tmp)  # day-1: the stored index
+    # day-1: the stored index (r14 corpus-sized modulus)
+    RK.write_text_index(
+        docs, tmp, num_buckets=DI.auto_modulus(raw_docs.count())
+    )
     gone = docs.filter(F.col("doc_id") < 50).select("doc_id")
     maintained = os.path.join(
         tempfile.gettempdir(), f"spark_rag_bm25del_idx2_p{os.getpid()}"
     )
     # day-2: maintain FROM the stored frames (column-pruned reads, no
-    # re-tokenize) into a fresh store generation
+    # re-tokenize) into a fresh store generation keeping the source
+    # store's recorded bucket layout
     RK.write_index_frames(
         *RK.text_index_delete(*RK.read_text_index(spark, tmp), gone),
         maintained,
+        num_buckets=RK._postings_modulus(spark, tmp),
     )
     return RK.query_text_index(
         spark, maintained, _bm25_qdf(spark), k=10, k1=_BM25_K1, b=_BM25_B
@@ -1890,14 +1904,18 @@ def bm25_indexed_delete_logical(spark, sf_dir):
     import os
     import tempfile
 
-    docs = _par(_t(spark, sf_dir, "documents"))
+    raw_docs = _t(spark, sf_dir, "documents")
+    docs = _par(raw_docs)
     tmp = os.path.join(
         tempfile.gettempdir(), f"spark_rag_bm25tomb_idx_p{os.getpid()}"
     )
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)  # tombstones APPEND: reset
-    RK.write_text_index(docs, tmp)  # day-1: the stored index
+    # day-1: the stored index (r14 corpus-sized modulus)
+    RK.write_text_index(
+        docs, tmp, num_buckets=DI.auto_modulus(raw_docs.count())
+    )
     gone = docs.filter(F.col("doc_id") < 50).select("doc_id")
     RK.tombstone_delete(spark, tmp, gone)  # day-2: delta-sized
     return RK.query_text_index(

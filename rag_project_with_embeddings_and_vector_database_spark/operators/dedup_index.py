@@ -420,12 +420,21 @@ def write_signature_store(
     Hadoop FS API so the same code serves HDFS/S3. ``mode='append'``
     rewrites the sidecar too (idempotent — layout facts don't change
     on append)."""
-    import json as _json
-
     df.repartition(*partition_cols).write.mode(mode).partitionBy(
         *partition_cols
     ).parquet(path)
-    spark = df.sparkSession
+    write_store_meta(df.sparkSession, path, partition_cols, bucket_modulus)
+
+
+def write_store_meta(
+    spark, path: str, partition_cols: tuple[str, ...], bucket_modulus: int | None
+) -> None:
+    """Drop (or overwrite) a store's ``_store_meta.json`` layout
+    sidecar — split out of ``write_signature_store`` (r14) so stores
+    with their own write shape (the bm25 postings table) record the
+    same self-describing metadata probes adopt."""
+    import json as _json
+
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/{STORE_META_FILE}")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -287,17 +287,36 @@ def text_index_delete(
     return kept_postings, kept_dfreq, kept_stats
 
 
-# Bucket count of the stored postings layout. A real deployment would
-# bucket by raw term; partitionBy on raw terms would create one
-# directory per term, so a bounded hash bucket stands in for it.
+# Saturation bucket count of the stored postings layout. A real
+# deployment would bucket by raw term; partitionBy on raw terms would
+# create one directory per term, so a bounded hash bucket stands in for
+# it. r14: the writers SIZE the modulus to the corpus (the signature
+# stores' auto_modulus discipline — a 5000-doc bench index under the
+# fixed 64-way fan-out wrote 64 tiny files per store generation and
+# paid their commits), record it in the postings _store_meta.json, and
+# probes/appends ADOPT the recorded value; this constant is the cap
+# and the fallback for meta-less legacy stores.
 TERM_BUCKETS = 64
 
 
-def term_bucket(c: Column) -> Column:
+def term_bucket(c: Column, num_buckets: int = TERM_BUCKETS) -> Column:
     """The SHARED writer/prober bucket expression: the writer
     partitions postings by it and the query path re-derives its terms'
-    buckets with the same expression to prune the scan."""
-    return F.pmod(F.hash(c), F.lit(TERM_BUCKETS))
+    buckets with the same expression (same modulus, from the store
+    metadata) to prune the scan."""
+    return F.pmod(F.hash(c), F.lit(num_buckets))
+
+
+def _postings_modulus(spark, path: str) -> int:
+    """The modulus the store at ``{path}/postings`` was written with:
+    the metadata sidecar's record, or TERM_BUCKETS for legacy stores
+    written before the sidecar existed."""
+    from .dedup_index import read_store_meta
+
+    meta = read_store_meta(spark, f"{path}/postings")
+    if meta is None:
+        return TERM_BUCKETS
+    return int(meta.get("bucket_modulus") or TERM_BUCKETS)
 
 
 def _sidecar_frames(dfreq: DataFrame, stats: DataFrame) -> DataFrame:
@@ -329,7 +348,11 @@ def _split_sidecar(side: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def write_text_index(
-    docs: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
 ) -> None:
     """Build AND persist the split index in ONE tokenize pass with the
     term-bucketed postings store itself as the only materialization:
@@ -342,16 +365,29 @@ def write_text_index(
     the localCheckpoint AND three store writes; the r10 verdict
     measured the remaining bundled cost in the writes). Layout:
     ``{path}/postings`` partitioned by ``term_bucket``,
-    ``{path}/sidecar`` (dfreq rows + one stats row)."""
+    ``{path}/sidecar`` (dfreq rows + one stats row).
+
+    ``num_buckets=None`` (default) sizes the term-bucket fan-out to the
+    corpus (``auto_modulus`` over the doc count — one metadata-cheap
+    count job vs the measured multi-second commit cost of 64 near-empty
+    directories at bench scale; saturates to TERM_BUCKETS at corpus
+    scale, so the 100 TB layout is unchanged); pass an explicit value
+    to pin the layout. Either way the modulus lands in
+    ``{path}/postings/_store_meta.json`` and probes/appends adopt it."""
+    from .dedup_index import auto_modulus, write_store_meta
+
     spark = docs.sparkSession
+    if num_buckets is None:
+        num_buckets = auto_modulus(docs.count())
     postings, _, _ = build_text_index(docs, text_col, id_col)
     (
-        postings.withColumn("term_bucket", term_bucket(F.col("term")))
+        postings.withColumn("term_bucket", term_bucket(F.col("term"), num_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(f"{path}/postings")
     )
+    write_store_meta(spark, f"{path}/postings", ("term_bucket",), num_buckets)
     stored = spark.read.parquet(f"{path}/postings")
     dfreq = stored.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = (
@@ -389,9 +425,12 @@ def append_text_index(
     delta is already part of. A failure BEFORE the postings commit
     left nothing behind; re-running the append is then safe."""
     spark = new_docs.sparkSession
+    # adopt the STORE's recorded modulus (r14): a mixed-modulus postings
+    # table would break the prober's single bucket derivation
+    num_buckets = _postings_modulus(spark, path)
     p, d, s = build_text_index(new_docs, text_col, id_col, checkpoint=True)
     (
-        p.withColumn("term_bucket", term_bucket(F.col("term")))
+        p.withColumn("term_bucket", term_bucket(F.col("term"), num_buckets))
         .repartition("term_bucket")
         .write.mode("append")
         .partitionBy("term_bucket")
@@ -416,19 +455,30 @@ def append_text_index(
 
 
 def write_index_frames(
-    postings: DataFrame, dfreq: DataFrame, stats: DataFrame, path: str
+    postings: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    path: str,
+    num_buckets: int = TERM_BUCKETS,
 ) -> None:
     """Persist already-maintained index frames (the DELETE path, whose
     postings must rewrite) through the shared store layout. Frames
     derived from a STORED index read cheaply; the sidecar swaps in via
     localCheckpoint for the same overwrite-while-reading reason as
-    ``append_text_index``."""
+    ``append_text_index``. Callers maintaining an existing store pass
+    its recorded modulus (``_postings_modulus``) so the new generation
+    keeps the source layout."""
+    from .dedup_index import write_store_meta
+
     (
-        postings.withColumn("term_bucket", term_bucket(F.col("term")))
+        postings.withColumn("term_bucket", term_bucket(F.col("term"), num_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(f"{path}/postings")
+    )
+    write_store_meta(
+        postings.sparkSession, f"{path}/postings", ("term_bucket",), num_buckets
     )
     _sidecar_frames(dfreq, stats).localCheckpoint().write.mode(
         "overwrite"
@@ -528,17 +578,23 @@ def compact_text_index(
     postings rewrite bucketed, the already-exact sidecar copies over,
     and the new generation carries no tombstones. Probe results are
     identical before and after (pinned by tests/test_bm25_store.py)."""
+    from .dedup_index import write_store_meta
+
+    num_buckets = _postings_modulus(spark, src_path)
     stored = spark.read.parquet(f"{src_path}/postings")
     tomb = _tombstones(spark, src_path, id_col)
     if tomb is not None:
         stored = stored.join(F.broadcast(tomb), id_col, "left_anti")
     (
         stored.drop("term_bucket")
-        .withColumn("term_bucket", term_bucket(F.col("term")))
+        .withColumn("term_bucket", term_bucket(F.col("term"), num_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(f"{dest_path}/postings")
+    )
+    write_store_meta(
+        spark, f"{dest_path}/postings", ("term_bucket",), num_buckets
     )
     spark.read.parquet(f"{src_path}/sidecar").localCheckpoint().write.mode(
         "overwrite"
@@ -572,10 +628,12 @@ def query_text_index(
     query_text: str = "query",
 ) -> DataFrame:
     """The pruned probe over the stored layout: derive the query
-    terms' buckets with the writer's exact expression (a handful of
-    ints — driver planning metadata, like any partition predicate),
-    partition-filter the postings scan to those directories, and score
-    through ``bm25_query_indexed``."""
+    terms' buckets with the writer's exact expression — same modulus,
+    adopted from the store metadata — (a handful of ints — driver
+    planning metadata, like any partition predicate), partition-filter
+    the postings scan to those directories, and score through
+    ``bm25_query_indexed``."""
+    num_buckets = _postings_modulus(spark, path)
     qbuckets = sorted(
         r.b
         for r in queries.select(
@@ -585,7 +643,7 @@ def query_text_index(
                 )
             ).alias("term")
         )
-        .select(term_bucket(F.col("term")).alias("b"))
+        .select(term_bucket(F.col("term"), num_buckets).alias("b"))
         .distinct()
         .collect()
     )

@@ -49,10 +49,13 @@ def test_store_append_equals_full_rebuild_store(spark, docs, tmp_path):
     want = _frames_sorted(*RK.read_text_index(spark, full_dir))
     assert got == want
     # bucket-layout consistency: every stored row sits in the dir the
-    # prober would derive for its term
+    # prober would derive for its term — under the modulus the store
+    # RECORDS (r14 auto-sizing), which the append must have adopted
+    mod = RK._postings_modulus(spark, inc_dir)
+    assert mod == RK._postings_modulus(spark, full_dir)
     stored = spark.read.parquet(f"{inc_dir}/postings")
     bad = stored.filter(
-        F.col("term_bucket") != RK.term_bucket(F.col("term"))
+        F.col("term_bucket") != RK.term_bucket(F.col("term"), mod)
     ).count()
     assert bad == 0
 
@@ -170,7 +173,10 @@ def test_append_crash_repair_via_sidecar_recompute(spark, docs, tmp_path):
     # append_text_index's postings write verbatim), no sidecar swap
     p, _, _ = RK.build_text_index(delta, "text", "doc_id")
     (
-        p.withColumn("term_bucket", RK.term_bucket(F.col("term")))
+        p.withColumn(
+            "term_bucket",
+            RK.term_bucket(F.col("term"), RK._postings_modulus(spark, inc)),
+        )
         .repartition("term_bucket")
         .write.mode("append")
         .partitionBy("term_bucket")

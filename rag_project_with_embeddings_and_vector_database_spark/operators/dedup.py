@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import md5_long, whitespace_tokens
 
@@ -632,6 +633,16 @@ def embedding_neardup_pairs(
     )
 
 
+# Edge-count ceiling for the driver-side union-find fast path of
+# ``_min_label_propagation``. 100k edges collect to a few MB — the same
+# bounded planning-collect discipline as the PQ training sample and the
+# probe helpers' bucket-key collects; a dup graph CONTRACTED to
+# supernodes (the star/incremental paths) sits orders of magnitude
+# below this even at large corpus scale, while a genuinely large edge
+# set takes the distributed loop unchanged.
+CC_DRIVER_MAX_EDGES = 100_000
+
+
 def _min_label_propagation(
     pairs: DataFrame, id_a: str, id_b: str, max_iter: int
 ) -> tuple[DataFrame, bool]:
@@ -645,13 +656,28 @@ def _min_label_propagation(
     (``cluster.components_checked``) read the flag instead of paying a
     separate verification join over the caller's edge lineage — the
     r13 form of that check was the measured regression in
-    dedup_star_incremental (VERDICT r13 item 2)."""
+    dedup_star_incremental (VERDICT r13 item 2).
+
+    r14 small-graph fast path: the edge frame is materialized
+    (localCheckpoint) before the loop anyway, so its count is one cheap
+    cached scan — at or below ``CC_DRIVER_MAX_EDGES`` the component
+    labels come from a driver-side union-find over the collected edges
+    (min id per component — the exact closure min-label propagation
+    converges to, so ``converged`` is True by construction; identity
+    with the distributed loop is pytest-pinned). The distributed loop
+    costs 2 jobs per iteration plus the checkpoint machinery — on the
+    KB-scale contracted graphs of the star/incremental paths that was
+    most of their job count — while the union-find is one collect plus
+    one createDataFrame. Graphs above the ceiling run the distributed
+    loop exactly as before."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= CC_DRIVER_MAX_EDGES:
+        return _union_find_components(edges), True
     labels = edges.select("src").union(edges.select("dst")).distinct().select(
         F.col("src").alias("id"), F.col("src").alias("component")
     ).localCheckpoint(eager=True)
@@ -677,6 +703,43 @@ def _min_label_propagation(
             converged = True
             break
     return labels, converged
+
+
+def _union_find_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a MATERIALIZED, bounded (src, dst)
+    edge frame (see ``CC_DRIVER_MAX_EDGES``): returns the same
+    ``(id, component = min reachable id)`` frame the distributed
+    min-label loop converges to, as the exact closure. Path-compressed,
+    min-root union — O(E a(E)) on a few MB of driver memory."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r.src, r.dst
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id becomes the root so the final label IS min(component)
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(x, find(x)) for x in parent]
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("component", id_type)]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10) -> DataFrame:

@@ -139,14 +139,22 @@ def test_purity_audit_accepts_precomputed_components(spark, corpus):
     assert self_contained == reused
 
 
-def test_components_checked_raises_on_nonconvergence(spark):
+def test_components_checked_raises_on_nonconvergence(spark, monkeypatch):
     """ADVICE r12: min-label propagation exits SILENTLY at max_iter;
     the star paths' checked wrapper must RAISE on the fixpoint breach
     (an edge whose endpoints carry different labels) instead of
     returning labels that diverge from the exact closure the oracle
     replays. A 30-hop path graph needs >10 propagation rounds (label 0
     travels one hop per iteration), so the default max_iter cannot
-    converge it."""
+    converge it. r14: the small-graph union-find fast path computes the
+    exact closure directly (a 30-edge chain converges by construction),
+    so the starvation raise is pinned against the DISTRIBUTED loop by
+    zeroing the fast-path ceiling."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup as DD,
+    )
+
+    monkeypatch.setattr(DD, "CC_DRIVER_MAX_EDGES", -1)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )
@@ -156,3 +164,26 @@ def test_components_checked_raises_on_nonconvergence(spark):
     short = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
     comps = {r.id: r.component for r in CL.components_checked(short).collect()}
     assert comps == {0: 0, 1: 0, 2: 0}
+
+
+def test_union_find_fast_path_equals_distributed_loop(spark, monkeypatch):
+    """r14: below CC_DRIVER_MAX_EDGES the components come from a
+    driver-side union-find — its labels must be IDENTICAL to the
+    distributed min-label loop's on the same graph (bridges, multiple
+    components, singleton-free edge list, out-of-order ids)."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup as DD,
+    )
+
+    edges = spark.createDataFrame(
+        [(7, 3), (3, 9), (20, 21), (21, 22), (22, 20), (100, 5), (5, 3),
+         (50, 60), (2, 1)],
+        "id_a long, id_b long",
+    )
+    fast = {(r.id, r.component) for r in DD.connected_components(edges).collect()}
+    monkeypatch.setattr(DD, "CC_DRIVER_MAX_EDGES", -1)
+    slow = {(r.id, r.component) for r in DD.connected_components(edges).collect()}
+    assert fast == slow
+    assert {(1, 1), (2, 1), (20, 20), (21, 20), (22, 20), (50, 50), (60, 50)} <= fast
+    # the bridged chain 7-3-9-5-100 collapses to min id 3
+    assert {(7, 3), (9, 3), (5, 3), (100, 3)} <= fast

@@ -107,9 +107,17 @@ def main() -> None:
 
     for name, rep, t0, t1 in marks:
         tag = f"{name}#rep{rep}"
+        # streaming micro-batches run on their own threads and do not
+        # inherit the thread-local description — attribute by time
+        # window instead (all reps run sequentially, so it's exact)
+        all_tags = {f"{n}#rep{r}" for n, r, _, _ in marks}
         mine = [
             (jid, j) for jid, j in sorted(jobs.items())
-            if j.get("desc") == tag and "t1" in j
+            if "t1" in j
+            and (
+                j.get("desc") == tag
+                or (j.get("desc") not in all_tags and t0 <= j["t0"] <= t1)
+            )
         ]
         total_jobs = sum(j["t1"] - j["t0"] for _, j in mine)
         print(f"\n=== {tag}: wall {t1 - t0:.3f}s, {len(mine)} jobs, "

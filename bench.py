@@ -272,7 +272,7 @@ def stored_index_query_benches(spark, sf_dir):
     # not query work, so it is deliberately absent here)
     e = H._t(spark, sf_dir, "embeddings")
     assigned, cdf = R.build_ivf_index(e, num_centroids=16, corpus_id="vec_id", seed=42)
-    assigned.write.mode("overwrite").partitionBy("bucket").parquet(f"{base}/ivf/assigned")
+    assigned.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(f"{base}/ivf/assigned")
     cdf.write.mode("overwrite").parquet(f"{base}/ivf/centroids")
 
     def ivf_query():
@@ -339,7 +339,7 @@ def stored_index_query_benches(spark, sf_dir):
         e, num_centroids=8, num_subspaces=8, num_codes=16,
         corpus_id="vec_id", sample_fraction=0.5,
     )
-    enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{base}/ivfpq/codes")
+    enc.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(f"{base}/ivfpq/codes")
     ivfpq_cdf.write.mode("overwrite").parquet(f"{base}/ivfpq/centroids")
     ivfpq_cb.write.mode("overwrite").parquet(f"{base}/ivfpq/codebooks")
 

@@ -2002,9 +2002,9 @@ def ann_ivf_indexed(spark, sf_dir):
         tmp = os.path.join(
             tempfile.gettempdir(), f"spark_rag_ivf_idx_p{os.getpid()}"
         )
-        assigned.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{tmp}/assigned"
-        )
+        assigned.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{tmp}/assigned")
         cdf.write.mode("overwrite").parquet(f"{tmp}/centroids")
         return R.knn_ivf_indexed(
             spark.read.parquet(f"{tmp}/assigned"),
@@ -2049,13 +2049,15 @@ def ann_ivf_append(spark, sf_dir):
         # the overwrite resets the fixed per-process path, so the
         # append below is idempotent across repeated invocations
         # (bench / selfcheck / driver share one JVM)
-        assigned.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{tmp}/assigned"
-        )
+        assigned.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{tmp}/assigned")
         cdf.write.mode("overwrite").parquet(f"{tmp}/centroids")
         R.ivf_index_append(
             spark.read.parquet(f"{tmp}/centroids"), rest, corpus_id="vec_id"
-        ).write.mode("append").partitionBy("bucket").parquet(f"{tmp}/assigned")
+        ).repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+            f"{tmp}/assigned"
+        )
         # nprobe runs 14/16 here (ann_ivf_indexed probes 12): centroids
         # fitted on HALF a toy corpus partition space more loosely, so
         # the sf0.001 recall floor needs the wider probe; production
@@ -2149,7 +2151,7 @@ def ann_ivf_pq(spark, sf_dir):
         tmp = os.path.join(
             tempfile.gettempdir(), f"spark_rag_ivfpq_idx_p{os.getpid()}"
         )
-        enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{tmp}/codes")
+        enc.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(f"{tmp}/codes")
         cdf.write.mode("overwrite").parquet(f"{tmp}/centroids")
         cb.write.mode("overwrite").parquet(f"{tmp}/codebooks")
         # nprobe 14/16 + coarse_k=300: same floor-clearing settings as
@@ -6126,6 +6128,10 @@ def sink_partitioned(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.pmod("doc_id", F.lit(8)).cast("int").alias("bucket")
     )
+    # NOT repartitioned by bucket before the write (unlike the ANN
+    # stores): this scan is a single input split, so the write already
+    # emits one file per bucket dir — a keyed repartition here only
+    # adds a shuffle (measured 0.43 -> 1.04s)
     d.write.mode("overwrite").partitionBy("bucket").parquet(out)
     back = spark.read.parquet(out).filter(F.col("bucket") == 3)
     return back.select("doc_id", "n_chars", F.col("bucket").cast("int").alias("bucket"))
@@ -7629,9 +7635,9 @@ def ann_ivf_indexed_int8(spark, sf_dir):
         tmp = os.path.join(
             tempfile.gettempdir(), f"spark_rag_ivf8_idx_p{os.getpid()}"
         )
-        assigned.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{tmp}/assigned"
-        )
+        assigned.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{tmp}/assigned")
         cdf.write.mode("overwrite").parquet(f"{tmp}/centroids")
         stored = R.knn_ivf_indexed(
             spark.read.parquet(f"{tmp}/assigned"),
@@ -7800,7 +7806,7 @@ def vector_arrival_ingest(spark, sf_dir):
     rest = e.filter(F.col("vec_id") % 2 == 1)
     assigned, cdf = R.build_ivf_index(half, num_centroids=8, corpus_id="vec_id", seed=42)
     idx = f"{tmp}/ivf"
-    assigned.write.mode("overwrite").partitionBy("bucket").parquet(f"{idx}/assigned")
+    assigned.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(f"{idx}/assigned")
     cdf.write.mode("overwrite").parquet(f"{idx}/centroids")
     arr = f"{tmp}/arrivals"
     rest.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.mode("append").parquet(arr)

@@ -193,14 +193,19 @@ SLA = {
     # (the corpus index is written once and each micro-batch pays a
     # partition-pruned probe instead of re-shingling the corpus:
     # 46.6 -> ~25 s warm, min-of-2)
-    "stream_dedup_gated": 32.0,
+    # retuned r14-opt: the drain-scoped state partitioning dropped the
+    # streaming floors (OPTIMIZATION_r14.md §6) — targets follow the
+    # new quiet min-of-3 with ~2x headroom before the 2x trip, so a
+    # regression back to core-count-sized state stores trips the wire
+    # while a loaded driver box does not
+    "stream_dedup_gated": 26.0,      # 11.6 quiet post-opt (was 32)
     "vector_arrival_ingest": 8.0,
     # full availableNow drain of the watermarked stream-stream interval
-    # join + batch-parity check (r10; ~9.7 s warm min-of-2, SCALING.md)
-    "stream_interval_join": 12.0,
-    # single-batch availableNow TTL-dedup drain + key-set parity (r10;
-    # ~6.9 s warm, SCALING.md)
-    "stream_dedup_ttl": 9.0,
+    # join + batch-parity check (4.1 s quiet post-opt; was 12)
+    "stream_interval_join": 9.0,
+    # single-batch availableNow TTL-dedup drain + key-set parity
+    # (2.1 s quiet post-opt; was 9)
+    "stream_dedup_ttl": 6.0,
     # availableNow drain of the windowed Theta+KLL aggregation + the
     # batch-merge/truth parity checks (r12; 2.8 s standalone min-of-3,
     # 5.2 s inside a full bench run — the in-bench figure sets the
@@ -214,10 +219,11 @@ SLA = {
     # FP audit get regression tripwires. Headline entries are SLA-
     # checked too now; targets are r14 quiet-box min-of-3 rounded up
     # (SCALING.md "r14 star-index A/B").
-    "dedup_star_incremental": 13.0,   # 11.9 measured (7.1 r12 paid no
-                                      # convergence proof + flat store)
-    "star_update_chain": 15.0,        # 12.7 measured (24.3 r13)
-    "bloom_fp_audit": 10.0,           # 8.2-8.9 measured
+    "dedup_star_incremental": 10.0,   # 5.4 quiet post-opt (union-find
+                                      # CC fast path; was 13)
+    "star_update_chain": 15.0,        # 10.0 quiet post-opt
+    "bloom_fp_audit": 6.0,            # 2.1 quiet post-opt (parallelized
+                                      # gram hashing; was 10)
     "star_incremental_query": 5.0,    # 2.9-3.9 measured (25-doc delta)
     # flagship end-to-end paths (r14, VERDICT r13 item 6)
     "pipeline_e2e": 8.0,              # 6.3 measured

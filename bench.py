@@ -426,6 +426,35 @@ def stored_index_query_benches(spark, sf_dir):
         )
         return CI.star_assign_incremental(spark, delta, f"{base}/staridx")
 
+    # r15 (VERDICT r14 item 4 — close the cosine-hoist evidence gap):
+    # the ``normalized=False`` branch of score_pairs / mmr_rerank
+    # (cosine_with_norms — each side's L2 norm attached once per
+    # join-side row instead of re-aggregated per joined pair, r14) was
+    # exercised by NO benched entry, because the fixture embeddings are
+    # pre-normalized and every harness call passes normalized=True.
+    # These two entries DRIVE that branch, so its plan shape and cost
+    # are measured every round (plans/r15 carries the captures). On
+    # unit vectors the full cosine formula returns the same values as
+    # the dot path — these are measurement entries, not new semantics.
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        rerank as RR,
+    )
+
+    def knn_cosine_full():
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return R.knn_bruteforce(q, e, 10, corpus_id="vec_id", normalized=False)
+
+    def mmr_cosine_full():
+        q = e.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return RR.mmr_rerank(
+            q, e, n=8, k_candidates=20, lam=0.7,
+            query_id="query_id", corpus_id="vec_id", normalized=False,
+        )
+
     return {
         "bm25_indexed_query": bm25_query,
         "ann_ivf_indexed_query": ivf_query,
@@ -435,6 +464,8 @@ def stored_index_query_benches(spark, sf_dir):
         "simhash_incremental_query": simhash_query,
         "semantic_incremental_query": semantic_query,
         "star_incremental_query": star_query,
+        "knn_cosine_full": knn_cosine_full,
+        "mmr_rerank_cosine": mmr_cosine_full,
     }
 
 
@@ -501,20 +532,32 @@ def main() -> None:
     # clipped it mid-queries — ordering guarantees the headline figures
     # survive any truncation (the complete record also lands in
     # logs/bench_r*_local.json)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "reps": reps,
-                "agg": "min",
-                "queries": timings,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "agg": "min",
+        "queries": timings,
+    }
+    line = json.dumps(record)
+    # mirror the full record to a file BEFORE printing (r15, VERDICT r14
+    # item 10): the archived stdout keeps only a bounded tail, and the
+    # ~6 KB one-line JSON has outgrown it once already (r13's archive
+    # truncated mid-queries, costing the whole round-over-round PERF
+    # comparison) — the sidecar file survives any stdout truncation
+    try:
+        logs_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "logs")
+        os.makedirs(logs_dir, exist_ok=True)
+        with open(os.path.join(logs_dir, "bench_last.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:  # a read-only checkout must not fail the bench
+        print(f"[bench] mirror write skipped: {exc}", file=sys.stderr, flush=True)
+    # stop BEFORE the contract line so nothing Spark prints on shutdown
+    # can land after it — the one-line JSON stays the LAST stdout line
     spark.stop()
+    print(line)
     if sla_violations:
         for name, got, target in sla_violations:
             print(

@@ -7815,7 +7815,14 @@ def vector_arrival_ingest(spark, sf_dir):
     # whole function (_stream_parts vs @_bounded_state): the IVF build
     # above is CPU-bound batch work that must keep full parallelism
     with _stream_parts(spark):
-        q = _ingest(spark, arr, idx, f"{tmp}/ckpt", max_files_per_trigger=1)
+        # cache_centroids: the centroids are frozen for this run by
+        # construction, so batch 2 reuses batch 1's materialized frame
+        # (assignments identical; re-cluster pickup moves to stream
+        # start, which an availableNow drain restarts per run anyway)
+        q = _ingest(
+            spark, arr, idx, f"{tmp}/ckpt", max_files_per_trigger=1,
+            cache_centroids=True,
+        )
         q.awaitTermination()
 
     grown, stored_cdf = read_ivf_index(spark, idx, id_col="vec_id")

@@ -260,7 +260,12 @@ def update_star_index(
         spark, delta, path, content_col, id_col,
         shingle_n, num_perm, num_bands, seed,
         _delta_banded=delta_banded,
-    ).localCheckpoint(eager=True)
+    )
+    if in_place:
+        # the in-place overwrite reads {path}/components inside
+        # ``updated``'s own plan — the lineage must be cut before the
+        # same path is overwritten
+        updated = updated.localCheckpoint(eager=True)
     delta_buckets = (
         delta_banded
         .groupBy("band", "band_hash")
@@ -288,6 +293,19 @@ def update_star_index(
         merged_buckets, f"{out}/buckets", ("band", "sig_bucket"),
         bucket_modulus=modulus,
     )
+    if not in_place:
+        # r15 (guide §1.2 — don't compute things twice): the dest-path
+        # mode used to eagerly localCheckpoint ``updated`` and then
+        # write the same rows, materializing the FULL day1+delta
+        # assignment twice per fold. The write above is the single
+        # materialization; the returned frame is the store just
+        # written, with ``keep`` re-derived by its definition
+        # (id == component) — bit-identical rows, one O(corpus) pass
+        # saved per generation.
+        return (
+            spark.read.parquet(f"{out}/components")
+            .withColumn("keep", F.col(id_col) == F.col("component"))
+        )
     return updated
 
 

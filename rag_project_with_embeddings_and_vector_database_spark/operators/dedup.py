@@ -710,8 +710,20 @@ def _union_find_components(edges: DataFrame) -> DataFrame:
     edge frame (see ``CC_DRIVER_MAX_EDGES``): returns the same
     ``(id, component = min reachable id)`` frame the distributed
     min-label loop converges to, as the exact closure. Path-compressed,
-    min-root union — O(E a(E)) on a few MB of driver memory."""
-    rows = edges.collect()
+    min-root union — O(E a(E)) on a few MB of driver memory.
+
+    Null ids are filtered BEFORE the collect (ADVICE r14): the
+    distributed min-label loop silently tolerates a null src/dst (the
+    equi-join drops it), whereas Python ``<`` on None raises mid-query
+    — the filter keeps both paths identical on such rows. The min-root
+    choice compares ids with Python ``<``, which matches Spark's
+    ordering for the id types in use here (longs and ASCII strings);
+    a caller introducing an exotic orderable id type should check that
+    Spark's sort order agrees with Python's before relying on the
+    min-label contract."""
+    rows = edges.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).collect()
     parent: dict = {}
 
     def find(x):

@@ -302,6 +302,7 @@ def probe_dedup_index(
     bucket_col: str = "sig_bucket",
     max_delta_docs: int | None = 100_000,
     extra_index: DataFrame | None = None,
+    layout_cache: dict | None = None,
 ) -> DataFrame:
     """The STEADY-STATE daily probe against a stored minhash signature
     index written ``partitionBy(band, sig_bucket)`` (the
@@ -344,9 +345,21 @@ def probe_dedup_index(
     one probe covers corpus-store + accumulation without re-shingling
     the delta twice. Extra rows in buckets the delta never addresses
     can't join and only add inert occupancy-guard groups, so the pair
-    output equals a probe of the full union."""
+    output equals a probe of the full union.
+
+    ``layout_cache`` (r15, VERDICT r14 item 1): a caller-owned dict
+    memoizing the store's PROBE PLANNING — the resolved sidecar
+    modulus and the partition-directory listing — across repeated
+    probes of the SAME immutable store generation. The streaming gate
+    probes the corpus store once per micro-batch; without the cache
+    every batch re-pays the sidecar read plus 1+#bands driver listing
+    RPCs for a store that cannot change mid-drain. Pass a dict scoped
+    to one store generation (the gate scopes it to one drain); never
+    share it across store rewrites — the cache pins layout facts, not
+    data."""
     num_buckets = _resolve_store_layout(
-        spark, path, ("band", bucket_col), num_buckets
+        spark, path, ("band", bucket_col), num_buckets,
+        layout_cache=layout_cache,
     )
     banded = build_dedup_index(
         delta, content_col, id_col, shingle_n, num_perm, num_bands, seed
@@ -360,6 +373,7 @@ def probe_dedup_index(
         [(("band", b), (bucket_col, sb)) for b, sb in keys],
         empty_like=banded.select(id_col, "sig", "band", "band_hash"),
         bucket_modulus=num_buckets,
+        layout_cache=layout_cache,
     )
     index_side = pruned.drop(bucket_col)
     if extra_index is not None:
@@ -417,9 +431,36 @@ def write_signature_store(
     listings alone cannot catch it: every bucket value below the
     probe's modulus looks plausible). The underscore-prefixed sidecar
     is invisible to Spark's parquet reader; it is written through the
-    Hadoop FS API so the same code serves HDFS/S3. ``mode='append'``
-    rewrites the sidecar too (idempotent — layout facts don't change
-    on append)."""
+    Hadoop FS API so the same code serves HDFS/S3.
+
+    ``mode='append'`` HOLDS the layout invariant instead of rewriting
+    it (ADVICE r14): appending cannot change where existing rows live,
+    so the stored generation's sidecar stays authoritative — an
+    appender whose partition columns or bucket modulus differ from the
+    recorded ones would create a mixed-modulus store whose sidecar
+    lies to every probe (rows bucketed under the old modulus read from
+    the wrong directories, duplicates silently missed), so a mismatch
+    RAISES; a matching append leaves the sidecar untouched. Appends to
+    a store without a sidecar record one (first writer wins)."""
+    if mode == "append":
+        meta = read_store_meta(df.sparkSession, path)
+        if meta is not None:
+            cols = tuple(meta.get("partition_cols") or ())
+            recorded = meta.get("bucket_modulus")
+            if cols != tuple(partition_cols) or recorded != bucket_modulus:
+                raise ValueError(
+                    f"write_signature_store(mode='append') to {path}: store "
+                    f"records partition_cols={list(cols)} "
+                    f"bucket_modulus={recorded}; appender brought "
+                    f"{list(partition_cols)} / {bucket_modulus}. Layout "
+                    f"facts cannot change on append — adopt the recorded "
+                    f"modulus (read_store_meta) or compact to a new "
+                    f"generation (compact_signature_store dest_path)."
+                )
+            df.repartition(*partition_cols).write.mode(mode).partitionBy(
+                *partition_cols
+            ).parquet(path)
+            return
     df.repartition(*partition_cols).write.mode(mode).partitionBy(
         *partition_cols
     ).parquet(path)
@@ -473,7 +514,8 @@ def read_store_meta(spark, path: str) -> dict | None:
 
 
 def _resolve_store_layout(
-    spark, path: str, expected_cols: tuple[str, str], num_buckets: int
+    spark, path: str, expected_cols: tuple[str, str], num_buckets: int,
+    layout_cache: dict | None = None,
 ) -> int:
     """Validate a store's metadata sidecar against the probe's expected
     partition columns and return the EFFECTIVE bucket modulus: the
@@ -481,7 +523,18 @@ def _resolve_store_layout(
     stores make the probe's ``num_buckets`` a fallback, not a
     contract), else the caller's ``num_buckets``. Raises on provable
     layout mismatches — wrong partition column names, or a store
-    recorded without a modulus being probed as if bucketed."""
+    recorded without a modulus being probed as if bucketed.
+
+    ``layout_cache`` memoizes the resolved modulus per (path,
+    expected_cols) for repeated probes of one immutable store
+    generation (see ``probe_dedup_index``)."""
+    if layout_cache is not None:
+        key = ("layout", path, expected_cols)
+        if key in layout_cache:
+            return layout_cache[key]
+        resolved = _resolve_store_layout(spark, path, expected_cols, num_buckets)
+        layout_cache[key] = resolved
+        return resolved
     meta = read_store_meta(spark, path)
     if meta is None:
         return num_buckets
@@ -540,8 +593,66 @@ def _discover_keys(
     return sorted({(r[lvl1_col], r["_sb"]) for r in rows})
 
 
+def _list_store_partitions(
+    spark, root: str, lvl1_col: str, lvl2_col: str | None,
+    bucket_modulus: int | None,
+) -> set:
+    """The batched listing + layout-validation half of
+    ``_read_matched_partitions``: one ``listStatus`` on the root plus
+    one per level-1 directory, returning the set of existing partition
+    directory tuples. Split out (r15) so a drain-scoped
+    ``layout_cache`` can run it once per immutable store generation
+    instead of once per micro-batch probe."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    lvl1 = [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+    ]
+    bad = [d for d in lvl1 if not d.startswith(f"{lvl1_col}=")]
+    if bad or not lvl1:
+        raise ValueError(
+            f"store {root} layout mismatch: expected {lvl1_col}= "
+            f"partition directories, found {sorted(lvl1)[:5] or 'none'}"
+        )
+    if lvl2_col is None:
+        return {(d,) for d in lvl1}
+    existing = set()
+    for d in lvl1:
+        sub = jvm.org.apache.hadoop.fs.Path(f"{root}/{d}")
+        lvl2 = [
+            st.getPath().getName()
+            for st in fs.listStatus(sub)
+            if st.isDirectory()
+        ]
+        bad2 = [x for x in lvl2 if not x.startswith(f"{lvl2_col}=")]
+        if bad2 or not lvl2:
+            raise ValueError(
+                f"store {root} layout mismatch: expected {lvl2_col}= "
+                f"bucket directories under {d}, found "
+                f"{sorted(lvl2)[:5] or 'none'}"
+            )
+        existing.update((d, x) for x in lvl2)
+    if bucket_modulus is not None:
+        store_max = max(int(x.split("=", 1)[1]) for _, x in existing)
+        if store_max >= bucket_modulus:
+            # the probe's pmod(hash, bucket_modulus) can never
+            # address this directory -> the store was written
+            # with a larger modulus; skipping would silently
+            # miss duplicates
+            raise ValueError(
+                f"store {root} bucketed with modulus > "
+                f"{bucket_modulus} (saw {lvl2_col}={store_max}); "
+                f"pass the writer's num_buckets"
+            )
+    return existing
+
+
 def _read_matched_partitions(
-    spark, root: str, keys, empty_like: DataFrame, bucket_modulus: int | None = None
+    spark, root: str, keys, empty_like: DataFrame, bucket_modulus: int | None = None,
+    layout_cache: dict | None = None,
 ) -> DataFrame:
     """Read exactly the partition directories named by ``keys`` (each a
     tuple of (col, value) pairs, in partition order) from a
@@ -571,56 +682,28 @@ def _read_matched_partitions(
     instead of returning an empty probe. (A store bucketed with a
     SMALLER modulus is still not provable from listings alone — keep
     ``num_buckets`` consistent with the writer, as every in-repo
-    layout does via the shared pmod-64 convention.)"""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(root)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    layout does via the shared pmod-64 convention.)
+
+    ``layout_cache`` memoizes the validated directory set per root so
+    repeated probes of one immutable store generation (a drain's
+    micro-batches) pay the listing RPCs and the modulus validation
+    once — see ``probe_dedup_index``."""
     if not keys:
         return empty_like.limit(0)
     lvl1_col = keys[0][0][0]
     lvl2_col = keys[0][1][0] if len(keys[0]) > 1 else None
-    lvl1 = [
-        st.getPath().getName()
-        for st in fs.listStatus(hpath)
-        if st.isDirectory()
-    ]
-    bad = [d for d in lvl1 if not d.startswith(f"{lvl1_col}=")]
-    if bad or not lvl1:
-        raise ValueError(
-            f"store {root} layout mismatch: expected {lvl1_col}= "
-            f"partition directories, found {sorted(lvl1)[:5] or 'none'}"
-        )
-    if lvl2_col is None:
-        existing = {(d,) for d in lvl1}
+    if layout_cache is not None:
+        ck = ("dirs", root, lvl1_col, lvl2_col, bucket_modulus)
+        existing = layout_cache.get(ck)
+        if existing is None:
+            existing = _list_store_partitions(
+                spark, root, lvl1_col, lvl2_col, bucket_modulus
+            )
+            layout_cache[ck] = existing
     else:
-        existing = set()
-        for d in lvl1:
-            sub = jvm.org.apache.hadoop.fs.Path(f"{root}/{d}")
-            lvl2 = [
-                st.getPath().getName()
-                for st in fs.listStatus(sub)
-                if st.isDirectory()
-            ]
-            bad2 = [x for x in lvl2 if not x.startswith(f"{lvl2_col}=")]
-            if bad2 or not lvl2:
-                raise ValueError(
-                    f"store {root} layout mismatch: expected {lvl2_col}= "
-                    f"bucket directories under {d}, found "
-                    f"{sorted(lvl2)[:5] or 'none'}"
-                )
-            existing.update((d, x) for x in lvl2)
-        if bucket_modulus is not None:
-            store_max = max(int(x.split("=", 1)[1]) for _, x in existing)
-            if store_max >= bucket_modulus:
-                # the probe's pmod(hash, bucket_modulus) can never
-                # address this directory -> the store was written
-                # with a larger modulus; skipping would silently
-                # miss duplicates
-                raise ValueError(
-                    f"store {root} bucketed with modulus > "
-                    f"{bucket_modulus} (saw {lvl2_col}={store_max}); "
-                    f"pass the writer's num_buckets"
-                )
+        existing = _list_store_partitions(
+            spark, root, lvl1_col, lvl2_col, bucket_modulus
+        )
     dirs = [
         f"{root}/" + "/".join(parts)
         for parts in (

@@ -188,6 +188,16 @@ def dedup_gated_ingest(
         F.col("value").alias("content"),
     )
 
+    # drain-scoped probe-planning cache (r15, VERDICT r14 item 1): the
+    # corpus store at ``dedup_index`` is immutable for the life of this
+    # stream (the accumulation appends to ``sig_delta_path``, a
+    # different tree), so its sidecar modulus and partition-directory
+    # listing are batch-invariant — without the cache every micro-batch
+    # re-paid the sidecar read plus 1+#bands listing RPCs for layout
+    # facts that cannot change mid-drain. Scoped to ONE
+    # dedup_gated_ingest call; a store rewrite requires a new stream.
+    probe_plan_cache: dict = {}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -218,6 +228,7 @@ def dedup_gated_ingest(
                 ss, dedup_index, delta_docs,
                 extra_index=None if acc is None
                 else acc.dropDuplicates(["doc_id", "band"]),
+                layout_cache=probe_plan_cache,
             )
         else:
             probe_index = (
@@ -364,6 +375,7 @@ def vector_arrival_ingest(
     vec_col: str = "embedding",
     store_int8: bool = False,
     max_files_per_trigger: int | None = None,
+    cache_centroids: bool = False,
 ) -> StreamingQuery:
     """STREAMING growth of the stored IVF index — the ANN analogue of
     dedup_gated_ingest's signature accumulation: each micro-batch of
@@ -386,7 +398,19 @@ def vector_arrival_ingest(
     centroid frame is read from ``{index_path}/centroids`` INSIDE each
     batch, so an offline re-cluster that overwrites centroids +
     assignments takes effect at the next micro-batch without
-    restarting the stream."""
+    restarting the stream.
+
+    ``cache_centroids=True`` (r15, VERDICT r14 item 3) materializes
+    the KB-scale centroid frame ONCE per stream (localCheckpoint on
+    the first batch) and reuses it for every later micro-batch —
+    batch 2+ skips the per-batch parquet listing/footer read and
+    rebuilds the broadcast from cached blocks. Assignments are
+    identical (same frozen centroids either way); the ONLY semantic
+    change is re-cluster pickup: an offline centroid overwrite then
+    takes effect at the next STREAM START rather than the next
+    micro-batch, which is why the knob defaults off. The join hints
+    ``F.broadcast`` explicitly, so the checkpoint's hidden size stats
+    cannot flip the strategy (the r14 SemDeDup landmine)."""
     from ..operators.retrieval import ivf_index_append
 
     reader = spark.readStream.schema(vec_schema)
@@ -394,11 +418,19 @@ def vector_arrival_ingest(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_path)
 
+    state: dict = {}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         ss = batch_df.sparkSession
-        cdf = ss.read.parquet(f"{index_path}/centroids")
+        if cache_centroids:
+            cdf = state.get("cdf")
+            if cdf is None:
+                cdf = ss.read.parquet(f"{index_path}/centroids").localCheckpoint()
+                state["cdf"] = cdf
+        else:
+            cdf = ss.read.parquet(f"{index_path}/centroids")
         ivf_index_append(
             cdf, batch_df, corpus_id=id_col, vec_col=vec_col, store_int8=store_int8
         ).write.mode("append").partitionBy("bucket").parquet(f"{index_path}/assigned")

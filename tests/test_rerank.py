@@ -117,3 +117,53 @@ def test_mmr_argument_validation(spark, planted):
         RR.mmr_rerank(q, corpus, n=10, k_candidates=5, corpus_id="vec_id")
     with pytest.raises(ValueError):
         RR.mmr_rerank(q, corpus, n=2, k_candidates=5, lam=1.5, corpus_id="vec_id")
+
+
+def test_cosine_norms_hoisted_below_pair_joins(spark, planted):
+    """r15 (VERDICT r14 item 4): the normalized=False branch computes
+    each side's L2 norm ONCE per join-side row (cosine_with_norms,
+    r14) — the physical plan must show the norm aggregates (sqrt over
+    an aggregate loop) BELOW the pair join, never re-evaluated per
+    joined pair above it. Pinned for both driven sites: score_pairs'
+    broadcast nested-loop join and mmr_rerank's candidate self-join.
+    In a formatted plan tree the operators ABOVE a join print before
+    the join line, so partitioning the string at the join node name
+    separates per-pair work from per-side work."""
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        retrieval as R,
+    )
+
+    q, corpus = planted
+    scored = R.score_pairs(q, corpus, normalized=False)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    head, sep, below = plan.partition("BroadcastNestedLoopJoin")
+    assert sep, plan[:400]
+    assert "sqrt(" not in head.lower(), "per-pair norm aggregation above the join"
+    assert below.lower().count("sqrt(") >= 2, "per-side norm projections missing"
+
+    reranked = RR.mmr_rerank(
+        q, corpus, n=2, k_candidates=4, lam=0.5,
+        corpus_id="vec_id", normalized=False,
+    )
+    plan2 = reranked._jdf.queryExecution().executedPlan().toString()
+    # the candidate self-join is the LAST join in the plan (its inputs
+    # are the windowed top-k sides); everything above it — including
+    # the sim projection — must be sqrt-free
+    head2 = plan2[: plan2.rindex("Join")]
+    assert "sqrt(" not in head2.partition("Join")[0].lower(), (
+        "per-pair norm aggregation above the candidate self-join"
+    )
+
+    # the branch also returns the same rows as the dot path here: the
+    # fixture vectors are unit, so full cosine == dot
+    got = sorted(
+        (r.vec_id, r.rank) for r in reranked.collect()
+    )
+    want = sorted(
+        (r.vec_id, r.rank)
+        for r in RR.mmr_rerank(
+            q, corpus, n=2, k_candidates=4, lam=0.5,
+            corpus_id="vec_id", normalized=True,
+        ).collect()
+    )
+    assert got == want

@@ -197,6 +197,32 @@ def test_store_meta_mismatch_raises(spark, corpus, delta, tmp_path):
         DI.probe_simhash_index(spark, store, delta)  # expects block_id/blk_bucket
 
 
+def test_append_mode_holds_store_layout(spark, corpus, tmp_path):
+    """ADVICE r14 (medium): ``mode='append'`` must HOLD the stored
+    layout, not rewrite it — a matching append leaves the sidecar
+    untouched, and an appender bringing a different modulus RAISES
+    instead of creating a mixed-modulus store whose sidecar lies to
+    every probe (old rows bucketed under the previous modulus would be
+    read from the wrong directories and duplicates silently missed)."""
+    store = os.path.join(str(tmp_path), "appmode")
+    idx = DI.build_dedup_index(corpus, num_perm=16, num_bands=4, seed=42)
+    DI.write_signature_store(
+        idx.withColumn("sig_bucket", F.pmod("band_hash", F.lit(4))),
+        store, ("band", "sig_bucket"), bucket_modulus=4,
+    )
+    DI.write_signature_store(
+        idx.withColumn("sig_bucket", F.pmod("band_hash", F.lit(4))),
+        store, ("band", "sig_bucket"), bucket_modulus=4, mode="append",
+    )
+    assert DI.read_store_meta(spark, store)["bucket_modulus"] == 4
+    with pytest.raises(ValueError, match="append"):
+        DI.write_signature_store(
+            idx.withColumn("sig_bucket", F.pmod("band_hash", F.lit(8))),
+            store, ("band", "sig_bucket"), bucket_modulus=8, mode="append",
+        )
+    assert DI.read_store_meta(spark, store)["bucket_modulus"] == 4
+
+
 def test_probe_overlap_index_matches_oneshot(spark, corpus, tmp_path):
     """The stored-index corpus-overlap twin returns the identical
     per-B-doc verdicts as the one-shot A-probe-B join, while reading

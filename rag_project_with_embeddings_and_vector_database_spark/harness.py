@@ -127,7 +127,14 @@ import contextlib
 def _stream_parts(spark):
     """Context-manager form of ``_bounded_state`` for queries whose
     heavy BATCH prelude (signature-store/IVF builds) must keep full
-    shuffle parallelism — scope only the drain itself."""
+    shuffle parallelism — scope only the drain itself.
+
+    r15 negative result (kept on record): scoping AQE OFF for the
+    drains was measured a WASH in a same-process A/B (warm rounds:
+    stream_dedup_gated 17.2 s off vs 16.3 s on, every other drain
+    within noise) — the drain wall is ~2/3 driver gaps between
+    sub-second jobs, but the gaps are plan CONSTRUCTION and streaming
+    commit latency, not AQE re-optimization. Reverted."""
     import os
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -162,17 +169,8 @@ def _bounded_state(fn):
 
     @functools.wraps(fn)
     def wrapper(spark, sf_dir):
-        import os
-
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE") or str(
-            min(8, spark.sparkContext.defaultParallelism)
-        )
-        spark.conf.set("spark.sql.shuffle.partitions", parts)
-        try:
+        with _stream_parts(spark):
             return fn(spark, sf_dir)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     return wrapper
 
@@ -4556,7 +4554,14 @@ def quality_filter(spark, sf_dir):
     At 100 TB this is one corpus scan + the repetition agg pipeline;
     the verdict column drives the downstream filter without a second
     pass. Oracle = the composition of the four component oracles."""
-    d = _t(spark, sf_dir, "documents")
+    # ONE shared round-robin spread (r15): the regex-heavy verdict
+    # projection (3 regexp_extract_all + quality + lang_id per doc) ran
+    # on the raw scan's 1-2 input splits — a serial map stage (8-vs-32
+    # ratio 0.92 in PERF_r14) — while only the repetition side was
+    # _par'd. Both sides now read the same repartitioned frame (the
+    # exchange is planned once); per-row projections and the doc_id
+    # join are partition-independent, so the oracle hash is unchanged.
+    d = _par(_t(spark, sf_dir, "documents"))
     n_emails = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).cast("bigint")
     n_phones = F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).cast("bigint")
     n_ipv4 = F.size(F.regexp_extract_all("text", F.lit(_IPV4_RE), 0)).cast("bigint")
@@ -4566,7 +4571,7 @@ def quality_filter(spark, sf_dir):
         TX.lang_id("text").alias("lang_pred"),
         ((n_emails + n_phones + n_ipv4) > 0).alias("has_pii"),
     )
-    rep = TX.repetition_stats(_par(d)).select("doc_id", "dup_line_frac", "top_2gram_frac")
+    rep = TX.repetition_stats(d).select("doc_id", "dup_line_frac", "top_2gram_frac")
     out = proj.join(rep, "doc_id")
     keep = (
         (F.col("quality") >= 0.5)
@@ -8128,7 +8133,13 @@ def cms_frequency(spark, sf_dir):
     the sketch family's only hash-checked member."""
     from .operators import freqsketch as CM
 
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    # _par (r15, guide §2 — the bloom_fp_audit lesson): the 4-probe
+    # salted-md5 explode + partial count agg ran on the raw scan's 1-2
+    # input splits (8-vs-32-core ratio ~1.0 in PERF_r14 = a serial map
+    # stage); round-robin the two-integer projection first so the hash
+    # work uses every core. Counter values are partition-independent
+    # (pure counts), so the oracle hash is unchanged.
+    li = _par(_t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey"))
     sk = CM.cms_build(li, "l_partkey", ["l_returnflag"])
     probes = (
         li.filter(F.col("l_partkey") % 97 == 0)
@@ -8193,9 +8204,12 @@ def cms_merge_rollup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_partkey"
     )
+    # _par per half (r15): spread each half's salted-md5 probe explode
+    # off the raw scan's 1-2 splits (see cms_frequency); counts are
+    # partition-independent so the merge parity is unchanged
     halves = [
         CM.cms_build(
-            li.filter(F.col("l_orderkey") % 2 == p),
+            _par(li.filter(F.col("l_orderkey") % 2 == p)),
             "l_partkey",
             ["l_returnflag"],
             width=512,
@@ -8240,8 +8254,11 @@ def cms_heavy_hitters(spark, sf_dir):
     sides; N cast BIGINT — the r11 HUGEINT lesson)."""
     from .operators import freqsketch as CM
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("bigint").alias("q")
+    # _par (r15): serial-map-stage fix, see cms_frequency
+    li = _par(
+        _t(spark, sf_dir, "lineitem").select(
+            F.col("l_quantity").cast("bigint").alias("q")
+        )
     )
     sk = CM.cms_build(li, "q")
     return CM.cms_heavy_hitters(li, sk, "q", phi=0.0205).select(
@@ -8380,14 +8397,15 @@ def cms_store_day2(spark, sf_dir):
     # groups x depth x width counter rows, KB-scale) so the replay
     # write below reuses the rows instead of re-running the build
     day2 = CM.cms_build(
-        li.filter(F.col("l_orderkey") % 2 == 1),
+        _par(li.filter(F.col("l_orderkey") % 2 == 1)),
         "l_partkey",
         ["l_returnflag"],
         width=512,
     ).localCheckpoint()
+    # _par per half (r15): serial-map-stage fix, see cms_frequency
     CM.write_cms_store(
         CM.cms_build(
-            li.filter(F.col("l_orderkey") % 2 == 0),
+            _par(li.filter(F.col("l_orderkey") % 2 == 0)),
             "l_partkey",
             ["l_returnflag"],
             width=512,
@@ -8892,7 +8910,10 @@ def cms_error_audit(spark, sf_dir):
     estimates, exact counts and both flags bit-for-bit."""
     from .operators import freqsketch as CM
 
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    # _par (r15): both the sketch build and the exact-count audit pass
+    # hash every occurrence — spread them off the raw scan's 1-2
+    # splits (see cms_frequency); counts are partition-independent
+    li = _par(_t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey"))
     sk = CM.cms_build(li, "l_partkey", ["l_returnflag"], width=512)
     audit = CM.cms_error_audit(li, sk, "l_partkey", ["l_returnflag"], width=512)
     return audit.select(
@@ -9085,7 +9106,13 @@ def shuffle_shards(spark, sf_dir):
     only has to fit on disk."""
     from .operators import shards as SH
 
-    d = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # no _par (r15, VERDICT r14 item 7): the per-row work is one md5 of
+    # doc_id — there is no heavy compute to spread, and the round-robin
+    # repartition (plus its sort-before-repartition) shuffled the full
+    # text payload for nothing; the shard exchange bounds parallelism
+    # at n_shards either way. PERF_r14 measured this entry 3.7x FASTER
+    # on 8 cores than 32 (ratio 0.27) — pure fan-out overhead.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return SH.shard_assign(d, 16, seed=1234).select("doc_id", "shard", "pos")
 
 
@@ -9106,7 +9133,8 @@ def shard_manifest(spark, sf_dir):
     and the rollup."""
     from .operators import shards as SH
 
-    d = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # no _par (r15): see shuffle_shards — md5-of-id work, nothing to spread
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return SH.shard_manifest(SH.shard_assign(d, 16, seed=1234))
 
 
@@ -9127,7 +9155,8 @@ def shards_store_roundtrip(spark, sf_dir):
     because (shard, pos) is a pure function of (id, seed)."""
     from .operators import shards as SH
 
-    d = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # no _par (r15): see shuffle_shards — md5-of-id work, nothing to spread
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     assigned = SH.shard_assign(d, 16, seed=1234)
     path = f"{_proc_tmp('shards_store')}/shards"
     SH.write_training_shards(assigned, path)

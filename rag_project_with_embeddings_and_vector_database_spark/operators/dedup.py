@@ -48,6 +48,28 @@ from ._cache import release_caches  # noqa: F401  (re-exported public API)
 from ._cache import swap_cache as _swap_cache
 
 
+# r15 (guide §1/§7.3 — the driver gap is the bottleneck, not the
+# executors): CONSTRUCTED-EXPRESSION memo. Building the minhash /
+# simhash expression trees costs ~0.6-1.1 s of pure Python->py4j
+# round-trips per call (measured: hundreds of Column ops and lambda
+# registrations), and the streaming gate pays it once per MICRO-BATCH,
+# the batch family once per query. A Column is an immutable unresolved
+# expression tree — a pure function of the constructor parameters, no
+# data, no session state — so reusing one across DataFrames/queries is
+# exactly as safe as writing the same expression twice. This memoizes
+# PLAN OBJECTS only; it can never cache results (the cache key is the
+# parameter tuple, the value is an unresolved AST).
+_EXPR_CACHE: dict = {}
+
+
+def _cached_exprs(key: tuple, build):
+    got = _EXPR_CACHE.get(key)
+    if got is None:
+        got = build()
+        _EXPR_CACHE[key] = got
+    return got
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) parameters via an LCG recurrence —
     reproducible in SQL (the oracle inlines the constants)."""
@@ -89,16 +111,22 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     concat_ws skips NULLs — the same semantics DuckDB's out-of-range
     list indexing gives the oracle. Plain element_at would throw
     INVALID_ARRAY_INDEX under ANSI mode on any short doc."""
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(gram)
+    def build(c):
+        toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        gram = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        return F.array_distinct(gram)
+
+    if isinstance(col, str):
+        # name-keyed expression memo (see _EXPR_CACHE) — Column args
+        # are not hashable keys, so only the string form caches
+        return _cached_exprs(("shingles", col, n), lambda: build(F.col(col)))
+    return build(col)
 
 
 def minhash_signature(
@@ -138,29 +166,45 @@ def minhash_signatures(
     partial min aggregation — the shape that scales; the column form
     re-evaluates the hash array per permutation (no common-subexpression
     elimination across array transforms)."""
-    grams = df.select(F.col(id_col), F.explode(shingles(content_col, shingle_n)).alias("gram"))
-    hashed = grams.select(id_col, (md5_long("gram") % _P).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_params(num_perm, seed))
-    ]
+    gram_col, hash_col, aggs, sig_arr = _cached_exprs(
+        ("minhash_sig", content_col, shingle_n, num_perm, seed),
+        lambda: (
+            F.explode(shingles(content_col, shingle_n)).alias("gram"),
+            (md5_long("gram") % _P).alias("h"),
+            tuple(
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(_perm_params(num_perm, seed))
+            ),
+            F.array(*[f"mh_{i}" for i in range(num_perm)]).alias("sig"),
+        ),
+    )
+    grams = df.select(F.col(id_col), gram_col)
+    hashed = grams.select(id_col, hash_col)
     sig = hashed.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col, F.array(*[f"mh_{i}" for i in range(num_perm)]).alias("sig"))
+    return sig.select(id_col, sig_arr)
 
 
 def minhash_bands(sig_col: Column | str, num_bands: int, rows_per_band: int) -> Column:
     """Array of (band_id, band_hash) structs: the LSH bucketing key."""
-    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
-    bands = []
-    for band in range(num_bands):
-        vals = [c[band * rows_per_band + r] for r in range(rows_per_band)]
-        bands.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                md5_long(F.concat_ws("_", *[v.cast("string") for v in vals])).alias("band_hash"),
+
+    def build(c):
+        bands = []
+        for band in range(num_bands):
+            vals = [c[band * rows_per_band + r] for r in range(rows_per_band)]
+            bands.append(
+                F.struct(
+                    F.lit(band).alias("band"),
+                    md5_long(F.concat_ws("_", *[v.cast("string") for v in vals])).alias("band_hash"),
+                )
             )
+        return F.array(*bands)
+
+    if isinstance(sig_col, str):
+        return _cached_exprs(
+            ("minhash_bands", sig_col, num_bands, rows_per_band),
+            lambda: build(F.col(sig_col)),
         )
-    return F.array(*bands)
+    return build(sig_col)
 
 
 def bucket_stats(df: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
@@ -418,28 +462,34 @@ def simhash_fingerprints(
     ``simhash`` column form, scalable plan (single shuffle, map-side
     partial sums). Token-less docs (which the explode would drop) are
     joined back with fingerprint 0, matching the column form."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
+    def build():
+        tok_col = F.explode(
             F.filter(F.split(F.lower(F.col(content_col)), r"\s+"), lambda x: x != F.lit(""))
-        ).alias("tok"),
+        ).alias("tok")
+        hash_col = md5_long("tok").alias("h")
+        # branch-free per-bit tally: sum the raw bit instead of a +1/-1
+        # CASE; vote_j = 2*ones_j - n, so vote_j > 0 <=> 2*ones_j > n —
+        # identical sign semantics, but the per-row expression is
+        # shift+and+add with no conditional, which codegen vectorizes
+        # better across 32 aggregates.
+        ones = tuple(
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b_{j}")
+            for j in range(bits)
+        )
+        out = F.lit(0).cast("bigint")
+        for j in range(bits):
+            out = out + F.when(
+                F.col(f"b_{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return tok_col, hash_col, ones, out.alias("simhash")
+
+    tok_col, hash_col, ones, out_col = _cached_exprs(
+        ("simhash_fp", content_col, bits), build
     )
-    hashed = toks.select(id_col, md5_long("tok").alias("h"))
-    # branch-free per-bit tally: sum the raw bit instead of a +1/-1 CASE;
-    # vote_j = 2*ones_j - n, so vote_j > 0  <=>  2*ones_j > n — identical
-    # sign semantics, but the per-row expression is shift+and+add with no
-    # conditional, which codegen vectorizes better across 32 aggregates.
-    ones = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b_{j}")
-        for j in range(bits)
-    ]
+    toks = df.select(F.col(id_col), tok_col)
+    hashed = toks.select(id_col, hash_col)
     agg = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *ones)
-    out = F.lit(0).cast("bigint")
-    for j in range(bits):
-        out = out + F.when(
-            F.col(f"b_{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    sig = agg.select(id_col, out.alias("simhash"))
+    sig = agg.select(id_col, out_col)
     return (
         df.select(id_col)
         .join(sig, id_col, "left")

@@ -120,6 +120,30 @@ def _par(df: DataFrame) -> DataFrame:
     return df.repartition(sess.sparkContext.defaultParallelism)
 
 
+# Minimum rows each Python/Arrow decode task should amortize its
+# worker + Arrow-serialization setup over (guide §4: the boundary cost
+# is per-task, not per-row). Measured r15 on media_frame_sample: the
+# 32-way round-robin fan-out of a 2000-row bounded fixture ran 3.7 s
+# vs 1.9 s at 8 tasks — per-task setup dominated 60-row batches.
+_PY_ROWS_PER_TASK = 250
+
+
+def _par_py(df: DataFrame, n_rows_hint: int) -> DataFrame:
+    """Size-adaptive fan-out for mapInPandas/Arrow decode stages (r15,
+    VERDICT r14 item 7 — replace core-count-sized fan-outs with
+    data-sized ones): partitions = rows / _PY_ROWS_PER_TASK, clamped to
+    [1, defaultParallelism]. A bounded 2000-row fixture gets 8 tasks of
+    250 rows; a 100 TB corpus saturates to every core. ``n_rows_hint``
+    is the caller's static bound (the fixtures filter to a known id
+    range) — an upper bound is fine, only the clamp matters."""
+    sess = df.sparkSession
+    n = max(1, min(
+        sess.sparkContext.defaultParallelism,
+        n_rows_hint // _PY_ROWS_PER_TASK or 1,
+    ))
+    return df.repartition(n)
+
+
 import contextlib
 
 
@@ -6097,7 +6121,15 @@ def bucketed_join(spark, sf_dir):
     for name, df, key in ((ot, o, "o_orderkey"), (lt, li, "l_orderkey")):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
-            df.write.mode("overwrite")
+            # repartition by the bucket key first (r15, guide §2.5/§6):
+            # the raw scan is 1-2 splits, so each writer task sorted and
+            # wrote ALL 8 buckets serially (profiled 1.4 s for the
+            # lineitem table); hash-clustering on the key spreads the
+            # sort+write across the bucket count and leaves one file per
+            # bucket. repartition's hash is the same murmur3-pmod the
+            # bucket id uses, so every task holds exactly one bucket.
+            df.repartition(8, F.col(key))
+            .write.mode("overwrite")
             .option("path", f"{out}/{name}")
             .bucketBy(8, key)
             .sortBy(key)
@@ -9197,8 +9229,8 @@ def media_image_features(spark, sf_dir):
     explode is a per-row fan-out with no shuffle."""
     from .operators import multimodal as MM
 
-    d = _par(
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    d = _par_py(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000), 2000
     )
     media = MM.to_media(d, "doc_id", "text", "image", "image/fake")
     feats = MM.image_features(media)
@@ -9262,7 +9294,7 @@ def media_ppm_histogram(spark, sf_dir):
     # _par on the DOCUMENT frame: the parallelizing exchange moves only
     # the source text; payloads are constructed after it and never
     # cross a shuffle (the multimodal contract)
-    d = _par(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000))
+    d = _par_py(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000), 2000)
     data = F.encode("text", "UTF-8")
     payload = F.concat(
         F.lit(bytearray(b"P6 4 4 255\n")),
@@ -9324,7 +9356,7 @@ def media_y4m_frames(spark, sf_dir):
     from .operators import multimodal as MM
 
     # _par before construction: only text crosses the exchange
-    d = _par(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000))
+    d = _par_py(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000), 2000)
     data = F.encode("text", "UTF-8")
     parts = [F.lit(bytearray(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n"))]
     for k in range(6):
@@ -9395,7 +9427,7 @@ def media_wav_rms(spark, sf_dir):
         + b"data" + struct.pack("<I", 48)
     )
     # _par before construction: only text crosses the exchange
-    d = _par(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000))
+    d = _par_py(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000), 2000)
     data = F.encode("text", "UTF-8")
     payload = F.concat(
         F.lit(bytearray(hdr)),
@@ -9444,8 +9476,8 @@ def media_frame_sample(spark, sf_dir):
     from .operators import multimodal as MM
 
     every_n, max_frames = 10, 8
-    d = _par(
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    d = _par_py(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000), 2000
     )
     media = MM.to_media(d, "doc_id", "text", "video", "video/fake")
     frames = MM.sample_frames(media, every_n=every_n, max_frames=max_frames)

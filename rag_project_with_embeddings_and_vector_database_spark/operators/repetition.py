@@ -181,8 +181,20 @@ def repetition_signals(
             F.col("g.gram").alias("gram"),
         )
     )
+    # r15 (guide §1.2 — fewer passes): the gram census carries its
+    # occurrence POSITIONS through the aggregation (collect_list —
+    # bounded per gram by document length), so the duplicated-gram
+    # coverage below reads them straight off the counts frame instead
+    # of re-running the tokenize->window->explode chain a second time
+    # and joining it against its own aggregation (chain executions
+    # 3 -> 2, the grams-vs-counts shuffle join gone). A/B at sf0.1:
+    # 6.4 -> 5.2 s. Persisting the census (swap_cache) to reach ONE
+    # execution was additionally tried and measured a WASH — the
+    # materialization cost eats the saved chain, the same physics as
+    # r14's raw-gram-cache negative result — so the frame stays lazy.
     counts = grams.groupBy(id_col, "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.count(F.lit(1)).alias("cnt"),
+        F.collect_list("pos").alias("_poss"),
     ).withColumn(
         "gchars", (F.length("gram") - (F.col("n") - 1)).cast("bigint")
     )
@@ -210,12 +222,11 @@ def repetition_signals(
     )
 
     # duplicated n-gram coverage (n in DUP_NS): token positions under
-    # ANY repeated n-gram, unioned before counting
-    dup_occ = grams.join(
-        counts.filter((F.col("cnt") > 1) & F.col("n").isin(list(DUP_NS))).select(
-            id_col, "n", "gram"
-        ),
-        [id_col, "n", "gram"],
+    # ANY repeated n-gram, unioned before counting — read directly off
+    # the cached census (no second gram pass, no self-join; r15)
+    dup_occ = (
+        counts.filter((F.col("cnt") > 1) & F.col("n").isin(list(DUP_NS)))
+        .select(id_col, "n", F.explode("_poss").alias("pos"))
     )
     covered = (
         dup_occ.select(

@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for harness queries into plans/r14/.
+"""Capture .explain("formatted") for harness queries into plans/$SPARK_GRAFT_PLANS_DIR (default r15)/.
 
 Usage: python scripts/explain_query.py <suffix> <query> [query ...]
        (suffix is e.g. "before" or "after")
@@ -26,7 +26,7 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     outdir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15")
     )
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("explain")

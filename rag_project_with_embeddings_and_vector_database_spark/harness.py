@@ -48,8 +48,24 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+# Session-scoped source-table HANDLE memo (r15, VERDICT r14 item 5 —
+# the blessed "within-run" half of plan reuse): every spark.read.parquet
+# call re-lists the path and re-reads footers for schema inference,
+# measured ~65 ms of driver time per call; a bench run makes hundreds
+# of them over the SAME immutable source tables. The memo holds lazy
+# DataFrame handles (unresolved plans — never rows, never results),
+# keyed by the owning SparkSession so a fresh session re-lists from
+# scratch. Derived/tmp stores do not go through _t and are unaffected.
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _T_CACHE[key] = df
+    return df
 
 
 def _sweep_stale_tmp() -> None:
@@ -212,12 +228,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events-family result relative to the DuckDB oracle (ADVICE r4)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # handle memo (r15): same discipline as _t — the conf pins above
+    # still run on every call (idempotent), only the listing/footer
+    # read and the adapted plan are reused per session
+    key = (id(spark), sf_dir, "__events__")
+    e = _T_CACHE.get(key)
+    if e is not None:
+        return e
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     dt = e.schema["ts"].dataType
     if isinstance(dt, T.LongType):
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif not isinstance(dt, T.TimestampType):
         e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    _T_CACHE[key] = e
     return e
 
 

@@ -9569,69 +9569,74 @@ def media_frame_sample(spark, sf_dir):
 # minus string_funcs, which sits at position 51 — the one r9 name the
 # verdict did not flag; it is r15's first fill.
 _PRIORITY = [
-    # r14-opt window: 93 queries sit in this round's touched closure
-    # (the build half: multimodal codecs, bloom KM, nDCG, streaming
-    # oracle conversions; the optimization half: vectors/dedup/
-    # dedup_index/ranking/retrieval/semantic/rerank/cluster edits) —
-    # far more than 50 slots, so the window is PACKED with touched
+    # r15-opt window: 80 queries sit in this round's touched closure
+    # (expression-tree memo in dedup.py reaches every minhash/simhash
+    # family; the _t/_events handle memo reaches every source-table
+    # query; plus the CMS/_par, quality_filter, bucketed_join, shards,
+    # repetition-census, star-fold, probe-cache and streaming edits) —
+    # still more than 50 slots, so the window stays PACKED with touched
     # queries ordered by result-risk (scripts/selfcheck.py
     # --check-window enforces full packing and prints the overflow as
-    # recorded debt).
-    # (a) no driver row yet, or the r13 red row: the build round's new
-    # oracles and registrations
-    "media_image_features", "metric_ndcg", "agg_ndcg",
+    # recorded debt). vs the r14 window: the 8 names the checker proved
+    # UNTOUCHED this round (nDCG pair, mmr_rerank, the semantic hash
+    # twins, dedup_minhash_star, star_cluster_purity, stream_dedup_ttl)
+    # rotate out for this round's result-sensitive edits — which also
+    # drains 8 names from the recorded r14 debt list.
+    # (a) carried from r14 (media decode partitioning re-touched this
+    # round; streaming ingest paths re-touched)
+    "media_image_features",
     "media_ppm_histogram", "media_y4m_frames", "media_wav_rms",
     "media_frame_sample", "sessionize_stateful", "stream_bloom_gate",
-    "stream_dedup_ttl", "stream_interval_join", "stream_windowed_counts",
+    "stream_interval_join", "stream_windowed_counts",
     "stream_windowed_append", "stream_dedup",
-    # (b) optimization-round result-sensitive oracled paths: stored
-    # layouts (auto-modulus signature/simhash/bm25 stores, adopted
-    # moduli), the union-find CC fast path, the hoisted-norm cosine
-    # sites, the materialized CMS replay, the parallelized bloom audit
+    # (b) r15 result-sensitive oracled paths: the repetition-census
+    # restructure (positions through the aggregation), the CMS fact
+    # _par spreads, the shared quality_filter projection, the clustered
+    # bucketed-table writes, the shard-family fan-out removal
+    "gopher_repetition", "quality_filter", "cms_frequency",
+    "cms_error_audit", "cms_heavy_hitters", "cms_merge_rollup",
+    "bucketed_join", "shards_store_roundtrip",
+    # (c) stored layouts + probe paths (probe planning cache, append
+    # invariant, auto-modulus adoption, expression memo)
     "bm25_topk", "bm25_indexed", "bm25_indexed_incremental",
     "bm25_indexed_delete", "bm25_indexed_delete_logical",
     "dedup_incremental", "simhash_incremental", "dedup_store_compact",
     "corpus_overlap", "corpus_overlap_indexed", "cms_store_day2",
     "bloom_fp_audit", "bloom_decontaminate", "bloom_decontaminate_km",
     "bloom_store_day2",
-    "connected_components", "dedup_minhash_star", "star_cluster_purity",
+    "connected_components",
     "dedup_star_incremental", "star_update_chain", "dedup_full",
     "leakage_safe_split", "dedup_minhash", "dedup_minhash_pairs",
     "dedup_verified_pairs",
-    "mmr_rerank", "hybrid_rrf", "dedup_embedding",
-    "dedup_embedding_incremental", "semantic_dedup_hash",
-    "semantic_dedup_incremental_hash",
+    "hybrid_rrf", "dedup_embedding",
+    "dedup_embedding_incremental",
     # semantic_dedup_incremental is rows-only but its internal one-shot
-    # replay RAISES on drift — the restructured single-assignment path
-    # is exercised end-to-end on the driver
+    # replay RAISES on drift
     "semantic_dedup_incremental",
-    # (c) rows-only composed paths whose harness entries changed this
-    # round (drain-scoped state partitioning, shared SemDeDup
-    # assignment, clustered IVF writes) — self-RAISE twins run on the
-    # driver even without an oracle hash
+    # (d) rows-only composed paths whose internals changed this round
+    # (drain-scoped probe-planning cache, cached centroids, single-pass
+    # star fold) — self-RAISE twins run on the driver
     "stream_dedup_gated", "vector_arrival_ingest",
     "pipeline_e2e", "pipeline_reference_corpus",
 ]
-# r14 rotation debt (recorded for r15): the touched-closure overflow —
-# 43 touched names outside the packed window (run
-# `scripts/selfcheck.py --check-window` for the authoritative list;
-# highlights: the ann_* family and embed_* (rows-only, recall-floor
-# self-validated, code change is write clustering only), the A-family
-# metric aggregations (agg_summary/argmax_metric/pred_relevance/
-# report_best/report_rank — metrics.py closure via nDCG, math
-# untouched), dedup.py closure-only names (dedup_exact/spans/
-# strip_spans/simhash/simhash_pairs/ngram_jaccard/bucket_stats/
-# corpus_prep*/decontaminate — import the module, use untouched
-# functions), stream_upsert/stream_sketch_rollup/stream_windowed_cms
-# (rows-only drains, parity-RAISEd), sink_vectors/vectors_upsert/
-# ddl_collections/sink_partitioned, cosine_dot/l2_normalize/
-# topk_retrieval_quantized/embedding_quantize/knn siblings (dot-path
-# untouched; metric_avgsim holds the window slot for the family),
-# diversity_sample/top_orders_per_customer/dsir_score_day2.
-# ALL 167 oracled queries are selfcheck-green at sf0.001 AND vanilla
-# sf0.01 this round, so the debt is about driver rows, not health.
-# Carried r13 debt (strip_boilerplate/tfidf_terms bench drift
-# re-checks, multimodal_meta, tpch_q1) queues behind the overflow.
+# r15 rotation debt (recorded for r16): the touched-closure overflow
+# shrank 43 -> 30 names (8 drained into this window, 5 left the
+# closure). The 30 (authoritative list from `scripts/selfcheck.py
+# --check-window`): asof_join, bucket_stats, corpus_prep,
+# corpus_prep_lm, decontaminate, dedup_exact, dedup_simhash,
+# dedup_spans, dedup_strip_spans, dsir_score_day2, embed_cached,
+# events_hourly, events_json, events_percentiles, grouped_mad,
+# ngram_jaccard, pivot_events, range_join_events, salted_join,
+# sessionize, shard_manifest, shuffle_shards, simhash_pairs,
+# stream_sketch_rollup, stream_upsert, window_lag_delta,
+# window_range_frame, window_running_sum, window_suite,
+# window_value_functions. Most enter the closure only through the _t
+# handle memo (a scan-side plan-handle change, value-inert) or the
+# dedup.py expression memo (bit-identical trees); all are
+# selfcheck-green at sf0.001 AND vanilla sf0.01 this round, so the
+# debt concerns driver rows, not health. r16 should front-load this
+# list plus the carried r13 items (strip_boilerplate/tfidf_terms,
+# multimodal_meta, tpch_q1).
 
 
 def _ordered(names: dict) -> list[str]:

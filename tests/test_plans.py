@@ -462,3 +462,66 @@ def test_media_payload_queries_shuffle_only_source_text(spark, sf_dir):
         assert cols == {"doc_id", "text"}, (name, exchanges[0])
         assert "MapInPandas" in plan, name
         assert "LessThan(doc_id,2000)" in plan, name  # pushed to the scan
+
+
+def test_auto_modulus_harness_probe_prunes(spark, sf_dir, tmp_path):
+    """ADVICE r14 (low): the explicit-64 pin above guards the saturated
+    layout, but the real harness entry points write their stores with
+    the CORPUS-SIZED auto modulus — pin the pruning end-to-end at a
+    corpus large enough that auto_modulus > 1, written and probed
+    exactly the way dedup_incremental does (modulus from auto_modulus,
+    probe ADOPTS it from the sidecar)."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+    from rag_project_with_embeddings_and_vector_database_spark.operators import (
+        dedup_index as DI,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # replicate the fixture corpus to 40x (~20k docs) so the harness
+    # sizing rule yields a real fan-out instead of collapsing to 1
+    docs = base.crossJoin(
+        spark.range(40).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("doc_id") + F.col("_rep") * 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v"), F.col("_rep").cast("string")).alias("text"),
+    )
+    mod = DI.auto_modulus(docs.count())
+    assert mod > 1, mod
+    path = str(tmp_path / "auto_idx")
+    DI.write_signature_store(
+        DI.build_dedup_index(docs, num_perm=16, num_bands=4, seed=42)
+        .withColumn("sig_bucket", F.pmod("band_hash", F.lit(mod))),
+        path, ("band", "sig_bucket"), bucket_modulus=mod,
+    )
+    assert DI.read_store_meta(spark, path)["bucket_modulus"] == mod
+    # a bounded daily-batch delta (3 docs -> at most 12 bucket keys)
+    delta = base.filter("doc_id < 3").select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" probe rev")).alias("text"),
+    )
+    probed = DI.probe_dedup_index(
+        spark, path, delta, num_perm=16, num_bands=4, seed=42
+    )
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    loc = [
+        l for l in plan.splitlines() if "Location" in l and "sig_bucket=" in l
+    ]
+    assert loc, "probe must scan the stored index by bucket directories"
+    shown = loc[0].count("sig_bucket=")
+    tail = re.search(r"\.\.\. (\d+) entries", loc[0])
+    n_probed = shown + (int(tail.group(1)) if tail else 0)
+    all_dirs = sum(
+        1
+        for p in os.listdir(path)
+        if os.path.isdir(f"{path}/{p}")
+        for b in os.listdir(f"{path}/{p}")
+        if "sig_bucket" in b
+    )
+    assert 0 < n_probed < all_dirs, (n_probed, all_dirs, loc[0][:200])

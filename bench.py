@@ -198,8 +198,12 @@ SLA = {
     # new quiet min-of-3 with ~2x headroom before the 2x trip, so a
     # regression back to core-count-sized state stores trips the wire
     # while a loaded driver box does not
-    "stream_dedup_gated": 26.0,      # 11.6 quiet post-opt (was 32)
-    "vector_arrival_ingest": 8.0,
+    # retuned r15-opt: the probe-planning cache + expression memo +
+    # cached centroids dropped the composed-path floors again — targets
+    # follow the new quiet min-of-3 (two full runs) with ~2x headroom
+    # before the 2x trip
+    "stream_dedup_gated": 18.0,      # 8.8-9.3 quiet post-r15 (was 26)
+    "vector_arrival_ingest": 8.0,    # 6.3 quiet (unchanged)
     # full availableNow drain of the watermarked stream-stream interval
     # join + batch-parity check (4.1 s quiet post-opt; was 12)
     "stream_interval_join": 9.0,
@@ -219,15 +223,18 @@ SLA = {
     # FP audit get regression tripwires. Headline entries are SLA-
     # checked too now; targets are r14 quiet-box min-of-3 rounded up
     # (SCALING.md "r14 star-index A/B").
-    "dedup_star_incremental": 10.0,   # 5.4 quiet post-opt (union-find
-                                      # CC fast path; was 13)
-    "star_update_chain": 15.0,        # 10.0 quiet post-opt
+    "dedup_star_incremental": 9.0,    # 4.6-4.8 quiet post-r15 (was 10)
+    "star_update_chain": 12.0,        # 7.8-8.7 quiet post-r15 (was 15)
     "bloom_fp_audit": 6.0,            # 2.1 quiet post-opt (parallelized
                                       # gram hashing; was 10)
     "star_incremental_query": 5.0,    # 2.9-3.9 measured (25-doc delta)
-    # flagship end-to-end paths (r14, VERDICT r13 item 6)
-    "pipeline_e2e": 8.0,              # 6.3 measured
-    "pipeline_reference_corpus": 6.5, # 4.9 measured
+    # flagship end-to-end paths (r14, VERDICT r13 item 6; retuned r15)
+    "pipeline_e2e": 6.5,              # 3.5-3.7 quiet post-r15 (was 8)
+    "pipeline_reference_corpus": 5.5, # 3.8-4.0 quiet post-r15 (was 6.5)
+    # r15 additions: the normalized=False cosine branch now has its own
+    # regression tripwire (quiet 0.36-0.90)
+    "knn_cosine_full": 1.0,
+    "mmr_rerank_cosine": 2.0,
 }
 
 
